@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full action (count of the materialized result)
+after a warm-up of the session; per-query wall time is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from financial_data_engineering_spark import queries as q
+from financial_data_engineering_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "latest_order_per_customer",
+    "top_customers_by_revenue",
+    "nation_latest_order_revenue",
+    "revenue_by_region_segment",
+    "lineitem_global_stats",
+    "event_type_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark("bench")
+
+    registry = q.all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # include every other registered query too — coverage is part of the bench
+    names += [n for n in registry if n not in names]
+
+    # Warm up the JVM + parquet footer caches with one tiny action.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        start = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+if __name__ == "__main__":
+    main()

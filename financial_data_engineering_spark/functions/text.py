@@ -1,0 +1,157 @@
+"""Text-analysis expressions for LLM-training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd — no Python UDFs in the
+hot path): whitespace tokenization, punctuation/stopword ratios, an n-gram
+-free stopword-vote language heuristic, quality scoring, and rolling
+document fingerprints. The module also exports the exact formulas as SQL
+snippets so oracle queries are generated from the same constants and can't
+drift from the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword votes for the language heuristic. Chosen to be
+# high-frequency and (mostly) disjoint; this is a heuristic, not a model.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "that", "for", "with", "was", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "es", "no", "una", "por", "para", "como", "pero"),
+}
+
+PUNCT_CLASS = "[.,;:!?]"  # identical semantics in Java regex and RE2
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return (
+        F.when(F.length(F.trim(col)) == 0, F.lit(0))
+        .otherwise(F.size(_tokens(col)))
+        .cast("int")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters / total characters (0.0 for empty text)."""
+    stripped = F.regexp_replace(col, PUNCT_CLASS, "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+    )
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    toks = _tokens(col)
+    return (
+        F.when(F.length(F.trim(col)) == 0, F.lit(0))
+        .otherwise(F.size(F.filter(toks, lambda t: t.isin(*words))))
+        .cast("int")
+    )
+
+
+def lang_score(col: Column) -> dict[str, Column]:
+    """Per-language stopword vote counts."""
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword votes, fixed tiebreak order en>de>fr>es.
+
+    At scale this is one pass of array intersections per row — no shuffle,
+    no UDF, fully codegen'd.
+    """
+    s = lang_score(col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards length and
+    stopword density, penalizes punctuation density. Deterministic closed
+    form (rounded to 4dp) so it hash-matches the SQL oracle."""
+    toks = token_count(col).cast("double")
+    stop_ratio = F.when(toks > 0, stopword_hits(col, "en").cast("double") / toks).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        0.35 * F.least(F.lit(1.0), toks / F.lit(20.0))
+        + 0.35 * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5.0))
+        + 0.30 * F.least(F.lit(1.0), stop_ratio * 4.0)
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Whitespace-normalized lowercase MD5 fingerprint — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# SQL (DuckDB) renderings of the same formulas, for oracle generation.
+# ---------------------------------------------------------------------------
+
+
+def sql_token_count(col: str) -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim(lower({col})), '\\s+')) END"
+    )
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def sql_stopword_hits(col: str, lang: str = "en") -> str:
+    words = _sql_in_list(STOPWORDS[lang])
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(list_filter(regexp_split_to_array(trim(lower({col})), '\\s+'), "
+        f"t -> t IN ({words}))) END"
+    )
+
+
+def sql_punct_ratio(col: str) -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 "
+        f"ELSE CAST(length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / length({col}) END"
+    )
+
+
+def sql_lang_id(col: str) -> str:
+    s = {lang: sql_stopword_hits(col, lang) for lang in STOPWORDS}
+    return (
+        f"CASE WHEN ({s['en']}) >= ({s['de']}) AND ({s['en']}) >= ({s['fr']}) "
+        f"AND ({s['en']}) >= ({s['es']}) THEN 'en' "
+        f"WHEN ({s['de']}) >= ({s['fr']}) AND ({s['de']}) >= ({s['es']}) THEN 'de' "
+        f"WHEN ({s['fr']}) >= ({s['es']}) THEN 'fr' ELSE 'es' END"
+    )
+
+
+def sql_quality_score(col: str) -> str:
+    toks = f"CAST({sql_token_count(col)} AS DOUBLE)"
+    stop = f"CAST({sql_stopword_hits(col, 'en')} AS DOUBLE)"
+    stop_ratio = f"CASE WHEN {toks} > 0 THEN {stop} / {toks} ELSE 0.0 END"
+    return (
+        f"round(0.35 * least(1.0, {toks} / 20.0) "
+        f"+ 0.35 * (1.0 - least(1.0, ({sql_punct_ratio(col)}) * 5.0)) "
+        f"+ 0.30 * least(1.0, ({stop_ratio}) * 4.0), 4)"
+    )
+
+
+def sql_fingerprint(col: str) -> str:
+    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,23 @@
+"""Query registry: every operator exposed as a named (spark_fn, oracle_sql) pair.
+
+Importing this package loads all query modules, populating the registry that
+``__spark_entry__.py`` exports to the correctness driver.
+"""
+
+from financial_data_engineering_spark.queries.registry import (
+    all_oracles,
+    all_queries,
+    get,
+    register,
+)
+
+# Import for registration side effects — order groups the inventory logically.
+from financial_data_engineering_spark.queries import relational  # noqa: E402,F401
+from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
+from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
+from financial_data_engineering_spark.queries import events  # noqa: E402,F401
+from financial_data_engineering_spark.queries import text  # noqa: E402,F401
+from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
+from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
+
+__all__ = ["all_oracles", "all_queries", "get", "register"]

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults target correctness-at-scale: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow for the pandas interchange path,
+UTC session timezone (so timestamps compare bit-for-bit with UTC-naive
+engines like DuckDB), and shuffle parallelism sized to the machine rather
+than Spark's legacy 200.
+
+On a real cluster the same factory applies — only ``master`` and the
+shuffle-partition count change (rule of thumb: 2-3× total executor cores,
+and AQE coalesces down from there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "financial-data-engineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the process-wide SparkSession.
+
+    Parameters mirror what a deployment would tune; everything else is a
+    scale-safe default. Idempotent: repeated calls return the active
+    session (Spark ignores conf changes on a live session).
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,79 @@
+"""Smoke + semantics tests for the relational query batch.
+
+Oracle-level value equality is covered by tools/check_correctness.py and the
+driver's sf0.01 gate; these tests pin down operator semantics (determinism,
+tie-breaks, anti-join emptiness) at sf0.001 so regressions localize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark import queries as q
+from financial_data_engineering_spark.operators import (
+    argmax_per_group,
+    duplicate_row_count,
+    union_frames,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_flagship_runs_and_is_deterministic(spark):
+    fn = q.all_queries()["nation_latest_order_revenue"]
+    a = fn(spark, SF_SMALL).collect()
+    b = fn(spark, SF_SMALL).collect()
+    assert a == b
+    assert 0 < len(a) <= 10
+    assert a[0]["latest_revenue"] >= a[-1]["latest_revenue"]
+
+
+def test_every_query_has_matching_column_names_with_oracle(spark):
+    # oracle strings must alias the same column names the Spark frame emits
+    oracles = q.all_oracles()
+    for name, fn in q.all_queries().items():
+        df = fn(spark, SF_SMALL)
+        assert len(df.columns) == len(set(df.columns)), f"{name}: dup col names"
+        if name in oracles:
+            sql = oracles[name].lower()
+            for col in df.columns:
+                assert col.lower() in sql, f"{name}: column {col} absent from oracle"
+
+
+def test_argmax_per_group_breaks_ties_deterministically(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (2, 5, "c")], "k int, v int, payload string"
+    )
+    out = argmax_per_group(df, ["k"], "v", tiebreak_cols=["payload"]).collect()
+    got = {r["k"]: r["payload"] for r in out}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_duplicate_row_count_keep_false_semantics(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,), (None,)], "k int"
+    )
+    row = duplicate_row_count(df, ["k"]).collect()[0]
+    # pandas duplicated(keep=False): 1 appears 3x and NULL 2x -> 5 dup rows
+    assert row["duplicate_rows"] == 5
+    assert row["unique_rows"] == 2
+    assert row["total_rows"] == 7
+
+
+def test_union_frames_aligns_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id int")
+    out = union_frames([a, b]).orderBy("id").collect()
+    assert [(r["id"], r["name"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_customers_without_orders_empty_on_testdata(spark):
+    fn = q.all_queries()["customers_without_orders"]
+    assert fn(spark, SF_SMALL).count() == 0
+
+
+def test_pricing_summary_groups(spark):
+    fn = q.all_queries()["pricing_summary"]
+    rows = fn(spark, SF_SMALL).collect()
+    flags = {(r["l_returnflag"], r["l_linestatus"]) for r in rows}
+    assert len(flags) == len(rows)
+    assert all(r["count_order"] > 0 for r in rows)

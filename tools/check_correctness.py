@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the given
+scale factor, compares row count, sorted-column schema, and an
+order-insensitive value hash. Use while iterating so mismatches surface
+before the driver's round check.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from financial_data_engineering_spark import queries as q
+from financial_data_engineering_spark.schemas import TPCH_TABLES
+from financial_data_engineering_spark.session import get_spark
+
+
+def value_hash(rows: list[tuple], columns: list[str]) -> str:
+    """Order-insensitive hash over stringified cells, columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon = sorted(
+        "\x1f".join(_cell(row[i]) for i in order) for row in rows
+    )
+    return hashlib.md5("\x1e".join(canon).encode()).hexdigest()
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = q.all_queries()
+    oracles = q.all_oracles()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            o_cols = rel.columns
+            o_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {exc}")
+            continue
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(o_cols)}")
+        elif value_hash(s_rows, s_cols) != value_hash(o_rows, o_cols):
+            problems.append("value hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if "value hash mismatch" in problems:
+                _show_diff(s_rows, s_cols, o_rows, o_cols)
+        else:
+            print(f"OK    {name} ({len(s_rows)} rows)")
+    print(f"\n{len(failures)} failures" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+def _show_diff(s_rows, s_cols, o_rows, o_cols, limit=3):
+    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    s_set = sorted("|".join(_cell(r[i]) for i in order_s) for r in s_rows)
+    o_set = sorted("|".join(_cell(r[i]) for i in order_o) for r in o_rows)
+    s_only = [r for r in s_set if r not in set(o_set)][:limit]
+    o_only = [r for r in o_set if r not in set(s_set)][:limit]
+    print(f"      cols: {sorted(s_cols)}")
+    for r in s_only:
+        print(f"      spark-only: {r}")
+    for r in o_only:
+        print(f"      oracle-only: {r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
