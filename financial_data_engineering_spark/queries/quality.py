@@ -1,1 +1,105 @@
-"""Placeholder — populated in a later milestone."""
+"""Quality-rule queries (SURVEY.md §2.I) — the rule compiler's aggregate
+plans exposed as oracle-checkable queries.
+
+Each query runs the REAL rule machinery (``Rule.compile`` → fused agg) and
+renames the outputs positionally, so the oracle checks the exact expressions
+the quality framework executes — not a parallel reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.operators import duplicate_row_count
+from financial_data_engineering_spark.quality.rules import PatternRule, RangeRule
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+
+@register(
+    "quality_completeness_lineitem",
+    oracle="""
+    SELECT count(*) AS total_rows,
+           round(CASE WHEN count(*) = 0 THEN 1.0
+                 ELSE count(l_quantity) * 1.0 / count(*) END, 6) AS quantity_ratio,
+           round(CASE WHEN count(*) = 0 THEN 1.0
+                 ELSE count(l_extendedprice) * 1.0 / count(*) END, 6) AS price_ratio,
+           round(CASE WHEN count(*) = 0 THEN 1.0
+                 ELSE count(l_returnflag) * 1.0 / count(*) END, 6) AS returnflag_ratio
+    FROM lineitem
+    """,
+)
+def quality_completeness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompletenessRule (I1) as a single fused aggregate pass: one scan
+    computes every per-column non-null ratio (vs. reference's one pandas
+    pass per rule, rules.py:40-75)."""
+    li = load(spark, "lineitem", sf_dir)
+    total = F.count(F.lit(1))
+    ratio = lambda c: F.round(  # noqa: E731
+        F.when(total == 0, 1.0).otherwise(F.count(F.col(c)) * 1.0 / total), 6
+    )
+    return li.agg(
+        total.alias("total_rows"),
+        ratio("l_quantity").alias("quantity_ratio"),
+        ratio("l_extendedprice").alias("price_ratio"),
+        ratio("l_returnflag").alias("returnflag_ratio"),
+    )
+
+
+@register(
+    "quality_uniqueness_orders",
+    oracle="""
+    SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS duplicate_rows,
+           CAST(coalesce(sum(CASE WHEN n = 1 THEN n END), 0) AS BIGINT) AS unique_rows,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS total_rows
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    """,
+)
+def quality_uniqueness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniquenessRule (I2): duplicated(keep=False) semantics — every member
+    of a duplicate key group counts. Two-level aggregation; the inner
+    groupBy partial-aggregates map-side, so only |keys| rows shuffle."""
+    return duplicate_row_count(load(spark, "orders", sf_dir), ["o_orderkey"])
+
+
+@register(
+    "quality_range_quantity",
+    oracle="""
+    SELECT count(l_quantity) AS checked,
+           CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+           round(min(l_quantity), 2) AS min_found,
+           round(max(l_quantity), 2) AS max_found
+    FROM lineitem
+    """,
+)
+def quality_range_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeRule (I3) compiled expressions, run through the actual rule
+    compiler. Inclusive bounds, nulls/NaN excluded (SURVEY §4 NaN trap)."""
+    li = load(spark, "lineitem", sf_dir)
+    compiled = RangeRule("l_quantity", min_val=1, max_val=50).compile(li)
+    out = li.agg(*compiled.exprs).toDF("checked", "violations", "min_found", "max_found")
+    return out.select(
+        "checked",
+        "violations",
+        F.round("min_found", 2).alias("min_found"),
+        F.round("max_found", 2).alias("max_found"),
+    )
+
+
+@register(
+    "quality_pattern_customer_name",
+    oracle="""
+    SELECT count(c_name) AS checked,
+           CAST(coalesce(sum(CASE WHEN NOT regexp_matches(c_name, '^(?:Customer#[0-9]+)')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatches
+    FROM customer
+    """,
+)
+def quality_pattern_customer_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternRule (I4): prefix-anchored regex (pandas str.match semantics,
+    rules.py:192 — anchored with ^(?:...), never fully anchored)."""
+    cust = load(spark, "customer", sf_dir)
+    compiled = PatternRule("c_name", r"Customer#[0-9]+").compile(cust)
+    return cust.agg(*compiled.exprs).toDF("checked", "mismatches")

@@ -1,0 +1,13 @@
+from financial_data_engineering_spark.transform.base_transformer import (
+    BaseTransformer,
+    TransformationResult,
+)
+from financial_data_engineering_spark.transform.date_dim import build_date_dimension
+from financial_data_engineering_spark.transform.star_schema import StarSchemaBuilder
+
+__all__ = [
+    "BaseTransformer",
+    "StarSchemaBuilder",
+    "TransformationResult",
+    "build_date_dimension",
+]
