@@ -1,1 +1,183 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream queries (SURVEY.md §2.L / §7.4): tumbling, sliding, and
+session windows plus a point-in-time as-of join.
+
+These run the same expressions batch-mode here (oracle-checkable) and
+streaming-mode in financial_data_engineering_spark.streaming — Structured
+Streaming's unified model means the plan is identical; the streaming module
+adds watermarks and output modes on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.operators import argmax_per_group, asof_join
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+
+@register(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation: ``window(ts, '1 hour')``. Epoch-aligned,
+    so window.start == date_trunc('hour'). One shuffle on (window, type);
+    partial aggregation runs map-side before it."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sliding_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) - to_hours(off) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 4) AS max_value
+    FROM events, (SELECT unnest([0, 1]) AS off)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: ``window(ts, '2 hours', '1 hour')`` — every event
+    lands in exactly two hour-aligned windows. The oracle reproduces the
+    assignment by fanning each row out to both its windows."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value", "max_value"
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: ``session_window(ts, '30 minutes')`` per user —
+    a session extends while consecutive gaps stay under 30 minutes and ends
+    at last_event + gap. The oracle derives identical sessions with the
+    gaps-and-islands pattern (lag + running sum), pinning Spark's
+    half-open [start, end) merge semantics."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH latest_per_day AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT o.*, row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn
+            FROM orders o
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey,
+           o.o_orderdate AS last_orderdate,
+           round(o.o_totalprice, 2) AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN latest_per_day o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: each event picks up the customer's most
+    recent order at-or-before the event timestamp — the trade↔quote shape.
+
+    The right side is first reduced to one row per (customer, orderdate)
+    (window argmax) because as-of semantics are undefined under timestamp
+    ties; then the single-shuffle union+window as-of plan applies. Verified
+    against DuckDB's native ASOF JOIN."""
+    events = load(spark, "events", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    latest_per_day = argmax_per_group(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey", "o_orderdate"],
+        "o_orderkey",
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        latest_per_day,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    ).orderBy("event_id")
