@@ -53,6 +53,10 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - start, 3)
+        # Some operators persist intermediates (e.g. dedup inverted
+        # indexes); drop them so queries are measured independently and
+        # earlier queries' cached blocks don't squeeze later ones.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

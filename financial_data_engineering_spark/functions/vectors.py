@@ -37,3 +37,36 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
+
+
+# -- Fixed-dimension unrolled variants ---------------------------------------
+#
+# Spark's array lambdas (zip_with/aggregate) are CodegenFallback: they run
+# interpreted, with per-call allocation, and the optimizer happily inlines
+# them into join conditions — per-PAIR interpreted evaluation that turns an
+# O(n²) similarity join from seconds into hours. When the dimension is known
+# (embedding columns always have one), unrolling into flat element_at
+# arithmetic keeps the whole expression inside whole-stage codegen at ~100×
+# the throughput. The summation order (left-to-right) is identical to the
+# fold above, so both produce bit-identical doubles.
+
+
+def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for vectors of known length ``dim``."""
+    total = None
+    for j in range(1, dim + 1):
+        term = F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
+        total = term if total is None else total + term
+    return total
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_product_fixed(a, a, dim))
+
+
+def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled cosine similarity; 0.0 when either norm is zero."""
+    denom = l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)
+    return F.when(denom > 0, dot_product_fixed(a, b, dim) / denom).otherwise(
+        F.lit(0.0)
+    )

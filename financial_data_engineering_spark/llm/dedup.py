@@ -1,0 +1,343 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four families, all expressed as DataFrame plans (no Python in the hot path):
+
+- **exact**: whitespace-normalized MD5 fingerprint → groupBy survivor pick.
+- **MinHash + LSH**: word-shingle → k MD5-minhashes → banded bucket keys →
+  bucket self-join → exact-Jaccard verification. The scale path: candidate
+  generation is a shuffle on band keys (uniform 128-bit values, no skew),
+  never an all-pairs product.
+- **n-gram Jaccard**: exact all-pairs similarity via an inverted shingle
+  index (join on shingle, count co-occurrences) — no cross join; the
+  baseline the LSH variant is validated against.
+- **SimHash**: 64-bit sign-of-weighted-sum fingerprint.
+
+Everything is deterministic (MD5-derived hash families, no RNG) so a SQL
+oracle can replay the identical pipeline.
+
+A structural rule learned the hard way, applied throughout: shingling and
+per-token hashing are built RELATIONALLY (posexplode + window/groupBy), not
+with nested array lambdas. Spark's higher-order functions are
+CodegenFallback (interpreted, per-call allocation), and each `element_at`
+inside a lambda re-evaluates its child expression — a token array referenced
+from a lambda re-runs the regex split per element, turning an O(tokens) row
+into O(tokens²) interpreted work, multiplied again wherever the optimizer's
+CollapseProject inlines the projection. The relational forms keep every hash
+and comparison inside whole-stage codegen and scale by shuffle, not by
+expression-tree depth.
+
+Design notes for 100 TB:
+- MinHash signatures are one exploded pass + one groupBy(id) with map-side
+  partial min aggregation; the only other shuffles are the band-bucket join
+  and candidate verification, all on uniformly distributed keys.
+- The inverted-index Jaccard join is quadratic in per-shingle document
+  frequency; at scale, pair it with a stopword-shingle cut
+  (``max_doc_freq``) exactly as web-dedup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+HEX = "0123456789abcdef"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-gram shingles as an array Column; empty array when
+    fewer than n tokens (Spark's ``sequence`` would otherwise count down).
+
+    Expression-level convenience for small/interactive use. Pipelines should
+    prefer :func:`shingle_rows` — this form re-evaluates the tokenizer per
+    element inside the lambda (see module docstring)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, g) shingle rows — the inverted index every fuzzy-dedup
+    pass consumes. Relational construction: tokenize once, ``posexplode`` to
+    (id, pos, tok), assemble n-grams with ``lead()`` over a per-doc window.
+    One split per document, every downstream op codegen'd; the window
+    shuffle partitions by doc id so it parallelizes across documents."""
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        tok_rows.withColumn("nxt", parts[-1])
+        .withColumn("g", F.concat_ws(" ", *parts))
+        .filter(F.col("nxt").isNotNull())
+        .select("id", "g")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    inv: DataFrame, id_col: str = "id", shingle_col: str = "g", k: int = 16
+) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature table from (id, shingle) rows.
+    Hash family i is ``md5(i || '|' || shingle)``; the minimum is taken
+    lexicographically on the 32-char hex digest (order-isomorphic to the
+    128-bit integer). All k minima come from ONE groupBy(id) pass with
+    map-side partial aggregation — k flat md5 expressions per row, fully
+    inside whole-stage codegen."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col(shingle_col)))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return inv.groupBy(F.col(id_col).alias("id")).agg(*aggs)
+
+
+def lsh_band_keys(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) bucket rows from a signature table: band b hashes
+    signature entries [b*rows, (b+1)*rows). Two docs are candidates iff any
+    (band, key) collides. Flat md5-of-concat expressions over the signature
+    columns — no array ops — then a tiny posexplode to rows."""
+    keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select("id", F.posexplode(keys).alias("band", "key"))
+
+
+def _pair_jaccard(
+    pairs: DataFrame, inv: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify (doc_a, doc_b) pairs with exact Jaccard from the inverted
+    index: co-occurrence join restricted to the pairs → |A∩B|;
+    |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts. Pairs sharing no
+    shingle have Jaccard 0 and drop out with the inner join."""
+    sz = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(inv.alias("ia"), F.col("doc_a") == F.col("ia.id"))
+        .join(
+            inv.alias("ib"),
+            (F.col("doc_b") == F.col("ib.id")) & (F.col("ia.g") == F.col("ib.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz.alias("za"), F.col("doc_a") == F.col("za.id"))
+        .join(sz.alias("zb"), F.col("doc_b") == F.col("zb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("za.sz").alias("sz_a"),
+            F.col("zb.sz").alias("sz_b"),
+        )
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Plan shape: inverted shingle index → one groupBy builds all k signature
+    minima → band keys fan out to (id, band, key) rows → self-join on
+    (band, key) yields candidates (shuffle on uniform md5 keys) → exact
+    Jaccard over the inverted index, restricted to candidates. With b bands
+    of r rows the candidate probability is 1-(1-j^r)^b — steep around
+    (1/b)^(1/r), so genuinely similar pairs survive and random pairs don't,
+    keeping verification tiny relative to |docs|².
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    rows = k // bands
+    # The inverted index feeds the signature pass AND both sides of the
+    # verification join; without persistence Spark re-runs the full
+    # tokenize/window/distinct lineage once per consumer (4× at this fan-in).
+    # MEMORY_AND_DISK so oversized corpora spill instead of OOMing.
+    inv = shingle_rows(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = lsh_band_keys(minhash_signatures(inv, "id", "g", k), bands, rows)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _pair_jaccard(cand, inv, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index.
+
+    No cross join: each shared shingle contributes one co-occurrence row to
+    the self-join; counting per pair gives |A∩B| and per-doc counts give the
+    union. ``max_doc_freq`` drops shingles appearing in more than that many
+    docs — the skew guard that keeps the join linear-ish at corpus scale (a
+    stop-shingle shared by 1M docs would otherwise emit 10¹² rows).
+    """
+    inv = shingle_rows(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_doc_freq is not None:
+        freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        inv = (
+            inv.join(F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "g")
+            .drop("df")
+        )
+    sz = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        pairs.join(sz.alias("za"), F.col("doc_a") == F.col("za.id"))
+        .join(sz.alias("zb"), F.col("doc_b") == F.col("zb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("za.sz").alias("sz_a"),
+            F.col("zb.sz").alias("sz_b"),
+        )
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash as a Column expression (64-char '0'/'1' string).
+
+    Expression-level convenience for small/interactive use; pipelines should
+    prefer :func:`simhash_rows` (relational, codegen'd — see module
+    docstring). Per token: 64 bits from the first 16 hex chars of
+    md5(token); per document: each bit accumulates +1/-1 per token
+    occurrence, sign (≥ 0 → '1') gives the fingerprint."""
+    hashes = F.transform(tokens(col), lambda t: F.substring(F.md5(t), 1, 16))
+
+    def bit(h: Column, j: Column) -> Column:
+        # (nibble >> (j%4)) & 1, written arithmetically: F.shiftright only
+        # accepts a literal shift amount, not a per-element Column.
+        shifted = (
+            _nibble_val(h, j) / F.pow(F.lit(2.0), (j % 4).cast("double"))
+        ).cast("int")
+        return shifted % 2
+
+    scores = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: bit(h, j) * 2 - 1,
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.array_join(
+        F.transform(scores, lambda s: F.when(s >= 0, "1").otherwise("0")), ""
+    )
+
+
+def _nibble_val(h: Column, j: Column) -> Column:
+    """Value 0-15 of hex digit (j div 4) of ``h`` (1-indexed substring)."""
+    ch = F.substring(h, (j / 4).cast("int") + 1, 1)
+    return F.conv(ch, 16, 10).cast("int")
+
+
+def simhash_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — identical semantics to :func:`simhash64`, built
+    relationally: explode tokens, compute the 16 hex nibbles of each token
+    hash once, derive the 64 ±1 bit contributions as flat literal-shift
+    expressions, sum all 64 in ONE groupBy(id) pass (map-side partials),
+    and render the sign bitstring. Everything whole-stage codegen."""
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select("id", F.substring(F.md5("tok"), 1, 16).alias("h"))
+    nibs = [
+        F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int")
+        for p in range(16)
+    ]
+    contribs = [
+        (F.shiftright(nibs[j // 4], j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"c{j}"
+        )
+        for j in range(64)
+    ]
+    sums = tok_rows.select("id", *contribs).groupBy("id").agg(
+        *[F.sum(f"c{j}").alias(f"b{j}") for j in range(64)]
+    )
+    bitstring = F.concat(
+        *[
+            F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    return sums.select("id", bitstring.alias("simhash"))
+
+
+def exact_survivors(
+    docs: DataFrame, id_col: str, fingerprint_col: Column
+) -> DataFrame:
+    """One row per distinct fingerprint: the minimum-id survivor plus the
+    group size. The exact-dedup keep-list; anti-join the corpus against it
+    to get the drop-list."""
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint_col.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "fp", "n_copies")
+    )

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force top-k**: broadcast the (small) query set against the corpus,
+  score every pair with a codegen'd cosine expression, keep k per query via
+  a window. Exact; the baseline everything else is validated against. Scales
+  linearly in |corpus| × |queries| — fine when queries are few, wrong when
+  both sides are the corpus.
+- **Random-hyperplane LSH ANN**: sign-of-projection bit signatures bucket
+  the corpus; each query only scores candidates sharing its bucket. The
+  100 TB path: the expensive join shrinks from |corpus| to the bucket size,
+  at the cost of recall (tunable via signature bits / multi-probe).
+
+The hyperplanes are pseudo-random but fully deterministic — component j of
+plane p is derived from md5(p|j) — so results are reproducible and a SQL
+oracle can replay them exactly (no RNG, no model state to ship).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from financial_data_engineering_spark.functions.vectors import (
+    dot_product_fixed,
+    l2_norm_fixed,
+)
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is the first hex
+    nibble of md5(f"{plane}|{j}") minus 7.5 — mean-zero, fixed forever."""
+    return [
+        int(hashlib.md5(f"{plane}|{j}".encode()).hexdigest()[0], 16) - 7.5
+        for j in range(dim)
+    ]
+
+
+def sql_hyperplane_component(plane: str, j: str) -> str:
+    """DuckDB rendering of the same hyperplane formula (plane/j are SQL
+    expressions), used to generate oracle queries from one definition."""
+    return (
+        f"(strpos('0123456789abcdef', substr(md5({plane} || '|' || {j}), 1, 1)) - 1"
+        f" - 7.5)"
+    )
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature string: bit p = 1 iff dot(vec, plane_p) >= 0. The dot
+    products are unrolled into flat sums over element_at terms — plain
+    codegen arithmetic, no higher-order functions (those run interpreted
+    and explode when optimizer inlining multiplies them)."""
+    bits = []
+    for plane in planes:
+        dot = None
+        for j, w in enumerate(plane):
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(w)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _pair_cos(dim: int) -> Column:
+    """Per-pair cosine given map-side precomputed norms qn/cn: only the
+    dim-term dot product is evaluated per pair. Same left-to-right double
+    association as the one-shot expression, so results are bit-identical."""
+    denom = F.col("qn") * F.col("cn")
+    dot = dot_product_fixed(F.col("qv"), F.col("cv"), dim)
+    return F.round(F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 4)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` is broadcast (it must be
+    small — that is the contract of this operator); the corpus side streams
+    through map-side scoring, and the only shuffle is the per-query window
+    for rank, partitioned on query_id so it parallelizes across queries.
+    Ties broken by neighbor id for determinism. Self-matches excluded."""
+    qa = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+    )
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(ca, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_cos(dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: corpus and queries are bucketed by an
+    ``n_planes``-bit random-hyperplane signature; scoring happens only
+    within a query's bucket (equi-join on the signature — a hash join on a
+    ~uniform key instead of a cross product). Candidates are then ranked
+    exactly as in brute force. Queries whose bucket holds fewer than k
+    candidates return fewer rows — the standard single-probe LSH tradeoff
+    (raise recall with fewer bits or multi-probe variants)."""
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    qa = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(ca, ["sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_cos(dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def pairwise_cosine_gemm(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via blocked matrix multiply in a Pandas
+    UDF — the vectorized kernel for exact pairwise similarity.
+
+    Expression-based pairwise cosine dies at scale for a structural reason:
+    Catalyst pushes the threshold filter into the nested-loop join
+    condition, where the unrolled dot product is evaluated per ordered pair
+    outside whole-stage codegen (and twice — once in the condition, once in
+    the projection). Instead, the corpus matrix is L2-normalized once,
+    broadcast to executors, and each Arrow batch computes a
+    (batch × corpus) similarity block with one BLAS GEMM — thousands of
+    times fewer interpreter transitions, and the exact shape you'd keep at
+    100 TB by composing it with LSH/IVF blocking so "corpus" becomes "this
+    bucket" instead of "everything".
+
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded then
+    thresholded.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms_safe = np.where(norms == 0.0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((ids, mat, norms, norms_safe))
+
+    def gen(batches):
+        import pandas as pd
+
+        r_ids, r_mat, r_norms, r_norms_safe = bc.value
+        for batch in batches:
+            b_ids = batch[id_col].to_numpy()
+            b_mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in batch[vec_col]]
+            )
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            b_safe = np.where(b_norms == 0.0, 1.0, b_norms)
+            # dot / (||a||·||b||) in that order, matching the SQL oracle's
+            # association; zero-norm rows score 0 via the masked denominator.
+            sims = (b_mat @ r_mat.T) / np.outer(b_safe, r_norms_safe)
+            sims[b_norms == 0.0, :] = 0.0
+            sims[:, r_norms == 0.0] = 0.0
+            cos = np.round(sims, round_to)
+            keep = (cos >= threshold) & (b_ids[:, None] < r_ids[None, :])
+            bi, ri = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": b_ids[bi], "vec_b": r_ids[ri], "cos": cos[bi, ri]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_a long, vec_b long, cos double"
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over ``documents`` / ``embeddings`` — exact,
+MinHash+LSH, inverted-index n-gram Jaccard, SimHash, and embedding-cosine
+near-dup. Thin wrappers over financial_data_engineering_spark.llm.dedup;
+each oracle replays the identical deterministic (MD5-derived) pipeline in
+DuckDB SQL, so the comparison pins every stage: shingling, hash family,
+banding, candidate generation, and verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.functions import text as tx
+from financial_data_engineering_spark.llm import dedup as dd
+from financial_data_engineering_spark.llm import similarity as sim
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+# Shared oracle CTE: distinct 3-gram word shingles per document.
+# DuckDB's range(start, stop) is stop-exclusive and empty when stop <= start,
+# so short documents fall out naturally (Spark needs an explicit guard
+# because sequence() counts downward instead).
+_SHINGLE_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks
+)
+"""
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+    FROM (SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents)
+    GROUP BY fp
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-list: one minimum-id survivor per normalized-text
+    MD5 fingerprint plus the copy count. Single shuffle on the uniform
+    128-bit fingerprint; at 100 TB this is the cheapest dedup pass and runs
+    first to shrink the corpus before the fuzzy passes."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.exact_survivors(docs, "doc_id", tx.fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    base AS (
+        SELECT doc_id, s,
+               list_transform(range(16), i ->
+                   list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+        FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' ||
+                   sig[4*b+3] || '|' || sig[4*b+4]) AS k
+        FROM base, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                     4) AS jaccard
+        FROM cand
+        JOIN base sa ON sa.doc_id = cand.doc_a
+        JOIN base sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by MinHash (k=16, md5 hash family) + LSH
+    banding (4 bands × 4 rows), exact-Jaccard verified at ≥ 0.5. The scale
+    path: candidates come from a shuffle join on uniform band keys — never
+    an all-pairs product — and only candidates pay the exact verification.
+    """
+    docs = load(spark, "documents", sf_dir)
+    return dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inv AS (
+        SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh WHERE len(s) > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sz_a + sz_b - inter), 4) AS jaccard
+    FROM pairs
+    WHERE round(inter * 1.0 / (sz_a + sz_b - inter), 4) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.3 via an inverted shingle index
+    (join on shingle, count co-occurrences — no cross join). The exact
+    baseline the LSH variant is validated against; at corpus scale it needs
+    the ``max_doc_freq`` stop-shingle cut to stay sub-quadratic."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+    bits AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(
+                   (((strpos('0123456789abcdef',
+                             substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                     >> CAST(j % 4 AS INT)) & 1) * 2 - 1) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM h, (SELECT unnest(range(64)) AS j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (occurrence-weighted token
+    hashes, sign-of-sum per bit), rendered as a bitstring. One exploded
+    token pass, 64 flat bit-sum aggregates in a single groupBy(doc) with
+    map-side partials — all whole-stage codegen, one shuffle."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        dd.simhash_rows(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.45 (vec_a <
+    vec_b) via the blocked-GEMM Pandas UDF kernel — each Arrow batch scores
+    a (batch × corpus) block with one BLAS matmul. The expression-based
+    pair join is structurally wrong here (Catalyst pushes the threshold
+    into a nested-loop join condition, evaluated per ordered pair outside
+    codegen); at full scale this kernel runs inside LSH/IVF buckets instead
+    of against the whole corpus."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.pairwise_cosine_gemm(emb, threshold=0.45).orderBy("vec_a", "vec_b")

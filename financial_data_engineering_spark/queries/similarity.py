@@ -1,1 +1,103 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` — exact brute-force cosine
+top-k and the LSH-bucketed approximate variant. Wrappers over
+financial_data_engineering_spark.llm.similarity; the LSH oracle regenerates
+the identical deterministic hyperplanes in SQL, so bucketing, candidate
+generation, and ranking are all pinned by the hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.llm import similarity as sim
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+# The fixed query set: the five lowest vec_ids play "incoming queries"
+# against the whole corpus.
+_N_QUERIES = 5
+_TOP_K = 5
+_N_PLANES = 4
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv, cv), 4) AS cos
+    FROM q JOIN c ON query_id != neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("knn_brute_force_cosine", oracle=_BRUTE_ORACLE)
+def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query rows, score every corpus
+    vector map-side (codegen'd zip_with/aggregate arithmetic), rank with a
+    per-query window. Linear in |corpus|·|queries| — the correct tool when
+    queries are few; the ANN variant below is the corpus-vs-corpus path."""
+    emb = load(spark, "embeddings", sf_dir)
+    out = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K
+    )
+    return out.orderBy("query_id", "rank")
+
+
+_LSH_ORACLE = f"""
+WITH planes AS (
+    SELECT p, list_transform(range(64), j ->
+        {sim.sql_hyperplane_component('p::VARCHAR', 'j::VARCHAR')}) AS w
+    FROM (SELECT unnest(range({_N_PLANES})) AS p)
+),
+sigs AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                           THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+    FROM embeddings e, planes pl
+    GROUP BY e.vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM sigs q
+    JOIN sigs c ON q.sig = c.sig AND q.vec_id != c.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_cosine", oracle=_LSH_ORACLE)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via 4-bit random-hyperplane LSH: vectors sharing a
+    sign-signature bucket are the only candidates scored, turning the
+    similarity join into an equi-join on the signature. Deterministic
+    md5-derived hyperplanes make the bucketing reproducible — the oracle
+    regenerates them in SQL and must land in identical buckets."""
+    emb = load(spark, "embeddings", sf_dir)
+    out = sim.lsh_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K, n_planes=_N_PLANES, dim=64
+    )
+    return out.orderBy("query_id", "rank")

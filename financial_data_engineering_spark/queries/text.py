@@ -1,1 +1,133 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the ``documents`` table — the LLM-training-data
+surface beyond the reference's own operators (SURVEY.md §7.4).
+
+Each query is a pure Column-expression plan (no Python UDFs): token counting,
+punctuation/stopword ratios, stopword-vote language ID, composite quality
+scoring, and normalized-text fingerprints. The oracle SQL is generated from
+the same constants via functions.text.sql_* so the two sides cannot drift.
+
+At 100 TB these are all narrow map-only plans (one scan, no shuffle until the
+final rollup), so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from financial_data_engineering_spark.functions import text as tx
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.sql_token_count('text')} AS n_tokens,
+           round({tx.sql_punct_ratio('text')}, 4) AS punct_ratio,
+           {tx.sql_stopword_hits('text', 'en')} AS en_stopwords,
+           {tx.sql_quality_score('text')} AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, punctuation ratio, stopword hits, and
+    composite quality score. Map-only: one scan, zero shuffles; the whole
+    row of metrics computes inside a single codegen stage."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        tx.stopword_hits(F.col("text"), "en").alias("en_stopwords"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT lang,
+           {tx.sql_lang_id('text')} AS lang_pred,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, lang_pred
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification, rolled up as a confusion
+    matrix (labeled lang × predicted lang). The per-row classifier is one
+    pass of array intersections; the rollup is a single low-cardinality
+    shuffle (≤ |langs|² groups), so map-side partial aggregation does
+    nearly all the work."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "source_quality_rollup",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg({tx.sql_quality_score('text')}), 4) AS avg_quality,
+           round(avg({tx.sql_token_count('text')}), 2) AS avg_tokens,
+           sum(CASE WHEN {tx.sql_quality_score('text')} >= 0.5
+                    THEN 1 ELSE 0 END) AS n_keep
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation rollup: per source, average quality/length and how
+    many documents survive a quality>=0.5 keep-filter — the decision table
+    for dropping a crawl source. One shuffle keyed by ``source``; at 100 TB
+    source cardinality is tiny so AQE coalesces this to a handful of
+    reducers while map-side partials do the heavy lifting."""
+    docs = load(spark, "documents", sf_dir)
+    quality = tx.quality_score(F.col("text"))
+    return (
+        docs.select("source", quality.alias("q"), tx.token_count(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("t"), 2).alias("avg_tokens"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.sql_fingerprint('text')} AS fp,
+           count(*) OVER (PARTITION BY {tx.sql_fingerprint('text')}) > 1 AS is_dup
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace-normalized lowercase MD5 fingerprint plus a
+    flag marking members of exact-duplicate groups. One shuffle on the
+    128-bit fingerprint (uniformly distributed, no skew) for the group-count
+    window; the survivor-selection half of exact dedup lives in
+    queries.dedup.dedup_exact_survivors."""
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("is_dup", F.count(F.lit(1)).over(w) > 1)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,197 @@
+"""Semantics tests for the LLM-data-pipeline operators (text analysis,
+dedup families, similarity search). Oracle-level value equality is covered
+by tools/check_correctness.py; these pin the operator contracts on small
+hand-built frames so regressions localize.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.functions import text as tx
+from financial_data_engineering_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_fixed,
+)
+from financial_data_engineering_spark.llm import dedup as dd
+from financial_data_engineering_spark.llm import similarity as sim
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "word")],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", tx.token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is that for with"),
+            (2, "der hund und die katze ist nicht ein"),
+            (3, "le chat et la maison est dans pour"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "id int, text string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.orderBy("id")
+        .select(tx.fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    ]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles_short_text_empty(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dd.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_exact_survivors_picks_min_id(spark):
+    df = _docs(spark, [(10, "same text here"), (3, "same  TEXT here"), (7, "other")])
+    rows = {
+        r["doc_id"]: r["n_copies"]
+        for r in dd.exact_survivors(
+            df, "doc_id", tx.fingerprint(F.col("text"))
+        ).collect()
+    }
+    assert rows == {3: 2, 7: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "delta2", 1)
+    far = "completely different words nothing shared at all whatsoever here now"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = dd.minhash_near_dup_pairs(df, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.3
+
+
+def test_ngram_jaccard_matches_minhash_on_planted_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "delta2", 1)
+    df = _docs(spark, [(1, base), (2, near), (3, "unrelated text entirely here")])
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dd.minhash_near_dup_pairs(df, threshold=0.3).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    # LSH candidates are a subset of exact pairs and agree on the verified value.
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_ngram_jaccard_max_doc_freq_drops_stop_shingles(spark):
+    shared = "the quick brown fox jumps over the lazy dog again"
+    df = _docs(spark, [(i, shared) for i in range(1, 5)])
+    all_pairs = dd.ngram_jaccard_pairs(df, threshold=0.1).count()
+    cut = dd.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=1).count()
+    assert all_pairs == 6  # 4 identical docs -> C(4,2)
+    assert cut == 0  # every shingle appears in 4 docs -> all dropped
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", dd.simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == got[2]
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+    assert got[1] != got[3]
+
+
+def test_cosine_fixed_matches_hof_and_math(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], [0.5, 0.5, 0.0])],
+        "id int, a array<float>, b array<float>",
+    )
+    row = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("hof"),
+        cosine_similarity_fixed(F.col("a"), F.col("b"), 3).alias("fixed"),
+    ).collect()[0]
+    assert row["hof"] == row["fixed"]
+    assert math.isclose(row["fixed"], 1 / math.sqrt(2), rel_tol=1e-12)
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=2, dim=2
+    ).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in out] == [(1, 3), (2, 1)]
+
+
+def test_lsh_topk_subset_of_brute_force(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.5, float((3 * i) % 5) - 2.0, 1.0, -0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sim.brute_force_topk(
+            emb.filter(F.col("vec_id") < 3), emb, k=40, dim=4
+        ).collect()
+    }
+    approx = sim.lsh_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, n_planes=2, dim=4
+    ).collect()
+    for r in approx:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_gemm_pairwise_matches_expression_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector scores 0 everywhere
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in sim.pairwise_cosine_gemm(emb, threshold=0.9, round_to=4).collect()
+    }
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] == 1.0  # cos rounds to 1.0 at 4dp

@@ -60,6 +60,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            spark.catalog.clearCache()  # drop operator-persisted intermediates
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
