@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media travel as opaque ``binary`` columns inside a typed struct
+(:data:`MEDIA_SCHEMA`), so Spark shuffles/stores them like any other
+column while decode/feature work happens in Arrow-batched Pandas UDFs —
+the only sane shape at 100 TB: bytes stay columnar end-to-end, Python sees
+them batch-at-a-time, and partitioning controls how many decodes run per
+task.
+
+DECODER STATUS: this container ships no image/audio libraries, so the
+actual pixel/sample decode is STUBBED. ``decode_media`` uses a
+clearly-marked **deterministic fake** (metadata derived from the MD5 of
+the payload bytes) unless ``require_real=True``, which raises
+``NotImplementedError`` pointing at the PIL/ffmpeg integration seam. All
+the Spark-side plumbing — schemas, UDF signatures, Arrow batch shapes,
+1→N frame fan-out — is real and tested; swapping the fake for
+``PIL.Image.open(io.BytesIO(b))`` changes one inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: A media value: payload + container type + source-asserted metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("source_meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+#: decode_media output columns appended to the input frame.
+DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def media_struct(data: Column, mime: Column | str) -> Column:
+    """Assemble a MEDIA_SCHEMA struct from a binary column + mime."""
+    mime_col = F.lit(mime) if isinstance(mime, str) else mime
+    return F.struct(
+        data.alias("data"),
+        mime_col.alias("mime"),
+        F.create_map().cast(MEDIA_SCHEMA["source_meta"].dataType).alias(
+            "source_meta"
+        ),
+    )
+
+
+def _fake_decode(payload: bytes | None) -> tuple[int, int, int, str] | None:
+    """DETERMINISTIC FAKE decode: metadata from the payload's MD5 hex
+    digest (nibbles 0-3), standing in for a real header parse. Byte-stable
+    across runs/engines, so SQL oracles can replay it."""
+    if payload is None:
+        return None
+    h = hashlib.md5(bytes(payload)).hexdigest()
+    width = 16 * (1 + int(h[0], 16))
+    height = 16 * (1 + int(h[1], 16))
+    n_frames = 1 + int(h[2], 16)
+    fmt = "png" if int(h[3], 16) % 2 == 0 else "jpeg"
+    return width, height, n_frames, fmt
+
+
+def decode_media(
+    df: DataFrame, media_col: str = "media", *, require_real: bool = False
+) -> DataFrame:
+    """Append decoded metadata columns (width/height/n_frames/format) via
+    ``mapInPandas``. Batch contract: input batches keep every source
+    column; output batches append the four decoded columns, one output row
+    per input row (decode is 1→1; see :func:`sample_frames` for 1→N)."""
+    if require_real:
+        raise NotImplementedError(
+            "Real media decoding needs PIL/ffmpeg, not present in this "
+            "environment. Integration seam: replace _fake_decode in "
+            "llm/multimodal.py; the Spark plumbing is decode-agnostic."
+        )
+    out_schema = T.StructType(list(df.schema.fields) + list(DECODED_FIELDS.fields))
+
+    def gen(batches):
+        for pdf in batches:
+            decoded = [
+                _fake_decode(m["data"] if m is not None else None)
+                for m in pdf[media_col]
+            ]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] if d else None for d in decoded]
+            pdf["height"] = [d[1] if d else None for d in decoded]
+            pdf["n_frames"] = [d[2] if d else None for d in decoded]
+            pdf["format"] = [d[3] if d else None for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    media_col: str = "media",
+    feature_col: str = "features",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Append a ``array<float>`` feature vector per media row (the
+    embed-everything step before similarity search). DETERMINISTIC FAKE
+    features: the MD5 digest bytes scaled to [0,1) — a stand-in for a real
+    vision/audio encoder with the same UDF signature and batch shape."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(feature_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            feats = []
+            for m in pdf[media_col]:
+                if m is None or m["data"] is None:
+                    feats.append(None)
+                    continue
+                digest = hashlib.md5(bytes(m["data"])).digest()
+                feats.append([digest[i % 16] / 256.0 for i in range(dim)])
+            pdf = pdf.copy()
+            pdf[feature_col] = feats
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    every: int = 1,
+) -> DataFrame:
+    """Explode each media row into its frames (1→N generator shape —
+    the video/audio-chunk fan-out). Frame count comes from the (fake)
+    decode; each output row carries a deterministic byte-slice of the
+    payload as the frame payload. ``every`` keeps one frame in ``every``
+    (stride sampling)."""
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_data", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for rid, m in zip(pdf[id_col], pdf[media_col]):
+                if m is None or m["data"] is None:
+                    continue
+                data = bytes(m["data"])
+                meta = _fake_decode(data)
+                for i in range(0, meta[2], every):
+                    ids.append(rid)
+                    idxs.append(i)
+                    start = (i * 7) % max(len(data), 1)
+                    payloads.append(data[start : start + 16])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_data": payloads}
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -19,5 +19,6 @@ from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
+from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get", "register"]

@@ -1,0 +1,24 @@
+"""Structured Streaming extensions: windowed aggregations, sessionization,
+and watermark-bounded dedup over the events stream."""
+
+from financial_data_engineering_spark.streaming.events import (
+    SESSION_GAP,
+    WATERMARK,
+    dedup_events,
+    hourly_rollup,
+    read_event_stream,
+    run_to_memory_sink,
+    sliding_counts,
+    user_sessions,
+)
+
+__all__ = [
+    "SESSION_GAP",
+    "WATERMARK",
+    "dedup_events",
+    "hourly_rollup",
+    "read_event_stream",
+    "run_to_memory_sink",
+    "sliding_counts",
+    "user_sessions",
+]

@@ -1,0 +1,143 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2.L,
+§7.4 — no streaming exists in the reference; these are the designed
+extensions, with semantics pinned by the batch twins in queries/events.py).
+
+Spark's unified model means each transformation here is the SAME logical
+plan as its batch twin — the functions take any events-shaped DataFrame,
+batch or streaming. What streaming adds is bounded state: every aggregation
+declares a watermark so state for closed windows is dropped instead of
+growing forever. Policy (documented here because the reference has none to
+copy): events arriving more than WATERMARK late are dropped from
+aggregates; session gap and window widths match the batch queries.
+
+At scale: stateful operators shuffle on their grouping keys exactly like
+batch; state lives in the state store (RocksDB-backed on a real cluster —
+set ``spark.sql.streaming.stateStore.providerClass``), sized by
+keys × open-windows, which the watermark bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_engineering_spark.schemas import SCHEMAS
+
+#: Default lateness bound for all stateful ops.
+WATERMARK = "10 minutes"
+
+#: Session inactivity gap — matches queries/events.py user_sessions.
+SESSION_GAP = "30 minutes"
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events-shaped parquet from ``path``.
+
+    The file source is the replayable-log stand-in here; on a real
+    deployment the same pipeline reads Kafka (``format("kafka")`` + JSON
+    projection) — every transformation below is source-agnostic.
+    ``maxFilesPerTrigger`` is the ingestion throttle (the streaming analog
+    of the REST layer's token bucket).
+    """
+    schema = SCHEMAS["events"]
+    # The driver's parquet stores ts as ns; the batch loader converts via
+    # int64 (tables.py). For streams we declare ts as long and convert the
+    # same way, so batch and stream rows are bit-identical.
+    stream_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in schema.fields
+        ]
+    )
+    reader = spark.readStream.schema(stream_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming twin of queries.events.hourly_event_rollup: tumbling
+    1-hour windows per event type. State per (window, type) closes once the
+    watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming twin of queries.events.sliding_event_counts: 2-hour
+    windows sliding hourly (each event in exactly two windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+            "max_value",
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK
+) -> DataFrame:
+    """Streaming twin of queries.events.user_sessions: per-user session
+    windows with a 30-minute inactivity gap. Sessions merge while open and
+    emit once the watermark passes session end + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Exactly-once-per-event stream: drop replays of the same event_id.
+    ``dropDuplicatesWithinWatermark`` keeps each id's state only until the
+    watermark passes it — bounded memory, unlike a global distinct."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a (bounded) stream into an in-memory sink table and block
+    until every available input file is processed — the test/dev harness
+    path. Production sinks swap this for parquet/Kafka + checkpointing."""
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,84 @@
+"""Streaming tests: the unified-model contract. Each streaming operator,
+drained over the sf0.001 events file with availableNow, must produce the
+same rows as its batch twin (queries/events.py), which the DuckDB oracle
+already pins. Also covers watermark-bounded replay dedup.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark import queries as q
+from financial_data_engineering_spark import streaming as st
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams need a directory of just the streamed table."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _drain(spark, stream, name, mode="complete"):
+    st.run_to_memory_sink(stream, name, output_mode=mode)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_matches_batch_schema_and_rows(spark, events_dir):
+    stream = st.read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = _drain(spark, stream, "raw_events", mode="append")
+    batch = q.all_queries()["hourly_event_rollup"](spark, SF_SMALL)
+    # row count parity with the batch loader
+    from financial_data_engineering_spark.tables import load
+
+    assert got.count() == load(spark, "events", SF_SMALL).count()
+
+
+def test_hourly_rollup_unified_with_batch(spark, events_dir):
+    stream = st.hourly_rollup(st.read_event_stream(spark, events_dir))
+    got = _drain(spark, stream, "stream_hourly")
+    want = q.all_queries()["hourly_event_rollup"](spark, SF_SMALL)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_counts_unified_with_batch(spark, events_dir):
+    stream = st.sliding_counts(st.read_event_stream(spark, events_dir))
+    got = _drain(spark, stream, "stream_sliding")
+    want = q.all_queries()["sliding_event_counts"](spark, SF_SMALL)
+    cols = ["window_start", "n_events", "total_value", "max_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessions_unified_with_batch(spark, events_dir):
+    stream = st.user_sessions(st.read_event_stream(spark, events_dir))
+    got = _drain(spark, stream, "stream_sessions")
+    want = q.all_queries()["user_sessions"](spark, SF_SMALL)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_drops_replayed_events(spark, events_dir, tmp_path):
+    # Replay the same file twice into the stream directory -> every
+    # event_id arrives twice; the deduped stream must keep one of each.
+    replay_dir = tmp_path / "replayed"
+    replay_dir.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+    stream = st.dedup_events(st.read_event_stream(spark, str(replay_dir)))
+    got = _drain(spark, stream, "stream_dedup", mode="append")
+    from financial_data_engineering_spark.tables import load
+
+    n_unique = load(spark, "events", SF_SMALL).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
