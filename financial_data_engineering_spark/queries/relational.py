@@ -362,3 +362,56 @@ def order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "top_part_nouns",
+    oracle=r"""
+    SELECT regexp_extract(p_name, '\s(\w+)$', 1) AS noun, count(*) AS n
+    FROM part
+    GROUP BY 1
+    ORDER BY n DESC, noun
+    LIMIT 10
+    """,
+)
+def top_part_nouns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract + value counts (H3 + D3): the reference's
+    region-from-place extraction and top-10 tally
+    (collect_earthquakes.py:64), re-shaped onto part names. Map-side
+    regexp_extract, one low-cardinality shuffle, TakeOrderedAndProject for
+    the deterministic (count desc, noun asc) top-k."""
+    part = load(spark, "part", sf_dir)
+    return (
+        part.select(
+            F.regexp_extract("p_name", r"\s(\w+)$", 1).alias("noun")
+        )
+        .groupBy("noun")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "noun")
+        .limit(10)
+    )
+
+
+@register(
+    "customer_padded_keys",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cik
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 10
+    """,
+)
+def customer_padded_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-pad cast (B7/H6 + F3): ``astype(str).str.zfill(10)`` and
+    ``.head(10)`` (validate_sec_filings.py:65,169) as lpad over a
+    deterministic ordered limit."""
+    cust = load(spark, "customer", sf_dir)
+    return (
+        cust.select(
+            "c_custkey",
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("cik"),
+        )
+        .orderBy("c_custkey")
+        .limit(10)
+    )
