@@ -187,7 +187,11 @@ def minhash_near_dup_pairs(
     inv = shingle_rows(docs, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    banded = lsh_band_keys(minhash_signatures(inv, "id", "g", k), bands, rows)
+    # Persisted too: both sides of the candidate self-join consume it, and
+    # without persistence each side re-runs the whole signature pass.
+    banded = lsh_band_keys(minhash_signatures(inv, "id", "g", k), bands, rows).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         banded.alias("a")
         .join(
