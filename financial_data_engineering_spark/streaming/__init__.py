@@ -1,6 +1,9 @@
 """Structured Streaming extensions: windowed aggregations, sessionization,
 and watermark-bounded dedup over the events stream."""
 
+from financial_data_engineering_spark.streaming.stateful import (
+    running_user_stats,
+)
 from financial_data_engineering_spark.streaming.events import (
     SESSION_GAP,
     WATERMARK,
@@ -19,6 +22,7 @@ __all__ = [
     "hourly_rollup",
     "read_event_stream",
     "run_to_memory_sink",
+    "running_user_stats",
     "sliding_counts",
     "user_sessions",
 ]

@@ -82,3 +82,43 @@ def test_dedup_drops_replayed_events(spark, events_dir, tmp_path):
     n_unique = load(spark, "events", SF_SMALL).select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_running_user_stats_accumulates_across_batches(
+    spark, events_dir, tmp_path
+):
+    """applyInPandasWithState: two files forced into two micro-batches
+    (maxFilesPerTrigger=1); the final update per user must equal the batch
+    aggregate over both files together."""
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    replay_dir = tmp_path / "two_batches"
+    replay_dir.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+
+    stream = running_user_stats(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "user_stats", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_events, total_value, max_value, last_ts FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM user_stats) WHERE rn = 1"""
+    )
+
+    from financial_data_engineering_spark.tables import load
+
+    ev = load(spark, "events", SF_SMALL)
+    doubled = ev.unionByName(ev)
+    want = doubled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    cols = ["user_id", "n_events", "total_value", "max_value", "last_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
