@@ -1,0 +1,26 @@
+"""Physical-plan inspection utilities: assertable pushdown, pruning,
+broadcast, and shuffle-count properties."""
+
+from financial_data_engineering_spark.plans.inspect import (
+    ScanInfo,
+    broadcast_join_count,
+    has_whole_stage_codegen,
+    plan_text,
+    reads_only,
+    scans,
+    shuffle_count,
+    sortmerge_join_count,
+    uses_pushed_filter,
+)
+
+__all__ = [
+    "ScanInfo",
+    "broadcast_join_count",
+    "has_whole_stage_codegen",
+    "plan_text",
+    "reads_only",
+    "scans",
+    "shuffle_count",
+    "sortmerge_join_count",
+    "uses_pushed_filter",
+]

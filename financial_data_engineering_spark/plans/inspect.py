@@ -1,0 +1,121 @@
+"""Physical-plan inspection: make scale properties assertable.
+
+"Would this plan survive a 100× scale-up?" is a question about the
+physical plan, not the output. These helpers parse ``explain``/executedPlan
+text so tests can pin the properties that matter at 100 TB:
+
+- predicate pushdown reached the parquet scan (``PushedFilters``);
+- column pruning reached the scan (``ReadSchema`` holds only needed cols);
+- a join that must broadcast actually broadcasts;
+- the shuffle count matches the plan you designed (a surprise extra
+  Exchange is a surprise extra TB of network at scale).
+
+Plan shape changes across Spark versions are a real hazard — these parse
+the stable markers (node names, scan annotations), not full plan text.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def _formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_text(df: DataFrame) -> str:
+    """The formatted physical plan (pre-AQE: what the optimizer chose
+    statically; AQE may further improve it at runtime)."""
+    return _formatted(df)
+
+
+@dataclass
+class ScanInfo:
+    """One parquet scan's pushdown facts."""
+
+    location: str
+    pushed_filters: list[str]
+    read_columns: list[str]
+
+
+def scans(df: DataFrame) -> list[ScanInfo]:
+    """Every parquet scan in the plan with its pushed filters and read
+    schema — the ground truth for pushdown/pruning assertions."""
+    text = plan_text(df)
+    out: list[ScanInfo] = []
+    blocks = re.split(r"\n\(\d+\) ", text)
+    for block in blocks:
+        if not block.startswith("Scan parquet"):
+            continue
+        loc = re.search(r"Location: \S+ \[([^\]]*)\]", block)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        cols = []
+        if schema and schema.group(1):
+            cols = [c.split(":")[0] for c in schema.group(1).split(",")]
+        out.append(
+            ScanInfo(
+                location=loc.group(1) if loc else "",
+                pushed_filters=(
+                    [f.strip() for f in pushed.group(1).split(",") if f.strip()]
+                    if pushed
+                    else []
+                ),
+                read_columns=cols,
+            )
+        )
+    return out
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange nodes (each is a full shuffle of its input).
+    AQE may coalesce partitions inside one, but never removes the network
+    round-trip — the count is the scale-cost headline."""
+    return len(re.findall(r"\n\(\d+\) Exchange", plan_text(df)))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) — the joins whose
+    build side ships to every executor instead of shuffling both sides."""
+    return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan_text(df)))
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", plan_text(df)))
+
+
+def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
+    """True when at least one pipeline compiled to generated code
+    (interpreted-only plans leave throughput on the table).
+
+    Under AQE the physical plan is only finalized at runtime, so by
+    default this EXECUTES the frame once (``collect``) and inspects the
+    finalized adaptive plan; pass ``execute=False`` to inspect a frame
+    you've already run."""
+    if execute:
+        df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    # Codegen stages render as "*(N) Operator" in the simple plan string.
+    return bool(re.search(r"\*\(\d+\) ", text))
+
+
+def uses_pushed_filter(df: DataFrame, column: str) -> bool:
+    """True if any scan pushed a filter mentioning ``column`` down to the
+    parquet reader."""
+    return any(
+        any(column in f for f in s.pushed_filters) for s in scans(df)
+    )
+
+
+def reads_only(df: DataFrame, location_substr: str, columns: set[str]) -> bool:
+    """True if the scan whose location contains ``location_substr`` reads
+    exactly ``columns`` (column pruning worked)."""
+    for s in scans(df):
+        if location_substr in s.location:
+            return set(s.read_columns) == columns
+    return False

@@ -1,0 +1,68 @@
+"""Physical-plan property tests: the scale guarantees the engine relies on
+must hold in the actual plans, not just in docstrings. A regression here
+means a silent 100×-scale cost even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_data_engineering_spark import plans
+from financial_data_engineering_spark import queries as q
+from tests.conftest import SF_MEDIUM
+
+
+def _df(spark, name):
+    return q.all_queries()[name](spark, SF_MEDIUM)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = _df(spark, "high_value_parties")
+    assert plans.uses_pushed_filter(df, "c_acctbal")
+    assert plans.uses_pushed_filter(df, "s_acctbal")
+
+
+def test_pricing_summary_pushes_date_filter_and_prunes_columns(spark):
+    df = _df(spark, "pricing_summary")
+    assert plans.uses_pushed_filter(df, "l_shipdate")
+    (scan,) = plans.scans(df)
+    # 16-column table, 7-column query: pruning must reach the reader.
+    assert set(scan.read_columns) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_dimension_joins_broadcast_not_shuffle(spark):
+    """customer/nation are dims: the optimizer must broadcast them, and
+    the whole 3-table join should cost at most one data shuffle."""
+    df = _df(spark, "top_customers_by_revenue")
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.shuffle_count(df) <= 2
+
+
+def test_single_pass_aggregations_have_one_shuffle(spark):
+    for name in ("event_type_counts", "order_priority_share", "doc_lang_id"):
+        df = _df(spark, name)
+        # one aggregation shuffle (+ possibly a final sort exchange)
+        assert plans.shuffle_count(df) <= 2, name
+
+
+def test_map_only_queries_have_zero_shuffles(spark):
+    """Per-row text stats and fingerprints are map-only until the final
+    presentation sort — no aggregation exchange allowed."""
+    df = _df(spark, "doc_text_stats")
+    assert plans.shuffle_count(df) <= 1  # the orderBy range exchange only
+
+
+def test_quality_rules_fuse_to_single_scan(spark):
+    """All four compiled quality rules over lineitem must evaluate in one
+    aggregate pass: exactly one scan of the table."""
+    df = _df(spark, "quality_completeness_lineitem")
+    assert len(plans.scans(df)) == 1
+
+
+def test_whole_stage_codegen_active_on_hot_paths(spark):
+    for name in ("pricing_summary", "dedup_simhash", "doc_text_stats"):
+        assert plans.has_whole_stage_codegen(_df(spark, name)), name
