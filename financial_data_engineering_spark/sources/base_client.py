@@ -185,6 +185,62 @@ class BaseClient(ABC):
         self.errors += 1
         raise pending_error  # type: ignore[misc]
 
+    def _post(
+        self,
+        path: str,
+        payload: dict,
+        max_retries: int = 3,
+        use_cache: bool = True,
+    ) -> Any:
+        """POST with a JSON body — the search-endpoint shape
+        (reference: examples/validate_federal_awards.py:34-92). Same cache
+        key discipline (url + canonicalized body) and the same retry
+        ladder as :meth:`_get`."""
+        url = f"{self.base_url}{path}" if path.startswith("/") else path
+        key = self._cache_key(url, payload)
+        if use_cache:
+            cached = self._cache_get(key)
+            if cached is not None:
+                self.cache_hits += 1
+                return cached
+
+        pending_error: Exception | None = None
+        for attempt in range(max_retries + 1):
+            self._wait_for_token()
+            self.api_calls += 1
+            t0 = time.monotonic()
+            try:
+                resp = self._session.post(url, json=payload, timeout=30)
+            except requests.ConnectionError as exc:
+                self._latencies.append(time.monotonic() - t0)
+                self.errors += 1
+                pending_error = exc
+                if attempt < max_retries:
+                    time.sleep((2**attempt) + random.uniform(0, 1))
+                continue
+            self._latencies.append(time.monotonic() - t0)
+
+            if resp.status_code == 429:
+                time.sleep(int(resp.headers.get("Retry-After", 5)))
+                continue
+            if 400 <= resp.status_code < 500:
+                self.errors += 1
+                resp.raise_for_status()
+            if resp.status_code >= 500:
+                pending_error = requests.HTTPError(
+                    f"{resp.status_code}", response=resp
+                )
+                time.sleep((2**attempt) + random.uniform(0, 1))
+                continue
+
+            data = resp.json()
+            if use_cache:
+                self._cache_set(key, data)
+            return data
+
+        self.errors += 1
+        raise pending_error  # type: ignore[misc]
+
     # -- JSON → DataFrame -----------------------------------------------------
 
     def json_to_df(self, payloads: list[str], schema: T.StructType) -> DataFrame:

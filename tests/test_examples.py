@@ -24,3 +24,25 @@ def test_multi_source_pipeline_offline(spark, tmp_path):
     # written parquet is readable with the expected grain
     dim = spark.read.parquet(str(tmp_path / "dim_country"))
     assert dim.count() == 3 and "country_sk" in dim.columns
+
+
+def test_validate_federal_awards_offline(spark):
+    from examples.validate_federal_awards import main
+
+    out = main(live=False)
+    assert out["result"].success and out["result"].records == 25
+    assert out["report"].passed
+    assert out["stats"]["n_agencies"] == 3
+    df = out["result"].data
+    assert df.schema["award_amount"].dataType.typeName() == "double"
+
+
+def test_validate_sec_filings_offline(spark):
+    from examples.validate_sec_filings import main
+
+    out = main(live=False)
+    assert out["result"].success and out["result"].records == 5
+    assert out["report"].passed
+    rows = {r["ticker"]: r["cik"] for r in out["result"].data.collect()}
+    assert rows["AAPL"] == "0000320193"
+    assert all(len(c) == 10 for c in rows.values())
