@@ -155,3 +155,19 @@ def sql_quality_score(col: str) -> str:
 
 def sql_fingerprint(col: str) -> str:
     return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single
+# non-space symbols — the shape GPT-2-family pre-tokenizers produce before
+# merges. Identical semantics in Java regex and RE2.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-pre-tokenizer matches — the training-cost estimator
+    (whitespace counting under-counts punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)).cast("int")
+
+
+def sql_bpe_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_PATTERN}'))"

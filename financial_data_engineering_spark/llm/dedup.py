@@ -345,3 +345,49 @@ def exact_survivors(
         .agg(F.min("id").alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "fp", "n_copies")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    positioned n-gram, slide a ``window``-wide frame over the hash
+    sequence, keep each frame's minimum, and emit the distinct minima as
+    the document's fingerprint set — guaranteed to share fingerprints with
+    any document that shares a run of ≥ window+n-1 tokens.
+
+    Relational all the way: positioned shingles via posexplode + lead
+    (same plan as shingle_rows but keeping ``pos`` and duplicates, since
+    winnowing is position-sensitive), the rolling minimum as a window
+    ``min`` over a ROWS frame, one distinct. Returns (id, fp) rows; digest
+    per doc with groupBy + sorted concat when a single value is needed.
+    """
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        tok_rows.withColumn("nxt", parts[-1])
+        .withColumn("h", F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 16))
+        .filter(F.col("nxt").isNotNull())
+        .select("id", "pos", "h")
+    )
+    frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    count_w = Window.partitionBy("id")
+    return (
+        grams.withColumn("m", F.min("h").over(frame))
+        .withColumn("n_grams", F.count(F.lit(1)).over(count_w))
+        # only frames fully inside the sequence define a fingerprint
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .select("id", F.col("m").alias("fp"))
+        .distinct()
+    )

@@ -217,3 +217,122 @@ def pairwise_cosine_gemm(
     return corpus.select(id_col, vec_col).mapInPandas(
         gen, schema="vec_a long, vec_b long, cos double"
     )
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cluster, probe_rank) rows: each vector's ``nprobe`` nearest
+    coarse centroids by cosine (ties broken by lowest centroid id).
+
+    The centroid set is tiny and becomes literal arithmetic in the plan —
+    per row, one flat expression scores all centroids and a sorted
+    struct-array picks the top ``nprobe``; no join, no shuffle. That is
+    the IVF contract at scale: the coarse quantizer rides along as task
+    constants while only the inverted-list join moves data."""
+    import math
+
+    def cos_to(centroid: list[float]) -> Column:
+        c_norm = math.sqrt(sum(x * x for x in centroid)) or 1.0
+        dot = None
+        for j, w in enumerate(centroid):
+            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(w)
+            dot = term if dot is None else dot + term
+        v_norm = l2_norm_fixed(F.col(vec_col), dim)
+        return F.when(v_norm > 0, dot / (v_norm * F.lit(c_norm))).otherwise(
+            F.lit(0.0)
+        )
+
+    scored = F.array(
+        *[
+            F.struct(
+                cos_to(vec).alias("cos"), F.lit(-cid).alias("neg_cid")
+            )
+            for cid, vec in centroids
+        ]
+    )
+    ranked = F.sort_array(scored, asc=False)
+    probes = F.array(
+        *[
+            (-F.element_at(ranked, p + 1).getField("neg_cid")).alias("c")
+            for p in range(nprobe)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(probes).alias("probe_rank", "cluster"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse quantization: corpus
+    vectors live in the inverted list of their single nearest centroid;
+    each query probes its ``nprobe`` nearest lists and ranks only those
+    candidates. Higher recall knob than single-probe LSH at the same
+    candidate budget.
+
+    The coarse centroids here are the ``n_centroids`` lowest-id corpus
+    vectors — a deterministic, training-free quantizer (production swaps
+    in k-means centroids; every plan shape below is unchanged). All
+    scoring is flat codegen arithmetic; the only shuffle is the
+    inverted-list equi-join on cluster id."""
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    )
+    centroids = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cent_rows
+    ]
+    corpus_lists = ivf_assignments(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster")
+    query_probes = ivf_assignments(
+        queries, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cluster")
+    scored = (
+        F.broadcast(query_probes)
+        .join(corpus_lists, ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(
+                    l2_norm_fixed(F.col("qv"), dim) * l2_norm_fixed(F.col("cv"), dim)
+                    > 0,
+                    dot_product_fixed(F.col("qv"), F.col("cv"), dim)
+                    / (
+                        l2_norm_fixed(F.col("qv"), dim)
+                        * l2_norm_fixed(F.col("cv"), dim)
+                    ),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

@@ -190,3 +190,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     of against the whole corpus."""
     emb = load(spark, "embeddings", sf_dir)
     return sim.pairwise_cosine_gemm(emb, threshold=0.45).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "dedup_winnowing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS h,
+               len(t) - 2 AS n_grams
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ),
+    mins AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+               pos, n_grams
+        FROM grams
+    ),
+    fps AS (
+        -- 1-based pos: frames [pos, pos+3] fully inside iff pos <= n_grams-3
+        SELECT DISTINCT doc_id, m FROM mins WHERE pos <= n_grams - 3
+    )
+    SELECT doc_id, count(*) AS n_fp,
+           md5(string_agg(m, '|' ORDER BY m)) AS fp_digest
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: per document, the distinct
+    window-minima of the positioned 3-gram hash sequence (window 4),
+    summarized as a count plus an order-insensitive digest. Positioned
+    shingles come from posexplode + lead; the rolling minimum is a window
+    ``min`` over a ROWS frame — one partition-by-doc shuffle, everything
+    codegen'd."""
+    docs = load(spark, "documents", sf_dir)
+    fps = dd.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4)
+    return (
+        fps.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("fp")), "|")).alias(
+                "fp_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )

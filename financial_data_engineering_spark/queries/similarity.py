@@ -101,3 +101,62 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K, n_planes=_N_PLANES, dim=64
     )
     return out.orderBy("query_id", "rank")
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+    WHERE vec_id < 8
+),
+assign AS (
+    SELECT vec_id, cid, rn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cid) AS rn
+        FROM embeddings e, cent c
+    )
+),
+corpus_lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1),
+query_probes AS (
+    SELECT vec_id AS query_id, cid FROM assign
+    WHERE rn <= 2 AND vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM query_probes q
+    JOIN corpus_lists c ON q.cid = c.cid AND q.query_id != c.neighbor_id
+    JOIN embeddings qe ON qe.vec_id = q.query_id
+    JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_cosine", oracle=_IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors are inverted-listed under
+    their nearest of 8 deterministic coarse centroids; queries probe their
+    2 nearest lists (nprobe=2) and rank only those candidates. The probe
+    knob trades candidates for recall — the complement to the LSH variant's
+    bit-count knob. Centroid scoring is literal flat arithmetic (no join);
+    the one shuffle is the inverted-list equi-join on cluster id."""
+    emb = load(spark, "embeddings", sf_dir)
+    out = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        k=_TOP_K,
+        n_centroids=8,
+        nprobe=2,
+        dim=64,
+    )
+    return out.orderBy("query_id", "rank")

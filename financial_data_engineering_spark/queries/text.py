@@ -131,3 +131,33 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.count(F.lit(1)).over(w) > 1)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.sql_token_count('text')} AS ws_tokens,
+           {tx.sql_bpe_token_count('text')} AS bpe_tokens,
+           round({tx.sql_bpe_token_count('text')} * 1.0 /
+                 greatest({tx.sql_token_count('text')}, 1), 4) AS fertility
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-pre-tokenizer token counts plus their ratio
+    ("fertility" — the training-cost multiplier punctuation-heavy text
+    carries). Map-only regexp_extract_all; no shuffle before the
+    presentation sort."""
+    docs = load(spark, "documents", sf_dir)
+    ws = tx.token_count(F.col("text"))
+    bpe = tx.bpe_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias(
+            "fertility"
+        ),
+    ).orderBy("doc_id")

@@ -195,3 +195,45 @@ def test_gemm_pairwise_matches_expression_cosine(spark):
     }
     assert set(out) == {(0, 1)}
     assert out[(0, 1)] == 1.0  # cos rounds to 1.0 at 4dp
+
+
+def test_bpe_token_count_counts_punct_and_digit_runs(spark):
+    from financial_data_engineering_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame([(1, "ab, cd9 e-f!"), (2, "")], "id int, t string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
+    assert got == {1: 8, 2: 0}
+
+
+def test_winnowing_shares_fingerprints_on_shared_runs(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    shifted = "zzz " + base  # same long run, shifted positions
+    df = _docs(spark, [(1, base), (2, shifted), (3, "totally different words here now ok")])
+    fps = dd.winnow_fingerprints(df, "doc_id", "text").collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    # winnowing guarantee: docs sharing a run >= window+n-1 tokens share fps
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3])
+
+
+def test_ivf_topk_scores_match_brute_force(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3) % 7) + 0.5, float((5 * i) % 11) - 3.0, 2.0, -1.0])
+         for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sim.brute_force_topk(
+            emb.filter(F.col("vec_id") < 2), emb, k=30, dim=4
+        ).collect()
+    }
+    approx = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 2), emb, k=5, n_centroids=4, nprobe=2, dim=4
+    ).collect()
+    assert approx  # probes returned candidates
+    for r in approx:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
