@@ -41,6 +41,7 @@ class ScanInfo:
     location: str
     pushed_filters: list[str]
     read_columns: list[str]
+    partition_filters: list[str]
 
 
 def scans(df: DataFrame) -> list[ScanInfo]:
@@ -54,6 +55,7 @@ def scans(df: DataFrame) -> list[ScanInfo]:
             continue
         loc = re.search(r"Location: \S+ \[([^\]]*)\]", block)
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
         schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
         cols = []
         if schema and schema.group(1):
@@ -67,6 +69,11 @@ def scans(df: DataFrame) -> list[ScanInfo]:
                     else []
                 ),
                 read_columns=cols,
+                partition_filters=(
+                    [f.strip() for f in part.group(1).split(",") if f.strip()]
+                    if part
+                    else []
+                ),
             )
         )
     return out

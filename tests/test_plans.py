@@ -6,6 +6,7 @@ means a silent 100×-scale cost even while results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from financial_data_engineering_spark import plans
 from financial_data_engineering_spark import queries as q
@@ -66,3 +67,24 @@ def test_quality_rules_fuse_to_single_scan(spark):
 def test_whole_stage_codegen_active_on_hot_paths(spark):
     for name in ("pricing_summary", "dedup_simhash", "doc_text_stats"):
         assert plans.has_whole_stage_codegen(_df(spark, name)), name
+
+
+def test_partitioned_fact_sink_prunes_partitions(spark, tmp_path):
+    """The dimensional layer's contract: facts hive-partitioned by
+    date_key must let a date-range predicate prune at the FILE level
+    (PartitionFilters on the scan), not post-scan filter."""
+    from financial_data_engineering_spark.functions import date_key
+    from financial_data_engineering_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    fact = load(spark, "orders", SF_SMALL).withColumn(
+        "date_key", date_key(F.col("o_orderdate"))
+    )
+    path = str(tmp_path / "fact_orders")
+    fact.write.mode("overwrite").partitionBy("date_key").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("date_key") == 19960102)
+    (scan,) = plans.scans(back)
+    assert any("date_key" in f for f in scan.partition_filters)
+    assert not any("date_key" in f for f in scan.pushed_filters)
+    assert "date_key" not in scan.read_columns  # partition col, not data col
