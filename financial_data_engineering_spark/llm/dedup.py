@@ -311,26 +311,31 @@ def simhash_rows(
     tok_rows = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select("id", F.substring(F.md5("tok"), 1, 16).alias("h"))
-    nibs = [
-        F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int")
-        for p in range(16)
-    ]
-    contribs = [
-        (F.shiftright(nibs[j // 4], j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-            f"c{j}"
-        )
-        for j in range(64)
-    ]
-    sums = tok_rows.select("id", *contribs).groupBy("id").agg(
-        *[F.sum(f"c{j}").alias(f"b{j}") for j in range(64)]
-    )
-    bitstring = F.concat(
-        *[
-            F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(64)
+    # Pack the 4 bits of hex nibble g into 4 × 15-bit ones-counters inside
+    # one long (shifts 0/15/30/45): 16 packed sums + a count replace 64
+    # aggregate buffers, quartering both the generated-code size (64-buffer
+    # HashAggregates compile slowly and risk the method-size limit) and the
+    # aggregation state. 15-bit fields bound documents at 32767 tokens —
+    # chunk longer documents upstream. Sign rule: old per-bit score
+    # Σ(2b-1) = 2·ones − n ≥ 0  ⟺  2·ones ≥ n.
+    packed = []
+    for g in range(16):
+        nib = F.conv(F.substring(F.col("h"), g + 1, 1), 16, 10).cast("long")
+        lanes = [
+            (F.shiftright(nib, q).bitwiseAND(F.lit(1)) * F.lit(1 << (15 * q)))
+            for q in range(4)
         ]
+        packed.append(sum(lanes[1:], lanes[0]).alias(f"p{g}"))
+    sums = tok_rows.select("id", *packed).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{g}").alias(f"s{g}") for g in range(16)],
     )
-    return sums.select("id", bitstring.alias("simhash"))
+    bits = []
+    for j in range(64):
+        g, q = j // 4, j % 4
+        ones = F.shiftright(F.col(f"s{g}"), 15 * q).bitwiseAND(F.lit(0x7FFF))
+        bits.append(F.when(ones * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0")))
+    return sums.select("id", F.concat(*bits).alias("simhash"))
 
 
 def exact_survivors(
