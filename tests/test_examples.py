@@ -46,3 +46,15 @@ def test_validate_sec_filings_offline(spark):
     rows = {r["ticker"]: r["cik"] for r in out["result"].data.collect()}
     assert rows["AAPL"] == "0000320193"
     assert all(len(c) == 10 for c in rows.values())
+
+
+def test_collect_earthquakes_offline(spark):
+    from examples.collect_earthquakes import main
+
+    out = main(live=False)
+    assert out["result"].success and out["result"].records == 40
+    strongest = out["strongest"].collect()
+    assert len(strongest) == 10
+    mags = [r["magnitude"] for r in strongest]
+    assert mags == sorted(mags, reverse=True)
+    assert out["depth"]["max"] is not None
