@@ -113,6 +113,54 @@ def brute_force_topk(
     )
 
 
+def _lsh_assign(
+    df: DataFrame,
+    planes: list[list[float]],
+    out_id: str,
+    out_vec: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(out_id, out_vec, sig) rows: sign-bit signature per vector via one
+    Arrow-batched numpy GEMM against the plane matrix — same kernel choice
+    as ivf_assignments and for the same reason (the unrolled expression
+    form pays ~10 s of codegen compilation per lineage)."""
+    import numpy as np
+
+    pm = np.stack([np.asarray(pl, dtype="float64") for pl in planes])
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    vec_field = next(f for f in df.schema.fields if f.name == vec_col)
+    schema = T.StructType(
+        [
+            T.StructField(out_id, id_field.dataType),
+            T.StructField(out_vec, vec_field.dataType),
+            T.StructField("sig", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (mat @ pm.T) >= 0.0
+            sigs = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    out_vec: pdf[vec_col],
+                    "sig": sigs,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -131,18 +179,12 @@ def lsh_topk(
     candidates return fewer rows — the standard single-probe LSH tradeoff
     (raise recall with fewer bits or multi-probe variants)."""
     planes = [hyperplane(p, dim) for p in range(n_planes)]
-    qa = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
-    )
-    ca = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
-    )
+    qa = _lsh_assign(
+        queries, planes, "query_id", "qv", id_col=id_col, vec_col=vec_col, dim=dim
+    ).withColumn("qn", l2_norm_fixed(F.col("qv"), dim))
+    ca = _lsh_assign(
+        corpus, planes, "neighbor_id", "cv", id_col=id_col, vec_col=vec_col, dim=dim
+    ).withColumn("cn", l2_norm_fixed(F.col("cv"), dim))
     scored = (
         F.broadcast(qa)
         .join(ca, ["sig"])
