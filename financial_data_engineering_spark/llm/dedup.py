@@ -396,3 +396,67 @@ def winnow_fingerprints(
         .select("id", F.col("m").alias("fp"))
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: fingerprints within ``max_hamming``
+    bits of each other.
+
+    Classic 64-bit SimHash blocking: split the fingerprint into ``bands``
+    equal slices; by pigeonhole, any pair within ``bands-1`` bits of each
+    other agrees exactly on at least one slice, so candidates come from an
+    equi-join on (band, slice) — a hash join on short keys, never an
+    all-pairs scan. (With max_hamming ≥ bands the guarantee weakens to
+    high recall rather than totality — the standard trade.) Candidates are
+    verified with an exact 64-position hamming count, flat codegen.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    width = 64 // bands
+    fp = simhash_rows(docs, id_col, text_col)
+    sliced = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", b * width + 1, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    cand = (
+        sliced.alias("a")
+        .join(
+            sliced.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    diffs = [
+        F.when(
+            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(64)
+    ]
+    hamming = sum(diffs[1:], diffs[0])
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -240,3 +240,56 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+    bits AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(
+                   (((strpos('0123456789abcdef',
+                             substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                     >> CAST(j % 4 AS INT)) & 1) * 2 - 1) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM h, (SELECT unnest(range(64)) AS j)
+        GROUP BY doc_id, j
+    ),
+    fp AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sh
+        FROM bits GROUP BY doc_id
+    ),
+    sliced AS (
+        SELECT doc_id, sh, b, substr(sh, b * 16 + 1, 16) AS slice
+        FROM fp, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM sliced a JOIN sliced b
+          ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(range(1, 65),
+               j -> substr(sh_a, j, 1) != substr(sh_b, j, 1))) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65),
+              j -> substr(sh_a, j, 1) != substr(sh_b, j, 1))) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3): fingerprint slices
+    (4 × 16 bits) block candidates by pigeonhole — pairs within 3 bits
+    must agree on a full slice — then an exact 64-position hamming count
+    verifies. Candidate generation is an equi-join on short slice keys;
+    verification is flat codegen arithmetic on the few survivors."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bands=4
+    ).orderBy("doc_a", "doc_b")

@@ -237,3 +237,13 @@ def test_ivf_topk_scores_match_brute_force(spark):
     assert approx  # probes returned candidates
     for r in approx:
         assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_simhash_pairs_finds_identical_docs_with_zero_hamming(spark):
+    df = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "completely different text with other words"),
+    ])
+    pairs = dd.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
