@@ -58,3 +58,16 @@ def test_collect_earthquakes_offline(spark):
     mags = [r["magnitude"] for r in strongest]
     assert mags == sorted(mags, reverse=True)
     assert out["depth"]["max"] is not None
+
+
+def test_collect_economic_indicators_offline(spark):
+    from examples.collect_economic_indicators import main
+
+    out = main(live=False)
+    assert out["result"].success
+    latest = out["latest"].collect()
+    # 3 countries x 2 indicators, null-valued 2021 rows dropped, 2023 wins
+    assert len(latest) == 6
+    assert all(r["year"] == 2023 for r in latest)
+    vals = [r["value"] for r in latest]
+    assert vals == sorted(vals, reverse=True)
