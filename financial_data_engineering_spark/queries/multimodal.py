@@ -22,8 +22,8 @@ _NIB = "(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
     oracle=f"""
     SELECT source,
            count(*) AS n_media,
-           round(avg(16 * (1 + {_NIB.format(pos=1)})), 2) AS avg_width,
-           round(avg(16 * (1 + {_NIB.format(pos=2)})), 2) AS avg_height,
+           round(sum(16 * (1 + {_NIB.format(pos=1)})) * 1.0 / count(*), 2) AS avg_width,
+           round(sum(16 * (1 + {_NIB.format(pos=2)})) * 1.0 / count(*), 2) AS avg_height,
            sum(CASE WHEN {_NIB.format(pos=4)} % 2 = 0 THEN 1 ELSE 0 END) AS n_png
     FROM documents
     GROUP BY source
@@ -44,12 +44,15 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     decoded = mm.decode_media(media, "media")
+    # Widths/heights are exact ints: sum them exactly and divide once —
+    # avg(double) is partial-aggregation-order dependent and can't be
+    # hash-compared across engines.
     return (
         decoded.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("width"), 2).alias("avg_width"),
-            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.round(F.sum("width") / F.count(F.lit(1)), 2).alias("avg_width"),
+            F.round(F.sum("height") / F.count(F.lit(1)), 2).alias("avg_height"),
             F.sum(F.when(F.col("format") == "png", 1).otherwise(0)).alias("n_png"),
         )
         .orderBy("source")

@@ -78,8 +78,9 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           round(avg({tx.sql_quality_score('text')}), 4) AS avg_quality,
-           round(avg({tx.sql_token_count('text')}), 2) AS avg_tokens,
+           round(sum(CAST(round(({tx.sql_quality_score('text')}) * 10000) AS BIGINT))
+                 / (10000.0 * count(*)), 4) AS avg_quality,
+           round(sum({tx.sql_token_count('text')}) * 1.0 / count(*), 2) AS avg_tokens,
            sum(CASE WHEN {tx.sql_quality_score('text')} >= 0.5
                     THEN 1 ELSE 0 END) AS n_keep
     FROM documents
@@ -92,7 +93,13 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     many documents survive a quality>=0.5 keep-filter — the decision table
     for dropping a crawl source. One shuffle keyed by ``source``; at 100 TB
     source cardinality is tiny so AQE coalesces this to a handful of
-    reducers while map-side partials do the heavy lifting."""
+    reducers while map-side partials do the heavy lifting.
+
+    The averages are summed in the exact integer domain (quality_score is
+    rounded to 4dp per row, so q*10^4 is an exact long; token counts are
+    ints) and divided once — `avg(double)` depends on partial-aggregation
+    order, which legally differs between engines (and between runs at
+    different partition counts), so it can never be hash-compared."""
     docs = load(spark, "documents", sf_dir)
     quality = tx.quality_score(F.col("text"))
     return (
@@ -100,8 +107,12 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
-            F.round(F.avg("t"), 2).alias("avg_tokens"),
+            F.round(
+                F.sum(F.round(F.col("q") * 10000, 0).cast("long"))
+                / (F.lit(10000.0) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_quality"),
+            F.round(F.sum("t") / F.count(F.lit(1)), 2).alias("avg_tokens"),
             F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_keep"),
         )
         .orderBy("source")
