@@ -300,42 +300,97 @@ def _nibble_val(h: Column, j: Column) -> Column:
     return F.conv(ch, 16, 10).cast("int")
 
 
-def simhash_rows(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _simhash_packed_sums(
+    docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, simhash) — identical semantics to :func:`simhash64`, built
-    relationally: explode tokens, compute the 16 hex nibbles of each token
-    hash once, derive the 64 ±1 bit contributions as flat literal-shift
-    expressions, sum all 64 in ONE groupBy(id) pass (map-side partials),
-    and render the sign bitstring. Everything whole-stage codegen."""
-    tok_rows = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select("id", F.substring(F.md5("tok"), 1, 16).alias("h"))
-    # Pack the 4 bits of hex nibble g into 4 × 15-bit ones-counters inside
-    # one long (shifts 0/15/30/45): 16 packed sums + a count replace 64
-    # aggregate buffers, quartering both the generated-code size (64-buffer
-    # HashAggregates compile slowly and risk the method-size limit) and the
-    # aggregation state. 15-bit fields bound documents at 32767 tokens —
-    # chunk longer documents upstream. Sign rule: old per-bit score
-    # Σ(2b-1) = 2·ones − n ≥ 0  ⟺  2·ones ≥ n.
+    """(id, n, s0..s15) per-document SimHash bit-vote state: explode tokens,
+    compute the 16 hex nibbles of each token hash once, and sum packed
+    per-nibble counters in ONE groupBy(id) pass (map-side partials).
+
+    Packing: the 4 bits of hex nibble g go into 4 × 15-bit ones-counters
+    inside one long (shifts 0/15/30/45): 16 packed sums + a count replace 64
+    aggregate buffers, quartering both the generated-code size (64-buffer
+    HashAggregates compile slowly and risk the method-size limit) and the
+    aggregation state. 15-bit fields bound documents at 32767 tokens —
+    chunk longer documents upstream. Sign rule: old per-bit score
+    Σ(2b-1) = 2·ones − n ≥ 0  ⟺  2·ones ≥ n."""
+    # Parse the 16 hex chars as two 32-bit halves (2 conv calls per token
+    # instead of 16 conv(substring) pairs); nibble g then comes out with a
+    # shift/mask, all integer codegen.
+    tok_rows = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("id", F.md5("tok").alias("hh"))
+        .select(
+            "id",
+            F.conv(F.substring("hh", 1, 8), 16, 10).cast("long").alias("w0"),
+            F.conv(F.substring("hh", 9, 8), 16, 10).cast("long").alias("w1"),
+        )
+    )
     packed = []
     for g in range(16):
-        nib = F.conv(F.substring(F.col("h"), g + 1, 1), 16, 10).cast("long")
+        word, pos = ("w0", g) if g < 8 else ("w1", g - 8)
+        nib = F.shiftright(F.col(word), 28 - 4 * pos).bitwiseAND(F.lit(15))
         lanes = [
             (F.shiftright(nib, q).bitwiseAND(F.lit(1)) * F.lit(1 << (15 * q)))
             for q in range(4)
         ]
         packed.append(sum(lanes[1:], lanes[0]).alias(f"p{g}"))
-    sums = tok_rows.select("id", *packed).groupBy("id").agg(
+    return tok_rows.select("id", *packed).groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{g}").alias(f"s{g}") for g in range(16)],
     )
-    bits = []
-    for j in range(64):
-        g, q = j // 4, j % 4
-        ones = F.shiftright(F.col(f"s{g}"), 15 * q).bitwiseAND(F.lit(0x7FFF))
-        bits.append(F.when(ones * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0")))
-    return sums.select("id", F.concat(*bits).alias("simhash"))
+
+
+def _simhash_bit(sums_bit_index: int) -> Column:
+    """Sign bit j (0 = leftmost/MSB) from the packed sums frame: 1 iff
+    2·ones ≥ n."""
+    g, q = sums_bit_index // 4, sums_bit_index % 4
+    ones = F.shiftright(F.col(f"s{g}"), 15 * q).bitwiseAND(F.lit(0x7FFF))
+    return F.when(ones * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
+
+
+def simhash_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — identical semantics to :func:`simhash64`, built
+    relationally (see :func:`_simhash_packed_sums`) and rendered as the
+    64-char sign bitstring. Everything whole-stage codegen."""
+    halves = simhash_fp_halves(docs, id_col, text_col)
+    return halves.select(
+        "id",
+        F.concat(
+            F.lpad(F.conv(F.col("hi"), 10, 2), 32, "0"),
+            F.lpad(F.conv(F.col("lo"), 10, 2), 32, "0"),
+        ).alias("simhash"),
+    )
+
+
+def simhash_fp_halves(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, hi, lo) — the 64-bit SimHash packed into two 32-bit longs:
+    bitstring positions 1-32 become ``hi`` (position 1 = bit 31, MSB-first)
+    and positions 33-64 become ``lo``. Two halves instead of one long keep
+    every shift below the sign bit, so the identical construction is
+    expressible in engines that error on signed-overflow shifts; hamming
+    distance is ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` — two codegen'd
+    POPCNT instructions instead of 64 per-character substring compares."""
+    sums = _simhash_packed_sums(docs, id_col, text_col)
+    hi = sum(
+        [(_simhash_bit(j).cast("long") * F.lit(1 << (31 - j))) for j in range(1, 32)],
+        _simhash_bit(0).cast("long") * F.lit(1 << 31),
+    )
+    lo = sum(
+        [
+            (_simhash_bit(j).cast("long") * F.lit(1 << (63 - j)))
+            for j in range(33, 64)
+        ],
+        _simhash_bit(32).cast("long") * F.lit(1 << 31),
+    )
+    return sums.select("id", hi.alias("hi"), lo.alias("lo"))
 
 
 def exact_survivors(
@@ -405,6 +460,7 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: fingerprints within ``max_hamming``
     bits of each other.
@@ -414,47 +470,70 @@ def simhash_near_dup_pairs(
     other agrees exactly on at least one slice, so candidates come from an
     equi-join on (band, slice) — a hash join on short keys, never an
     all-pairs scan. (With max_hamming ≥ bands the guarantee weakens to
-    high recall rather than totality — the standard trade.) Candidates are
-    verified with an exact 64-position hamming count, flat codegen.
+    high recall rather than totality — the standard trade.)
+
+    Everything is integer-domain: the fingerprint lives in two 32-bit
+    longs (persisted, so the token-explode lineage runs once, not once per
+    join side), band keys are 16-bit shift/mask ints, and verification is
+    ``bit_count(xor)`` — two POPCNT instructions per candidate instead of
+    64 substring compares.
+
+    ``max_bucket_size`` is the skew guard: SimHash bits are correlated over
+    same-language corpora, so a low-entropy slice can collect a huge bucket
+    whose self-join is quadratic (the classic skewed-key shuffle at corpus
+    scale). Buckets larger than the cap are dropped before candidate
+    generation — standard SimHash-blocking practice; recall for pairs whose
+    only agreeing slice was the hot one is traded for a bounded join.
+
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
+    if 32 % (64 // bands):
+        raise ValueError("bands must divide 64 with a slice width dividing 32")
     width = 64 // bands
-    fp = simhash_rows(docs, id_col, text_col)
-    sliced = fp.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("simhash", b * width + 1, width)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "slice"),
+    per_half = 32 // width
+    mask = (1 << width) - 1
+    fp = simhash_fp_halves(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    keys = [
+        F.shiftright(
+            F.col("hi") if b < per_half else F.col("lo"),
+            32 - ((b % per_half) + 1) * width,
+        ).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    sliced = fp.select(
+        "id", "hi", "lo", F.posexplode(F.array(*keys)).alias("band", "key")
+    )
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "key")
+        sliced = (
+            sliced.withColumn("bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
+    sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         sliced.alias("a")
         .join(
             sliced.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    diffs = [
-        F.when(
-            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(64)
-    ]
-    hamming = sum(diffs[1:], diffs[0])
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

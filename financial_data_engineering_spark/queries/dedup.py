@@ -242,9 +242,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BUCKET_CAP = 200
+
 @register(
     "dedup_simhash_pairs",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
         FROM documents
@@ -256,40 +258,52 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (((strpos('0123456789abcdef',
                              substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
                      >> CAST(j % 4 AS INT)) & 1) * 2 - 1) >= 0
-                    THEN '1' ELSE '0' END AS bit
+                    THEN 1 ELSE 0 END AS bit
         FROM h, (SELECT unnest(range(64)) AS j)
         GROUP BY doc_id, j
     ),
     fp AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sh
+        SELECT doc_id,
+               sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << CAST(31 - j AS INT))
+                        ELSE 0 END) AS hi,
+               sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << CAST(63 - j AS INT))
+                        ELSE 0 END) AS lo
         FROM bits GROUP BY doc_id
     ),
     sliced AS (
-        SELECT doc_id, sh, b, substr(sh, b * 16 + 1, 16) AS slice
+        SELECT doc_id, hi, lo, b,
+               (CASE WHEN b < 2 THEN hi >> (16 * (1 - CAST(b AS INT)))
+                     ELSE lo >> (16 * (3 - CAST(b AS INT))) END) & 65535 AS k
         FROM fp, (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY b, k) <= {_SIMHASH_BUCKET_CAP}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.sh AS sh_a, b.sh AS sh_b
+               a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
         FROM sliced a JOIN sliced b
-          ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+          ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           len(list_filter(range(1, 65),
-               j -> substr(sh_a, j, 1) != substr(sh_b, j, 1))) AS hamming
+           bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
     FROM cand
-    WHERE len(list_filter(range(1, 65),
-              j -> substr(sh_a, j, 1) != substr(sh_b, j, 1))) <= 3
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming ≤ 3): fingerprint slices
     (4 × 16 bits) block candidates by pigeonhole — pairs within 3 bits
-    must agree on a full slice — then an exact 64-position hamming count
-    verifies. Candidate generation is an equi-join on short slice keys;
-    verification is flat codegen arithmetic on the few survivors."""
+    must agree on a full slice — then an exact hamming count verifies.
+    Integer-domain throughout: the fingerprint is two 32-bit longs, band
+    keys are shift/mask ints, verification is bit_count(xor); buckets
+    above {_SIMHASH_BUCKET_CAP} rows are dropped (skew guard — correlated
+    SimHash bits make low-entropy slices collect quadratic-join buckets)."""
     docs = load(spark, "documents", sf_dir)
     return dd.simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, bands=4
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
     ).orderBy("doc_a", "doc_b")
