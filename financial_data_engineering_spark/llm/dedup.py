@@ -93,20 +93,35 @@ def shingle_rows(
     )
 
 
+# Prime just above 2^32 for the affine MinHash family h_i = (a + i·b) mod P.
+MINHASH_P = 4294967311
+
+
 def minhash_signatures(
     inv: DataFrame, id_col: str = "id", shingle_col: str = "g", k: int = 16
 ) -> DataFrame:
     """(id, m0..m{k-1}) MinHash signature table from (id, shingle) rows.
-    Hash family i is ``md5(i || '|' || shingle)``; the minimum is taken
-    lexicographically on the 32-char hex digest (order-isomorphic to the
-    128-bit integer). All k minima come from ONE groupBy(id) pass with
-    map-side partial aggregation — k flat md5 expressions per row, fully
-    inside whole-stage codegen."""
+
+    Affine hash family over ONE md5 per shingle: split md5(g) into two
+    32-bit words a, b and take ``h_i = (a + i·b) mod P`` (P prime > 2^32) —
+    the classic 2-universal construction. One digest plus k integer
+    multiply-adds per row replaces k full digests (k=16 md5s per shingle
+    row was the measured hot spot of the LSH pass). All k minima come from
+    ONE groupBy(id) pass with map-side partial aggregation, every h_i a
+    flat codegen'd long expression."""
+    hh = F.md5(F.col(shingle_col))
+    a = F.conv(F.substring(hh, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(hh, 9, 8), 16, 10).cast("long")
+    pre = inv.select(
+        F.col(id_col).alias("id"), a.alias("ha"), b.alias("hb")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col(shingle_col)))).alias(f"m{i}")
+        F.min((F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(MINHASH_P)).alias(
+            f"m{i}"
+        )
         for i in range(k)
     ]
-    return inv.groupBy(F.col(id_col).alias("id")).agg(*aggs)
+    return pre.groupBy("id").agg(*aggs)
 
 
 def lsh_band_keys(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:

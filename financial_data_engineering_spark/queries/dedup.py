@@ -62,13 +62,16 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (
         SELECT doc_id, s,
                list_transform(range(16), i ->
-                   list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+                   list_min(list_transform(s, x ->
+                       (('0x' || substr(md5(x), 1, 8))::BIGINT
+                        + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
+                       % 4294967311))) AS sig
         FROM sh WHERE len(s) > 0
     ),
     bands AS (
         SELECT doc_id, b,
-               md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' ||
-                   sig[4*b+3] || '|' || sig[4*b+4]) AS k
+               md5(sig[4*b+1]::VARCHAR || '|' || sig[4*b+2]::VARCHAR || '|' ||
+                   sig[4*b+3]::VARCHAR || '|' || sig[4*b+4]::VARCHAR) AS k
         FROM base, (SELECT unnest(range(4)) AS b)
     ),
     cand AS (
