@@ -242,11 +242,16 @@ def ngram_jaccard_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     if max_doc_freq is not None:
-        freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        inv = (
-            inv.join(F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "g")
-            .drop("df")
+        # Broadcast the HOT shingles (few, by construction) and anti-join;
+        # broadcasting the keep-list would ship nearly the whole vocabulary
+        # to every executor.
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
         )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     sz = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         inv.alias("a")

@@ -105,35 +105,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_NGRAM_MAX_DOC_FREQ = 100
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    inv AS (
-        SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh WHERE len(s) > 0
+    inv0 AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
     ),
+    inv AS (
+        SELECT doc_id, g FROM inv0
+        QUALIFY count(*) OVER (PARTITION BY g) <= {_NGRAM_MAX_DOC_FREQ}
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
+        GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sz_a + sz_b - inter), 4) AS jaccard
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM pairs
-    WHERE round(inter * 1.0 / (sz_a + sz_b - inter), 4) >= 0.3
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.3
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard ≥ 0.3 via an inverted shingle index
-    (join on shingle, count co-occurrences — no cross join). The exact
-    baseline the LSH variant is validated against; at corpus scale it needs
-    the ``max_doc_freq`` stop-shingle cut to stay sub-quadratic."""
+    (join on shingle, count co-occurrences — no cross join), with the
+    ``max_doc_freq`` stop-shingle guard active: shingles shared by more
+    than {_NGRAM_MAX_DOC_FREQ} documents are cut before the self-join
+    (the join is quadratic in per-shingle doc frequency — a single hot
+    shingle shared by 1M docs would emit 10^12 rows). Jaccard is computed
+    over the guarded shingle sets on both sides, so the oracle replays the
+    identical semantics."""
     docs = load(spark, "documents", sf_dir)
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dd.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.3,
+        max_doc_freq=_NGRAM_MAX_DOC_FREQ,
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
