@@ -206,59 +206,96 @@ def pairwise_cosine_gemm(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 4,
+    n_blocks: int | None = None,
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via blocked matrix multiply in a Pandas
-    UDF — the vectorized kernel for exact pairwise similarity.
+    """All-pairs cosine ≥ threshold via a distributed block-pair matrix
+    multiply — the vectorized kernel for exact pairwise similarity, with
+    nothing ever collected to the driver.
 
     Expression-based pairwise cosine dies at scale for a structural reason:
     Catalyst pushes the threshold filter into the nested-loop join
     condition, where the unrolled dot product is evaluated per ordered pair
     outside whole-stage codegen (and twice — once in the condition, once in
-    the projection). Instead, the corpus matrix is L2-normalized once,
-    broadcast to executors, and each Arrow batch computes a
-    (batch × corpus) similarity block with one BLAS GEMM — thousands of
-    times fewer interpreter transitions, and the exact shape you'd keep at
-    100 TB by composing it with LSH/IVF blocking so "corpus" becomes "this
-    bucket" instead of "everything".
+    the projection). Instead the corpus is hashed into B blocks of
+    ~``block_rows`` vectors, every vector is replicated to the B block-pair
+    groups it participates in (shuffle volume B×|corpus| — the unavoidable
+    cost of EXACT all-pairs, stated rather than hidden), and each
+    (block_a ≤ block_b) group computes its similarity tile with one BLAS
+    GEMM inside ``applyInPandas``. Group memory is bounded by two blocks
+    regardless of corpus size; parallelism is B(B+1)/2 independent tiles.
+    For approximate dedup at the 100 TB tier, run this same kernel per
+    LSH/IVF bucket instead (see lsh_topk / ivf_topk) so B stays small.
 
     Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded then
-    thresholded.
+    thresholded. Pair math is identical to the single-matrix form:
+    dot / (||a||·||b||), zero-norm vectors score 0.
     """
     import numpy as np
 
-    spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-    norms = np.linalg.norm(mat, axis=1)
-    norms_safe = np.where(norms == 0.0, 1.0, norms)
-    bc = spark.sparkContext.broadcast((ids, mat, norms, norms_safe))
+    if n_blocks is None:
+        n_blocks = max(1, -(-corpus.count() // block_rows))
+    pair_structs = [
+        F.struct(
+            F.least(F.col("blk"), F.lit(j)).alias("ba"),
+            F.greatest(F.col("blk"), F.lit(j)).alias("bb"),
+        )
+        for j in range(n_blocks)
+    ]
+    tagged = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
+        .withColumn("bp", F.explode(F.array(*pair_structs)))
+        .select("id", "v", "blk", F.col("bp.ba").alias("ba"), F.col("bp.bb").alias("bb"))
+    )
 
-    def gen(batches):
+    def tile(key, pdf):
         import pandas as pd
 
-        r_ids, r_mat, r_norms, r_norms_safe = bc.value
-        for batch in batches:
-            b_ids = batch[id_col].to_numpy()
-            b_mat = np.stack(
-                [np.asarray(v, dtype="float64") for v in batch[vec_col]]
+        ba, bb = int(key[0]), int(key[1])
+        left = pdf[pdf["blk"] == ba]
+        right = left if ba == bb else pdf[pdf["blk"] == bb]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
             )
-            b_norms = np.linalg.norm(b_mat, axis=1)
-            b_safe = np.where(b_norms == 0.0, 1.0, b_norms)
-            # dot / (||a||·||b||) in that order, matching the SQL oracle's
-            # association; zero-norm rows score 0 via the masked denominator.
-            sims = (b_mat @ r_mat.T) / np.outer(b_safe, r_norms_safe)
-            sims[b_norms == 0.0, :] = 0.0
-            sims[:, r_norms == 0.0] = 0.0
-            cos = np.round(sims, round_to)
-            keep = (cos >= threshold) & (b_ids[:, None] < r_ids[None, :])
-            bi, ri = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": b_ids[bi], "vec_b": r_ids[ri], "cos": cos[bi, ri]}
-            )
+        l_ids = left["id"].to_numpy()
+        r_ids = right["id"].to_numpy()
+        l_mat = np.stack([np.asarray(v, dtype="float64") for v in left["v"]])
+        r_mat = (
+            l_mat
+            if ba == bb
+            else np.stack([np.asarray(v, dtype="float64") for v in right["v"]])
+        )
+        l_norms = np.linalg.norm(l_mat, axis=1)
+        r_norms = l_norms if ba == bb else np.linalg.norm(r_mat, axis=1)
+        l_safe = np.where(l_norms == 0.0, 1.0, l_norms)
+        r_safe = np.where(r_norms == 0.0, 1.0, r_norms)
+        # dot / (||a||·||b||) in that order, matching the SQL oracle's
+        # association; zero-norm rows score 0 via the masked denominator.
+        sims = (l_mat @ r_mat.T) / np.outer(l_safe, r_safe)
+        sims[l_norms == 0.0, :] = 0.0
+        sims[:, r_norms == 0.0] = 0.0
+        cos = np.round(sims, round_to)
+        if ba == bb:
+            keep = (cos >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        else:
+            keep = cos >= threshold
+        li, ri = np.nonzero(keep)
+        ia, ib = l_ids[li], r_ids[ri]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cos": cos[li, ri],
+            }
+        )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        gen, schema="vec_a long, vec_b long, cos double"
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        tile, schema="vec_a long, vec_b long, cos double"
     )
 
 
