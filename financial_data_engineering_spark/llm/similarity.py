@@ -366,6 +366,70 @@ def ivf_assignments(
     return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded Lloyd k-means for the IVF coarse quantizer.
+
+    Init is the ``n_centroids`` lowest-id corpus vectors (relabeled
+    0..n-1); each of the fixed ``n_iters`` iterations assigns every vector
+    to its nearest centroid by cosine (ties → lowest centroid id) with the
+    distributed GEMM kernel, then recomputes each centroid as the exact
+    cluster mean: components are summed as ``round(x·10^6)`` longs —
+    order-independent integer sums — and divided once, so a SQL replica
+    computes bit-identical centroids regardless of aggregation order.
+    Empty clusters keep their previous centroid. Only the (n_centroids ×
+    dim) sums ever reach the driver — the control-plane collect that any
+    iterative quantizer needs; the corpus itself never moves.
+    """
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_centroids: corpus has no vectors")
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)
+    ]
+    for _ in range(n_iters):
+        assigned = ivf_assignments(
+            corpus, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+        )
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(
+                    F.round(
+                        F.element_at("v", j + 1).cast("double") * KMEANS_SCALE, 0
+                    ).cast("long")
+                ).alias(f"c{j}")
+                for j in range(dim)
+            ],
+        ).collect()
+        by_cluster = {int(r["cluster"]): r for r in sums}
+        cents = [
+            (
+                cid,
+                [
+                    by_cluster[cid][f"c{j}"] / (KMEANS_SCALE * by_cluster[cid]["cnt"])
+                    for j in range(dim)
+                ]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -376,6 +440,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     dim: int = 64,
+    n_iters: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization: corpus
     vectors live in the inverted list of their single nearest centroid;
@@ -383,20 +448,19 @@ def ivf_topk(
     candidates. Higher recall knob than single-probe LSH at the same
     candidate budget.
 
-    The coarse centroids here are the ``n_centroids`` lowest-id corpus
-    vectors — a deterministic, training-free quantizer (production swaps
-    in k-means centroids; every plan shape below is unchanged). All
-    scoring is flat codegen arithmetic; the only shuffle is the
-    inverted-list equi-join on cluster id."""
-    spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .filter(F.col(id_col) < n_centroids)
-        .collect()
+    Coarse centroids come from :func:`kmeans_centroids` — deterministic
+    seeded Lloyd iterations, so recall reflects real centroid quality
+    while a SQL oracle can still replay training exactly. All scoring is
+    flat codegen arithmetic; the only shuffle is the inverted-list
+    equi-join on cluster id."""
+    centroids = kmeans_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        dim=dim,
     )
-    centroids = [
-        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cent_rows
-    ]
     corpus_lists = ivf_assignments(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
     ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster")

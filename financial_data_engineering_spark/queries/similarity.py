@@ -103,18 +103,65 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
-_IVF_ORACLE = f"""
-WITH cent AS (
-    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-    WHERE vec_id < 8
+_N_ITERS = 2
+_KM_SCALE = 1_000_000
+
+
+def _kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
+    """DuckDB CTE chain replaying llm.similarity.kmeans_centroids exactly:
+    init = lowest-id vectors relabeled 0..n-1; per iteration, argmax-cosine
+    assignment (ties → lowest cid) then exact scaled-integer cluster means
+    (sum of round(x·10^6) longs, one division) — the same order-stable
+    arithmetic the Spark side uses, so centroids are bit-identical."""
+    parts = [
+        f"""cent0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding::DOUBLE[] AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {n_centroids})
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"""assign{it} AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cid) AS rn
+        FROM embeddings e, cent{it} c
+    ) WHERE rn = 1
 ),
+sums{it} AS (
+    SELECT a.cid, j,
+           sum(CAST(round((e.embedding::DOUBLE[])[CAST(j AS INT)]
+                          * {_KM_SCALE}) AS BIGINT)) AS s,
+           count(*) AS cnt
+    FROM assign{it} a JOIN embeddings e USING (vec_id),
+         (SELECT unnest(range(1, {dim + 1})) AS j)
+    GROUP BY a.cid, j
+),
+mean{it} AS (
+    SELECT cid, list(s / ({_KM_SCALE}.0 * cnt) ORDER BY j) AS cv
+    FROM sums{it} GROUP BY cid
+),
+cent{it + 1} AS (
+    SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+    FROM cent{it} c LEFT JOIN mean{it} m USING (cid)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_IVF_ORACLE = f"""
+WITH {_kmeans_ctes(8, _N_ITERS, 64)},
 assign AS (
     SELECT vec_id, cid, rn FROM (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
                             DESC, c.cid) AS rn
-        FROM embeddings e, cent c
+        FROM embeddings e, cent{_N_ITERS} c
     )
 ),
 corpus_lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1),
@@ -145,11 +192,12 @@ ORDER BY query_id, rank
 @register("ann_ivf_cosine", oracle=_IVF_ORACLE)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors are inverted-listed under
-    their nearest of 8 deterministic coarse centroids; queries probe their
-    2 nearest lists (nprobe=2) and rank only those candidates. The probe
-    knob trades candidates for recall — the complement to the LSH variant's
-    bit-count knob. Centroid scoring is literal flat arithmetic (no join);
-    the one shuffle is the inverted-list equi-join on cluster id."""
+    their nearest of 8 k-means coarse centroids (deterministic seeded
+    Lloyd, 2 iterations — the oracle replays training bit-exactly via
+    scaled-integer means); queries probe their 2 nearest lists (nprobe=2)
+    and rank only those candidates. The probe knob trades candidates for
+    recall — the complement to the LSH variant's bit-count knob. The one
+    data shuffle is the inverted-list equi-join on cluster id."""
     emb = load(spark, "embeddings", sf_dir)
     out = sim.ivf_topk(
         emb.filter(F.col("vec_id") < _N_QUERIES),
@@ -158,5 +206,6 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
         nprobe=2,
         dim=64,
+        n_iters=_N_ITERS,
     )
     return out.orderBy("query_id", "rank")
