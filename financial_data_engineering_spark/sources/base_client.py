@@ -165,6 +165,9 @@ class BaseClient(ABC):
             self._latencies.append(time.monotonic() - t0)
 
             if resp.status_code == 429:
+                # keep a real exception pending: if every attempt 429s, the
+                # exhaustion path must raise an HTTPError, not a bare None
+                pending_error = requests.HTTPError("429", response=resp)
                 time.sleep(int(resp.headers.get("Retry-After", 5)))
                 continue
             if 400 <= resp.status_code < 500:
@@ -183,7 +186,9 @@ class BaseClient(ABC):
             return payload
 
         self.errors += 1
-        raise pending_error  # type: ignore[misc]
+        if pending_error is None:
+            raise requests.HTTPError("retries exhausted with no response")
+        raise pending_error
 
     def _post(
         self,
@@ -221,6 +226,9 @@ class BaseClient(ABC):
             self._latencies.append(time.monotonic() - t0)
 
             if resp.status_code == 429:
+                # keep a real exception pending: if every attempt 429s, the
+                # exhaustion path must raise an HTTPError, not a bare None
+                pending_error = requests.HTTPError("429", response=resp)
                 time.sleep(int(resp.headers.get("Retry-After", 5)))
                 continue
             if 400 <= resp.status_code < 500:
@@ -239,7 +247,9 @@ class BaseClient(ABC):
             return data
 
         self.errors += 1
-        raise pending_error  # type: ignore[misc]
+        if pending_error is None:
+            raise requests.HTTPError("retries exhausted with no response")
+        raise pending_error
 
     # -- JSON → DataFrame -----------------------------------------------------
 

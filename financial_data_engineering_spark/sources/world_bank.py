@@ -98,34 +98,117 @@ class WorldBankClient(BaseClient):
         except Exception as exc:  # noqa: BLE001 — lifecycle contract: never raise
             return self._build_error(str(exc), started)
 
+    #: below this many remaining pages, a Spark job costs more than the
+    #: driver loop it replaces; above it, pages 2..N are a known request
+    #: set and fan out per SURVEY §2.A5.
+    FANOUT_MIN_PAGES = 8
+    #: ceiling on concurrent fetch tasks, so the per-task token budget
+    #: (rate_limit / tasks) stays meaningful.
+    FANOUT_MAX_TASKS = 8
+
     def _fetch_indicator(
         self, country_str: str, indicator: str, start_year: int, end_year: int
     ) -> list[dict]:
         """Page-number pagination (world_bank.py:88-125): page count comes
         from page 1's metadata; malformed envelopes or null data stop the
-        walk."""
-        records: list[dict] = []
-        page = 1
-        while True:
-            raw = self._get(
-                f"/country/{country_str}/indicator/{indicator}",
-                params={
-                    "format": "json",
-                    "date": f"{start_year}:{end_year}",
-                    "per_page": self.PER_PAGE,
-                    "page": page,
-                },
-            )
-            if not isinstance(raw, list) or len(raw) < 2:
-                break
-            metadata, data = raw[0], raw[1]
-            if data is None:
-                break
-            records.extend(data)
-            if page >= (metadata or {}).get("pages", 1):
-                break
-            page += 1
+        walk. Page 1 always fetches on the driver (its metadata IS the
+        request-set discovery); when the remaining page set is large it
+        fans out across executors, otherwise the driver walks it."""
+        path = f"/country/{country_str}/indicator/{indicator}"
+        base_params = {
+            "format": "json",
+            "date": f"{start_year}:{end_year}",
+            "per_page": self.PER_PAGE,
+        }
+        raw = self._get(path, params={**base_params, "page": 1})
+        if not isinstance(raw, list) or len(raw) < 2 or raw[1] is None:
+            return []
+        metadata, data = raw[0], raw[1]
+        records: list[dict] = list(data)
+        pages = (metadata or {}).get("pages", 1)
+        if pages <= 1:
+            return records
+        if pages - 1 < self.FANOUT_MIN_PAGES:
+            for page in range(2, pages + 1):
+                raw = self._get(path, params={**base_params, "page": page})
+                if not isinstance(raw, list) or len(raw) < 2 or raw[1] is None:
+                    break
+                records.extend(raw[1])
+            return records
+        records.extend(self._fanout_pages(path, base_params, range(2, pages + 1)))
         return records
+
+    def _fanout_pages(
+        self, path: str, base_params: dict, pages: range
+    ) -> list[dict]:
+        """Distributed page fetch: ``parallelize(pages).mapPartitions`` —
+        the SURVEY §2.A5 mapping for known-page-count pagination. Each task
+        opens its own HTTP session and self-throttles to its share of the
+        global rate limit (rate_limit / n_tasks), so the aggregate request
+        rate honours the API quota without driver coordination. Malformed
+        pages are skipped (the driver walk's stop-on-malformed semantics
+        don't compose with unordered tasks); results return to the driver
+        as plain records, entering the data plane through json_to_df like
+        every other page."""
+        n_slices = max(1, min(len(pages), self.FANOUT_MAX_TASKS))
+        delay_s = 60.0 * n_slices / self.rate_limit
+        fetch = self._page_fetcher(
+            f"{self.base_url}{path}",
+            dict(base_params),
+            dict(self._session.headers),
+            delay_s,
+        )
+        self.last_fanout_partitions = n_slices
+        rows = (
+            self.spark.sparkContext.parallelize(list(pages), n_slices)
+            .mapPartitions(fetch)
+            .collect()
+        )
+        self.api_calls += len(pages)
+        return rows
+
+    @staticmethod
+    def _page_fetcher(url: str, base_params: dict, headers: dict, delay_s: float):
+        """Executor-side fetch closure. Deliberately self-free: it closes
+        only over plain values, so cloudpickle ships it by value and no
+        driver state (session, token bucket, telemetry) is captured."""
+
+        def fetch(pages_iter):
+            import time as _time
+
+            import requests as rq
+
+            sess = rq.Session()
+            sess.headers.update(headers)
+            out: list[dict] = []
+            first = True
+            for page in pages_iter:
+                if not first:
+                    _time.sleep(delay_s)
+                first = False
+                for attempt in range(4):
+                    try:
+                        resp = sess.get(
+                            url, params={**base_params, "page": page}, timeout=30
+                        )
+                    except rq.ConnectionError:
+                        _time.sleep(2**attempt)
+                        continue
+                    if resp.status_code == 429:
+                        _time.sleep(int(resp.headers.get("Retry-After", 5)))
+                        continue
+                    resp.raise_for_status()
+                    payload = resp.json()
+                    if (
+                        isinstance(payload, list)
+                        and len(payload) >= 2
+                        and payload[1]
+                    ):
+                        out.extend(payload[1])
+                    break
+            return iter(out)
+
+        return fetch
 
     def _to_df(self, records: list[dict]) -> DataFrame:
         """Normalize nested records to the flat schema

@@ -184,6 +184,17 @@ class TestRetries:
         mock_sleep.assert_any_call(2)
         assert out == {"ok": True}
 
+    def test_429_exhaustion_raises_http_error(self, stub):
+        """Every attempt 429ing must surface as an HTTPError, not the
+        'exceptions must derive from BaseException' TypeError a bare None
+        raise would produce."""
+        limited = MagicMock(status_code=429, headers={})
+        with patch.object(stub, "_wait_for_token"), patch.object(
+            stub._session, "get", return_value=limited
+        ), patch("financial_data_engineering_spark.sources.base_client.time.sleep"):
+            with pytest.raises(requests.HTTPError, match="429"):
+                stub._get("/t", max_retries=1, use_cache=False)
+
     def test_connection_errors_exhaust_and_raise(self, stub):
         with patch.object(stub, "_wait_for_token"), patch.object(
             stub._session, "get", side_effect=requests.ConnectionError("boom")
@@ -321,3 +332,35 @@ class TestWorldBank:
         with patch.object(client, "_get", return_value={"oops": 1}):
             result = client.extract(indicators=["X"])
         assert result.success and result.records == 0
+
+    def test_large_page_set_fans_out(self, spark, mock_worldbank):
+        """Pages 2..N above the threshold go through
+        parallelize(pages).mapPartitions (SURVEY §2.A5): one driver _get for
+        page 1, every remaining page fetched executor-side, task count
+        capped so the per-task rate budget stays meaningful."""
+        client = WorldBankClient(spark)
+        n_pages = 20
+        page1 = [dict(mock_worldbank[0], pages=n_pages), mock_worldbank[1]]
+
+        def fake_fetcher(url, base_params, headers, delay_s):
+            assert "NY.GDP.PCAP.CD" in url
+            rec = mock_worldbank[1][0]
+
+            def fetch(pages_iter):
+                # shipped by value to executors; returns one record per page
+                return iter([dict(rec, date=str(p)) for p in pages_iter])
+
+            return fetch
+
+        with patch.object(client, "_get", side_effect=[page1]) as g, patch.object(
+            client, "_page_fetcher", side_effect=fake_fetcher
+        ):
+            result = client.extract(indicators=["NY.GDP.PCAP.CD"])
+        assert g.call_count == 1  # only page 1 touches the driver path
+        assert result.success
+        # 3 page-1 records + one per fanned-out page 2..20
+        assert result.records == 3 + (n_pages - 1)
+        assert client.last_fanout_partitions == client.FANOUT_MAX_TASKS
+        # every page arrived exactly once, regardless of task ordering
+        years = {r["year"] for r in result.data.collect()}
+        assert set(range(2, n_pages + 1)) <= years
