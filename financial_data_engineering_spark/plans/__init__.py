@@ -5,6 +5,8 @@ from financial_data_engineering_spark.plans.inspect import (
     ScanInfo,
     broadcast_join_count,
     has_whole_stage_codegen,
+    nested_loop_join_count,
+    pandas_kernel_count,
     plan_text,
     reads_only,
     scans,
@@ -17,6 +19,8 @@ __all__ = [
     "ScanInfo",
     "broadcast_join_count",
     "has_whole_stage_codegen",
+    "nested_loop_join_count",
+    "pandas_kernel_count",
     "plan_text",
     "reads_only",
     "scans",

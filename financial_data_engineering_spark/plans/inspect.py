@@ -96,19 +96,40 @@ def sortmerge_join_count(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", plan_text(df)))
 
 
-def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
+def has_whole_stage_codegen(
+    df: DataFrame, execute: bool = True, row_cap: int = 10_000
+) -> bool:
     """True when at least one pipeline compiled to generated code
     (interpreted-only plans leave throughput on the table).
 
     Under AQE the physical plan is only finalized at runtime, so by
-    default this EXECUTES the frame once (``collect``) and inspects the
+    default this EXECUTES the frame once — capped at ``row_cap`` rows so a
+    plan check can never materialize a full result — and inspects the
     finalized adaptive plan; pass ``execute=False`` to inspect a frame
     you've already run."""
     if execute:
+        df = df.limit(row_cap)
         df.collect()
     text = df._jdf.queryExecution().executedPlan().toString()
     # Codegen stages render as "*(N) Operator" in the simple plan string.
     return bool(re.search(r"\*\(\d+\) ", text))
+
+
+def nested_loop_join_count(df: DataFrame) -> int:
+    """Number of nested-loop joins — the quadratic fallback that must
+    never appear in a candidate-generation path (a broadcast NLJ against a
+    deliberately small side is the one acceptable use)."""
+    return len(re.findall(r"NestedLoopJoin", plan_text(df)))
+
+
+def pandas_kernel_count(df: DataFrame) -> int:
+    """Number of Arrow-batched Python kernels (mapInPandas /
+    applyInPandas) in the plan — the assertable marker that a GEMM-style
+    operator runs distributed on executors rather than via a driver
+    collect (a toPandas collect never appears as a plan node)."""
+    return len(
+        re.findall(r"FlatMapGroupsInPandas|MapInPandas", plan_text(df))
+    )
 
 
 def uses_pushed_filter(df: DataFrame, column: str) -> bool:

@@ -69,6 +69,67 @@ def test_whole_stage_codegen_active_on_hot_paths(spark):
         assert plans.has_whole_stage_codegen(_df(spark, name)), name
 
 
+def test_dedup_family_never_nested_loops(spark):
+    """Candidate generation in every fuzzy-dedup pass must be an equi-join
+    on block/band keys; a nested-loop join in any of these plans means an
+    all-pairs product sneaked back in."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"):
+        df = _df(spark, name)
+        assert plans.nested_loop_join_count(df) == 0, name
+
+
+def test_simhash_queries_plan_shape(spark):
+    """Fingerprinting is one explode + one groupBy(id) aggregation; the
+    pairs query adds the band window, self-join, dedup, and presentation
+    sort, but must stay within its designed exchange budget."""
+    assert plans.shuffle_count(_df(spark, "dedup_simhash")) <= 2
+    assert plans.shuffle_count(_df(spark, "dedup_simhash_pairs")) <= 8
+
+
+def test_ngram_guard_broadcasts_hot_shingles(spark):
+    """The max_doc_freq skew guard must apply as a broadcast anti-join
+    (hot side is small by construction) — shuffling the whole inverted
+    index against the guard would defeat it."""
+    df = _df(spark, "dedup_ngram_jaccard")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_ann_queries_broadcast_the_query_side(spark):
+    """Few-queries-vs-corpus searches must broadcast the query side; a
+    sort-merge join here would shuffle the whole corpus for 5 probes."""
+    for name in ("knn_brute_force_cosine", "ann_lsh_cosine", "ann_ivf_cosine"):
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= 1, name
+        assert plans.sortmerge_join_count(df) == 0, name
+
+
+def test_embedding_gemm_runs_distributed(spark):
+    """The exact pairwise-cosine kernel must appear in the plan as an
+    Arrow-batched groupBy kernel (block-pair tiles on executors), and its
+    scan must prune to the two needed columns — the contract that replaced
+    the driver-side toPandas collect."""
+    df = _df(spark, "dedup_embedding_cosine")
+    assert plans.pandas_kernel_count(df) >= 1
+    (scan,) = plans.scans(df)
+    assert set(scan.read_columns) == {"vec_id", "embedding"}
+
+
+def test_asof_join_plan_stays_bounded(spark):
+    """The as-of join resolves as window-over-union (or ranged equi-join),
+    never a nested-loop product, within its exchange budget."""
+    df = _df(spark, "events_asof_latest_order")
+    assert plans.nested_loop_join_count(df) == 0
+    assert plans.shuffle_count(df) <= 6
+
+
+def test_star_fact_resolution_broadcasts_dimensions(spark):
+    """Fact FK -> surrogate resolution joins small dims: every one must
+    broadcast."""
+    df = _df(spark, "fact_orders_star")
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sortmerge_join_count(df) == 0
+
+
 def test_partitioned_fact_sink_prunes_partitions(spark, tmp_path):
     """The dimensional layer's contract: facts hive-partitioned by
     date_key must let a date-range predicate prune at the FILE level
