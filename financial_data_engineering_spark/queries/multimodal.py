@@ -20,13 +20,21 @@ _NIB = "(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
 @register(
     "multimodal_decode_stats",
     oracle=f"""
+    WITH agg AS (
+        SELECT source,
+               count(*) AS n_media,
+               sum(CAST(16 * (1 + {_NIB.format(pos=1)}) AS BIGINT)) AS wsum,
+               sum(CAST(16 * (1 + {_NIB.format(pos=2)}) AS BIGINT)) AS hsum,
+               sum(CASE WHEN {_NIB.format(pos=4)} % 2 = 0 THEN 1 ELSE 0 END) AS n_png
+        FROM documents
+        GROUP BY source
+    )
     SELECT source,
-           count(*) AS n_media,
-           round(sum(16 * (1 + {_NIB.format(pos=1)})) * 1.0 / count(*), 2) AS avg_width,
-           round(sum(16 * (1 + {_NIB.format(pos=2)})) * 1.0 / count(*), 2) AS avg_height,
-           sum(CASE WHEN {_NIB.format(pos=4)} % 2 = 0 THEN 1 ELSE 0 END) AS n_png
-    FROM documents
-    GROUP BY source
+           n_media,
+           CAST((2 * wsum * 100 + n_media) // (2 * n_media) AS BIGINT) AS avg_width_e2,
+           CAST((2 * hsum * 100 + n_media) // (2 * n_media) AS BIGINT) AS avg_height_e2,
+           CAST(n_png AS BIGINT) AS n_png
+    FROM agg
     ORDER BY source
     """,
 )
@@ -34,7 +42,13 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap each document's UTF-8 bytes as a media struct, decode metadata
     in Arrow batches (mapInPandas; deterministic fake decoder), and roll up
     per source. The plan is scan → map-side UDF → one low-cardinality
-    shuffle; payload bytes never leave the executors."""
+    shuffle; payload bytes never leave the executors.
+
+    The output is float-free: widths/heights are exact ints, so the
+    averages are emitted as half-up-rounded scaled integers
+    (``avg_width_e2`` = avg width × 10²) computed wholly in integer
+    arithmetic — ``(2·num·100 + den) div (2·den)`` — identically on both
+    engines, removing the cross-engine round(double) hash hazard."""
     docs = load(spark, "documents", sf_dir)
     media = docs.select(
         "doc_id",
@@ -44,16 +58,20 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     decoded = mm.decode_media(media, "media")
-    # Widths/heights are exact ints: sum them exactly and divide once —
-    # avg(double) is partial-aggregation-order dependent and can't be
-    # hash-compared across engines.
     return (
         decoded.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.sum("width") / F.count(F.lit(1)), 2).alias("avg_width"),
-            F.round(F.sum("height") / F.count(F.lit(1)), 2).alias("avg_height"),
+            F.sum(F.col("width").cast("long")).alias("_wsum"),
+            F.sum(F.col("height").cast("long")).alias("_hsum"),
             F.sum(F.when(F.col("format") == "png", 1).otherwise(0)).alias("n_png"),
+        )
+        .select(
+            "source",
+            "n_media",
+            F.expr("(2 * _wsum * 100 + n_media) div (2 * n_media)").alias("avg_width_e2"),
+            F.expr("(2 * _hsum * 100 + n_media) div (2 * n_media)").alias("avg_height_e2"),
+            F.col("n_png").cast("long").alias("n_png"),
         )
         .orderBy("source")
     )

@@ -76,15 +76,26 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_quality_rollup",
     oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               {tx.sql_quality_score('text')} AS q,
+               {tx.sql_token_count('text')} AS t
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CAST(round(q * 10000) AS BIGINT)) AS qsum,
+               sum(CAST(t AS BIGINT)) AS tsum,
+               sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+        FROM scored
+        GROUP BY source
+    )
     SELECT source,
-           count(*) AS n_docs,
-           round(sum(CAST(round(({tx.sql_quality_score('text')}) * 10000) AS BIGINT))
-                 / (10000.0 * count(*)), 4) AS avg_quality,
-           round(sum({tx.sql_token_count('text')}) * 1.0 / count(*), 2) AS avg_tokens,
-           sum(CASE WHEN {tx.sql_quality_score('text')} >= 0.5
-                    THEN 1 ELSE 0 END) AS n_keep
-    FROM documents
-    GROUP BY source
+           n_docs,
+           CAST((2 * qsum + n_docs) // (2 * n_docs) AS BIGINT) AS avg_quality_e4,
+           CAST((2 * tsum * 100 + n_docs) // (2 * n_docs) AS BIGINT) AS avg_tokens_e2,
+           CAST(n_keep AS BIGINT) AS n_keep
+    FROM agg
     ORDER BY source
     """,
 )
@@ -95,11 +106,14 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source cardinality is tiny so AQE coalesces this to a handful of
     reducers while map-side partials do the heavy lifting.
 
-    The averages are summed in the exact integer domain (quality_score is
-    rounded to 4dp per row, so q*10^4 is an exact long; token counts are
-    ints) and divided once — `avg(double)` depends on partial-aggregation
-    order, which legally differs between engines (and between runs at
-    different partition counts), so it can never be hash-compared."""
+    The output is float-free: the averages are emitted as half-up-rounded
+    scaled integers (``avg_quality_e4`` = avg quality × 10⁴,
+    ``avg_tokens_e2`` = avg tokens × 10²) computed wholly in integer
+    arithmetic — ``(2·num·scale + den) div (2·den)`` — identically on both
+    engines. A final ``round(double, d)`` can legally differ between
+    engines at decimal half-boundaries (Spark rounds the shortest decimal
+    repr via BigDecimal, DuckDB scales in binary), so no double survives
+    to the output."""
     docs = load(spark, "documents", sf_dir)
     quality = tx.quality_score(F.col("text"))
     return (
@@ -107,13 +121,16 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(F.round(F.col("q") * 10000, 0).cast("long"))
-                / (F.lit(10000.0) * F.count(F.lit(1))),
-                4,
-            ).alias("avg_quality"),
-            F.round(F.sum("t") / F.count(F.lit(1)), 2).alias("avg_tokens"),
+            F.sum(F.round(F.col("q") * 10000, 0).cast("long")).alias("_qsum"),
+            F.sum(F.col("t").cast("long")).alias("_tsum"),
             F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(2 * _qsum + n_docs) div (2 * n_docs)").alias("avg_quality_e4"),
+            F.expr("(2 * _tsum * 100 + n_docs) div (2 * n_docs)").alias("avg_tokens_e2"),
+            F.col("n_keep").cast("long").alias("n_keep"),
         )
         .orderBy("source")
     )
