@@ -82,19 +82,37 @@ class WorldBankClient(BaseClient):
         **kwargs,
     ) -> ExtractionResult:
         """One paginated walk per indicator (date range pushed into the
-        request), all unioned into one frame (world_bank.py:65-84)."""
+        request), all unioned into one frame (world_bank.py:65-84).
+
+        The union is materialized (persist + count) exactly once here, so
+        executor-side fetch errors surface inside the lifecycle try block
+        (extract never raises) and re-collecting ``result.data`` replays
+        the cache, not the HTTP fetch."""
         started = datetime.now(timezone.utc)
         self.reset_telemetry()
+        self._pending_fanout_accs = []
         countries = self.DEFAULT_COUNTRIES if countries is None else countries
         indicators = self.DEFAULT_INDICATORS if indicators is None else indicators
         try:
-            records: list[dict] = []
             country_str = ";".join(countries)
-            for indicator in indicators:
-                records.extend(
-                    self._fetch_indicator(country_str, indicator, start_year, end_year)
+            frames = [
+                self._fetch_indicator(country_str, ind, start_year, end_year)
+                for ind in indicators
+            ]
+            raw = frames[0]
+            for f in frames[1:]:
+                raw = raw.unionByName(f)
+            df = self._normalize(raw)
+            if self._pending_fanout_accs:
+                df = df.persist()
+                df.count()  # one materialization: fetch runs, errors surface
+                # actual executor HTTP attempts (incl. retries), not pages
+                self.fanout_http_attempts = sum(
+                    acc.value for acc in self._pending_fanout_accs
                 )
-            return self._build_result(self._to_df(records), started)
+                self.api_calls += self.fanout_http_attempts
+                self._pending_fanout_accs = []
+            return self._build_result(df, started)
         except Exception as exc:  # noqa: BLE001 — lifecycle contract: never raise
             return self._build_error(str(exc), started)
 
@@ -105,15 +123,21 @@ class WorldBankClient(BaseClient):
     #: ceiling on concurrent fetch tasks, so the per-task token budget
     #: (rate_limit / tasks) stays meaningful.
     FANOUT_MAX_TASKS = 8
+    #: actual executor-side HTTP attempts (incl. retries) booked by the
+    #: last extract's fan-outs — read from accumulators after the
+    #: materializing action, then credited into api_calls.
+    fanout_http_attempts = 0
 
     def _fetch_indicator(
         self, country_str: str, indicator: str, start_year: int, end_year: int
-    ) -> list[dict]:
+    ) -> DataFrame:
         """Page-number pagination (world_bank.py:88-125): page count comes
         from page 1's metadata; malformed envelopes or null data stop the
         walk. Page 1 always fetches on the driver (its metadata IS the
         request-set discovery); when the remaining page set is large it
-        fans out across executors, otherwise the driver walks it."""
+        fans out across executors, otherwise the driver walks it. Returns
+        a RECORD_SCHEMA frame — driver-fetched pages enter through
+        json_to_df, fanned-out pages stay distributed end-to-end."""
         path = f"/country/{country_str}/indicator/{indicator}"
         base_params = {
             "format": "json",
@@ -122,79 +146,116 @@ class WorldBankClient(BaseClient):
         }
         raw = self._get(path, params={**base_params, "page": 1})
         if not isinstance(raw, list) or len(raw) < 2 or raw[1] is None:
-            return []
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
         metadata, data = raw[0], raw[1]
         records: list[dict] = list(data)
         pages = (metadata or {}).get("pages", 1)
-        if pages <= 1:
-            return records
         if pages - 1 < self.FANOUT_MIN_PAGES:
             for page in range(2, pages + 1):
                 raw = self._get(path, params={**base_params, "page": page})
                 if not isinstance(raw, list) or len(raw) < 2 or raw[1] is None:
                     break
                 records.extend(raw[1])
-            return records
-        records.extend(self._fanout_pages(path, base_params, range(2, pages + 1)))
-        return records
+            return self.json_to_df([json.dumps(r) for r in records], RECORD_SCHEMA)
+        head = self.json_to_df([json.dumps(r) for r in records], RECORD_SCHEMA)
+        tail = self._fanout_pages(path, base_params, range(2, pages + 1))
+        return head.unionByName(tail)
 
     def _fanout_pages(
         self, path: str, base_params: dict, pages: range
-    ) -> list[dict]:
+    ) -> DataFrame:
         """Distributed page fetch: ``parallelize(pages).mapPartitions`` —
         the SURVEY §2.A5 mapping for known-page-count pagination. Each task
         opens its own HTTP session and self-throttles to its share of the
-        global rate limit (rate_limit / n_tasks), so the aggregate request
-        rate honours the API quota without driver coordination. Malformed
-        pages are skipped (the driver walk's stop-on-malformed semantics
-        don't compose with unordered tasks); results return to the driver
-        as plain records, entering the data plane through json_to_df like
-        every other page."""
+        global rate limit (rate_limit / n_tasks), staggering its first
+        request by partition id so the fan-out never bursts n_slices
+        requests at one instant; the driver additionally drains one bucket
+        token per task so driver-issued requests overlapping the fan-out
+        stay inside the global quota.
+
+        The records NEVER visit the driver: tasks emit JSON strings and the
+        result is ``spark.read.schema(...).json(rdd)`` — a distributed
+        frame whose lineage is the fetch itself. A page whose every attempt
+        fails raises (Spark surfaces it at the materializing action, where
+        extract's lifecycle try converts it to an error result) instead of
+        silently dropping rows; malformed-but-delivered envelopes are
+        skipped, since the driver walk's stop-on-malformed semantics don't
+        compose with unordered tasks. Actual per-attempt HTTP counts come
+        back through an accumulator, credited to api_calls after the
+        materializing action."""
         n_slices = max(1, min(len(pages), self.FANOUT_MAX_TASKS))
         delay_s = 60.0 * n_slices / self.rate_limit
+        # Charge the fan-out against the shared bucket before launch: one
+        # token per task ≈ the first simultaneous wave; executor-side
+        # self-throttling covers the rest of the request budget.
+        for _ in range(n_slices):
+            self._wait_for_token()
+        attempts_acc = self.spark.sparkContext.accumulator(0)
         fetch = self._page_fetcher(
             f"{self.base_url}{path}",
             dict(base_params),
             dict(self._session.headers),
             delay_s,
+            n_slices,
+            attempts_acc,
         )
         self.last_fanout_partitions = n_slices
-        rows = (
+        self._pending_fanout_accs.append(attempts_acc)
+        rdd = (
             self.spark.sparkContext.parallelize(list(pages), n_slices)
             .mapPartitions(fetch)
-            .collect()
         )
-        self.api_calls += len(pages)
-        return rows
+        return self.spark.read.schema(RECORD_SCHEMA).json(rdd)
 
     @staticmethod
-    def _page_fetcher(url: str, base_params: dict, headers: dict, delay_s: float):
+    def _page_fetcher(
+        url: str,
+        base_params: dict,
+        headers: dict,
+        delay_s: float,
+        n_slices: int,
+        attempts_acc,
+    ):
         """Executor-side fetch closure. Deliberately self-free: it closes
-        only over plain values, so cloudpickle ships it by value and no
-        driver state (session, token bucket, telemetry) is captured."""
+        only over plain values (plus the accumulator handle, which is
+        designed to ship by value), so cloudpickle never captures driver
+        state (session, token bucket, telemetry). Yields one JSON string
+        per record; raises on attempt exhaustion so a lost page fails the
+        job rather than silently shrinking the result."""
 
         def fetch(pages_iter):
+            import json as _json
             import time as _time
 
             import requests as rq
+            from pyspark import TaskContext
 
             sess = rq.Session()
             sess.headers.update(headers)
-            out: list[dict] = []
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            # stagger the fleet's first wave uniformly across one
+            # inter-request window instead of bursting n_slices at once
+            _time.sleep(delay_s * (pid % n_slices) / n_slices)
+            out: list[str] = []
             first = True
             for page in pages_iter:
                 if not first:
                     _time.sleep(delay_s)
                 first = False
+                last_err: Exception | None = None
                 for attempt in range(4):
                     try:
+                        attempts_acc.add(1)
                         resp = sess.get(
                             url, params={**base_params, "page": page}, timeout=30
                         )
-                    except rq.ConnectionError:
+                    except rq.ConnectionError as exc:
+                        last_err = exc
                         _time.sleep(2**attempt)
                         continue
                     if resp.status_code == 429:
+                        last_err = rq.HTTPError("429", response=resp)
                         _time.sleep(int(resp.headers.get("Retry-After", 5)))
                         continue
                     resp.raise_for_status()
@@ -204,18 +265,19 @@ class WorldBankClient(BaseClient):
                         and len(payload) >= 2
                         and payload[1]
                     ):
-                        out.extend(payload[1])
+                        out.extend(_json.dumps(rec) for rec in payload[1])
                     break
+                else:
+                    raise RuntimeError(
+                        f"page {page}: all fetch attempts failed"
+                    ) from last_err
             return iter(out)
 
         return fetch
 
-    def _to_df(self, records: list[dict]) -> DataFrame:
-        """Normalize nested records to the flat schema
+    def _normalize(self, df: DataFrame) -> DataFrame:
+        """Normalize nested RECORD_SCHEMA rows to the flat schema
         (world_bank.py:127-153 semantics)."""
-        if not records:
-            return self.spark.createDataFrame([], OUTPUT_SCHEMA)
-        df = self.json_to_df([json.dumps(r) for r in records], RECORD_SCHEMA)
         return df.select(
             F.coalesce(F.col("countryiso3code"), F.col("country.id")).alias(
                 "country_code"

@@ -342,13 +342,18 @@ class TestWorldBank:
         n_pages = 20
         page1 = [dict(mock_worldbank[0], pages=n_pages), mock_worldbank[1]]
 
-        def fake_fetcher(url, base_params, headers, delay_s):
+        def fake_fetcher(url, base_params, headers, delay_s, n_slices, acc):
             assert "NY.GDP.PCAP.CD" in url
             rec = mock_worldbank[1][0]
 
             def fetch(pages_iter):
-                # shipped by value to executors; returns one record per page
-                return iter([dict(rec, date=str(p)) for p in pages_iter])
+                import json as _json
+
+                # shipped by value to executors; one JSON record per page,
+                # one attempt booked per page
+                for p in pages_iter:
+                    acc.add(1)
+                    yield _json.dumps(dict(rec, date=str(p)))
 
             return fetch
 
@@ -361,6 +366,72 @@ class TestWorldBank:
         # 3 page-1 records + one per fanned-out page 2..20
         assert result.records == 3 + (n_pages - 1)
         assert client.last_fanout_partitions == client.FANOUT_MAX_TASKS
+        # api_calls books ACTUAL executor HTTP attempts via accumulator
+        # (page 1's increment lives inside the mocked-out _get)
+        assert client.fanout_http_attempts == n_pages - 1
+        assert client.api_calls == n_pages - 1
         # every page arrived exactly once, regardless of task ordering
         years = {r["year"] for r in result.data.collect()}
         assert set(range(2, n_pages + 1)) <= years
+
+    def test_fanout_keeps_data_plane_distributed(self, spark, mock_worldbank):
+        """The fan-out result reaches the driver only as a DataFrame: no
+        .collect() of records anywhere in the source path. The frame's
+        lineage starts from a distributed RDD scan, and re-collecting
+        result.data replays the persisted cache, not the fetch."""
+        client = WorldBankClient(spark)
+        n_pages = 12
+        page1 = [dict(mock_worldbank[0], pages=n_pages), mock_worldbank[1]]
+        calls = {"n": 0}
+
+        def fake_fetcher(url, base_params, headers, delay_s, n_slices, acc):
+            rec = mock_worldbank[1][0]
+
+            def fetch(pages_iter):
+                import json as _json
+
+                for p in pages_iter:
+                    acc.add(1)
+                    yield _json.dumps(dict(rec, date=str(p)))
+
+            return fetch
+
+        with patch.object(client, "_get", side_effect=[page1]), patch.object(
+            client, "_page_fetcher", side_effect=fake_fetcher
+        ):
+            result = client.extract(indicators=["NY.GDP.PCAP.CD"])
+        assert result.success
+        # persisted: second action must not re-run the fetch (accumulator
+        # value would double if lineage re-executed)
+        before = client.fanout_http_attempts
+        result.data.count()
+        result.data.count()
+        assert client.fanout_http_attempts == before
+        assert result.data.storageLevel.useMemory  # persisted, not collected
+
+    def test_fanout_page_failure_surfaces_as_error_result(
+        self, spark, mock_worldbank
+    ):
+        """A page whose every attempt fails must fail the extraction (error
+        result), never silently shrink the output — the executor fetch
+        raises on attempt exhaustion and extract's lifecycle try catches it
+        at the materializing action."""
+        client = WorldBankClient(spark)
+        n_pages = 12
+        page1 = [dict(mock_worldbank[0], pages=n_pages), mock_worldbank[1]]
+
+        def fake_fetcher(url, base_params, headers, delay_s, n_slices, acc):
+            def fetch(pages_iter):
+                for p in pages_iter:
+                    if p == 7:
+                        raise RuntimeError(f"page {p}: all fetch attempts failed")
+                    yield "{}"
+
+            return fetch
+
+        with patch.object(client, "_get", side_effect=[page1]), patch.object(
+            client, "_page_fetcher", side_effect=fake_fetcher
+        ):
+            result = client.extract(indicators=["NY.GDP.PCAP.CD"])
+        assert not result.success
+        assert "all fetch attempts failed" in result.error
