@@ -44,6 +44,46 @@ from pyspark.sql import types as T
 from financial_data_engineering_spark.sources.result import ExtractionResult
 
 
+def executor_get(
+    sess, url: str, params: dict, attempts_acc=None, max_attempts: int = 4
+):
+    """Executor-side GET with the same retry ladder as the driver's
+    :meth:`BaseClient._get` (429 → Retry-After; 4xx → raise immediately;
+    5xx / ConnectionError → exponential backoff), minus cache and token
+    bucket (fan-out tasks self-throttle instead). Books every attempt on
+    ``attempts_acc`` so the driver can credit real HTTP counts into
+    telemetry. Raises on attempt exhaustion: a lost request must fail the
+    Spark task (and surface at the materializing action) rather than
+    silently shrink the result."""
+    import time as _time
+
+    import requests as rq
+
+    last_err: Exception | None = None
+    for attempt in range(max_attempts):
+        if attempts_acc is not None:
+            attempts_acc.add(1)
+        try:
+            resp = sess.get(url, params=params, timeout=30)
+        except rq.ConnectionError as exc:
+            last_err = exc
+            _time.sleep(2**attempt)
+            continue
+        if resp.status_code == 429:
+            last_err = rq.HTTPError("429", response=resp)
+            _time.sleep(int(resp.headers.get("Retry-After", 5)))
+            continue
+        if resp.status_code >= 500:
+            last_err = rq.HTTPError(str(resp.status_code), response=resp)
+            _time.sleep(2**attempt)
+            continue
+        resp.raise_for_status()  # other 4xx: non-retryable
+        return resp.json()
+    raise RuntimeError(
+        f"all fetch attempts failed: {url} params={params}"
+    ) from last_err
+
+
 class BaseClient(ABC):
     """Abstract REST extraction client (one subclass per upstream API)."""
 
@@ -87,6 +127,12 @@ class BaseClient(ABC):
         self.errors = 0
         self._latencies: list[float] = []
         self._log = logging.getLogger(f"sources.{self.source_name}")
+        # fan-out bookkeeping: accumulators awaiting their materializing
+        # action, actual executor HTTP attempts from the last extract,
+        # and the last fan-out's task count (observability/tests).
+        self._pending_fanout_accs: list = []
+        self.fanout_http_attempts = 0
+        self.last_fanout_partitions = 0
 
     # -- rate limiting --------------------------------------------------------
 
@@ -250,6 +296,59 @@ class BaseClient(ABC):
         if pending_error is None:
             raise requests.HTTPError("retries exhausted with no response")
         raise pending_error
+
+    # -- distributed fan-out --------------------------------------------------
+
+    def _fanout_json(
+        self,
+        specs: list,
+        make_fetch,
+        schema: T.StructType,
+        max_tasks: int,
+    ) -> DataFrame:
+        """Distribute a known request set across executors (SURVEY §2.A5/A6):
+        ``parallelize(specs).mapPartitions(fetch)`` where each task emits one
+        JSON string per record, read back as a distributed frame with the
+        declared schema — records never visit the driver.
+
+        ``make_fetch(delay_s, n_slices, attempts_acc)`` must return a
+        self-free partition function (closing only over plain values plus
+        the accumulator handle). The driver drains one bucket token per
+        task before launch so overlapping driver requests stay inside the
+        global quota; tasks self-throttle to rate_limit/n_slices and
+        stagger their first request (see the fetchers). The caller must
+        materialize through :meth:`_finalize_fanouts` so attempt counts
+        land in telemetry and the fetch runs exactly once."""
+        n_slices = max(1, min(len(specs), max_tasks))
+        delay_s = 60.0 * n_slices / self.rate_limit
+        for _ in range(n_slices):
+            self._wait_for_token()
+        attempts_acc = self.spark.sparkContext.accumulator(0)
+        fetch = make_fetch(delay_s, n_slices, attempts_acc)
+        self.last_fanout_partitions = n_slices
+        self._pending_fanout_accs.append(attempts_acc)
+        rdd = self.spark.sparkContext.parallelize(
+            list(specs), n_slices
+        ).mapPartitions(fetch)
+        return self.spark.read.schema(schema).json(rdd)
+
+    def _finalize_fanouts(self, df: DataFrame) -> DataFrame:
+        """Materialize a frame containing fan-out lineage exactly once
+        (persist + count), inside the caller's lifecycle try so executor
+        errors become an error result, then credit the accumulated real
+        HTTP attempts into ``api_calls``. Re-collecting the returned frame
+        replays the persisted cache, not the fetch. No-op without pending
+        fan-outs."""
+        if not self._pending_fanout_accs:
+            return df
+        df = df.persist()
+        df.count()
+        self.fanout_http_attempts = sum(
+            acc.value for acc in self._pending_fanout_accs
+        )
+        self.api_calls += self.fanout_http_attempts
+        self._pending_fanout_accs = []
+        return df
 
     # -- JSON → DataFrame -----------------------------------------------------
 

@@ -7,14 +7,21 @@ with each variable[i]); the pivot to rows is the classic
 ``arrays_zip`` + ``explode`` plan — no Python loop touches the data. A
 variable missing from the response becomes a NULL column for every day
 (the ``daily.get(var, [None]*n)`` analog, via coalesce with a
-NULL-repeated array). Locations are unioned with ``unionByName``.
+NULL-repeated array). Locations are one frame keyed by a ``location``
+column.
+
+At volume the location list is a known request set (SURVEY §2.A6): above
+FANOUT_MIN_LOCATIONS it fans out via
+``parallelize(locations).mapPartitions(fetch)`` — tasks emit JSON strings
+that never visit the driver, self-throttle to their share of the rate
+limit, and raise on attempt exhaustion so a lost location fails the
+extraction instead of silently shrinking it.
 """
 
 from __future__ import annotations
 
 import json
 from datetime import datetime, timezone
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,12 +47,19 @@ DEFAULT_LOCATIONS = [
 ]
 
 
-def _daily_schema(variables: list[str]) -> T.StructType:
+def _located_schema(variables: list[str]) -> T.StructType:
+    """location + daily parallel arrays — the shape both the driver path
+    and the fan-out path hand to the pivot."""
     fields = [T.StructField("time", T.ArrayType(T.StringType()))]
     fields += [
         T.StructField(v, T.ArrayType(T.DoubleType())) for v in variables
     ]
-    return T.StructType([T.StructField("daily", T.StructType(fields))])
+    return T.StructType(
+        [
+            T.StructField("location", T.StringType()),
+            T.StructField("daily", T.StructType(fields)),
+        ]
+    )
 
 
 class OpenMeteoClient(BaseClient):
@@ -56,6 +70,13 @@ class OpenMeteoClient(BaseClient):
     base_url = "https://archive-api.open-meteo.com/v1"
     rate_limit = 60
 
+    #: below this many locations, a Spark job costs more than the driver
+    #: loop it replaces; above it, the request set fans out per SURVEY §2.A6.
+    FANOUT_MIN_LOCATIONS = 8
+    #: ceiling on concurrent fetch tasks, so the per-task token budget
+    #: (rate_limit / tasks) stays meaningful.
+    FANOUT_MAX_TASKS = 8
+
     def extract(
         self,
         locations: list[tuple[float, float, str]] | None = None,
@@ -65,65 +86,134 @@ class OpenMeteoClient(BaseClient):
         **kwargs,
     ) -> ExtractionResult:
         """One archive request per location (requested variables are the
-        projection pushdown — only named arrays come back), pivoted and
-        unioned. At real volume, fan the location list out with
-        ``parallelize(locations).mapPartitions(fetch)`` instead of this
-        sequential loop (SURVEY.md §2.A6)."""
+        projection pushdown — only named arrays come back), pivoted into
+        one frame. Small location lists walk on the driver; large ones fan
+        out across executors and are materialized exactly once inside this
+        lifecycle try (so executor errors become an error result)."""
         started = datetime.now(timezone.utc)
         self.reset_telemetry()
+        self._pending_fanout_accs = []
         locations = DEFAULT_LOCATIONS if locations is None else locations
         variables = DEFAULT_VARIABLES if variables is None else variables
         try:
-            frames = [
-                self._fetch_location(lat, lon, name, start_date, end_date, variables)
-                for lat, lon, name in locations
-            ]
-            frames = [f for f in frames if f is not None]
-            if not frames:
-                combined = self.spark.createDataFrame([], self._out_schema(variables))
+            if len(locations) >= self.FANOUT_MIN_LOCATIONS:
+                raw = self._fanout_locations(
+                    locations, start_date, end_date, variables
+                )
             else:
-                combined = reduce(DataFrame.unionByName, frames)
+                payloads: list[str] = []
+                for lat, lon, name in locations:
+                    payload = self._get(
+                        "/archive",
+                        params=self._params(
+                            lat, lon, start_date, end_date, variables
+                        ),
+                    )
+                    daily = (payload or {}).get("daily") or {}
+                    if "time" not in daily:
+                        continue
+                    payloads.append(json.dumps({"location": name, "daily": daily}))
+                raw = self.json_to_df(payloads, _located_schema(variables))
+            combined = self._finalize_fanouts(self._pivot(raw, variables))
             return self._build_result(combined, started)
         except Exception as exc:  # noqa: BLE001 — lifecycle contract: never raise
             return self._build_error(str(exc), started)
 
-    def _out_schema(self, variables: list[str]) -> T.StructType:
-        fields = [
-            T.StructField("location", T.StringType()),
-            T.StructField("date", T.TimestampType()),
-        ]
-        fields += [
-            T.StructField(COLUMN_MAP.get(v, v), T.DoubleType()) for v in variables
-        ]
-        return T.StructType(fields)
+    @staticmethod
+    def _params(
+        lat: float, lon: float, start_date: str, end_date: str, variables: list[str]
+    ) -> dict:
+        return {
+            "latitude": lat,
+            "longitude": lon,
+            "start_date": start_date,
+            "end_date": end_date,
+            "daily": ",".join(variables),
+            "timezone": "UTC",
+        }
 
-    def _fetch_location(
+    def _fanout_locations(
         self,
-        lat: float,
-        lon: float,
-        name: str,
+        locations: list[tuple[float, float, str]],
         start_date: str,
         end_date: str,
         variables: list[str],
-    ) -> DataFrame | None:
-        """Fetch one location and pivot its parallel arrays to rows
-        (open_meteo.py:95-136 semantics). Returns None when the response
-        has no usable ``daily.time`` axis."""
-        payload = self._get(
-            "/archive",
-            params={
-                "latitude": lat,
-                "longitude": lon,
-                "start_date": start_date,
-                "end_date": end_date,
-                "daily": ",".join(variables),
-                "timezone": "UTC",
-            },
+    ) -> DataFrame:
+        """SURVEY §2.A6 realized: ``parallelize(locations).mapPartitions``
+        with the same self-free fetcher discipline as the World Bank page
+        fan-out — records come back as a distributed JSON-string RDD, never
+        through the driver."""
+        base_params = {
+            "start_date": start_date,
+            "end_date": end_date,
+            "daily": ",".join(variables),
+            "timezone": "UTC",
+        }
+        url = f"{self.base_url}/archive"
+        headers = dict(self._session.headers)
+        return self._fanout_json(
+            list(locations),
+            lambda delay_s, n, acc: self._location_fetcher(
+                url, base_params, headers, delay_s, n, acc
+            ),
+            _located_schema(variables),
+            self.FANOUT_MAX_TASKS,
         )
-        daily = payload.get("daily") or {}
-        if "time" not in daily:
-            return None
-        df = self.json_to_df([json.dumps(payload)], _daily_schema(variables))
+
+    @staticmethod
+    def _location_fetcher(
+        url: str,
+        base_params: dict,
+        headers: dict,
+        delay_s: float,
+        n_slices: int,
+        attempts_acc,
+    ):
+        """Executor-side fetch closure: self-free (plain values + the
+        accumulator handle only). Emits one JSON string per usable
+        location; a location with no ``daily.time`` axis is skipped
+        (data-shape, not transport); transport failure raises via
+        executor_get so the job fails loudly."""
+
+        def fetch(locs_iter):
+            import json as _json
+            import time as _time
+
+            import requests as rq
+            from pyspark import TaskContext
+
+            from financial_data_engineering_spark.sources.base_client import (
+                executor_get,
+            )
+
+            sess = rq.Session()
+            sess.headers.update(headers)
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            # stagger the fleet's first wave uniformly across one
+            # inter-request window instead of bursting n_slices at once
+            _time.sleep(delay_s * (pid % n_slices) / n_slices)
+            first = True
+            for lat, lon, name in locs_iter:
+                if not first:
+                    _time.sleep(delay_s)
+                first = False
+                payload = executor_get(
+                    sess,
+                    url,
+                    {**base_params, "latitude": lat, "longitude": lon},
+                    attempts_acc,
+                )
+                daily = (payload or {}).get("daily") or {}
+                if "time" in daily:
+                    yield _json.dumps({"location": name, "daily": daily})
+
+        return fetch
+
+    def _pivot(self, df: DataFrame, variables: list[str]) -> DataFrame:
+        """Pivot parallel arrays to rows (open_meteo.py:95-136 semantics):
+        ``explode(arrays_zip(time, vars...))`` with a NULL-repeated array
+        standing in for any variable the response omitted."""
         time_axis = F.col("daily.time")
         null_axis = F.transform(time_axis, lambda _: F.lit(None).cast("double"))
         zipped = F.arrays_zip(
@@ -133,8 +223,8 @@ class OpenMeteoClient(BaseClient):
                 for v in variables
             ],
         )
-        return df.select(F.explode(zipped).alias("z")).select(
-            F.lit(name).alias("location"),
+        return df.select("location", F.explode(zipped).alias("z")).select(
+            "location",
             F.to_timestamp(F.col("z.t")).alias("date"),
             *[F.col(f"z.{v}").alias(COLUMN_MAP.get(v, v)) for v in variables],
         )

@@ -102,16 +102,7 @@ class WorldBankClient(BaseClient):
             raw = frames[0]
             for f in frames[1:]:
                 raw = raw.unionByName(f)
-            df = self._normalize(raw)
-            if self._pending_fanout_accs:
-                df = df.persist()
-                df.count()  # one materialization: fetch runs, errors surface
-                # actual executor HTTP attempts (incl. retries), not pages
-                self.fanout_http_attempts = sum(
-                    acc.value for acc in self._pending_fanout_accs
-                )
-                self.api_calls += self.fanout_http_attempts
-                self._pending_fanout_accs = []
+            df = self._finalize_fanouts(self._normalize(raw))
             return self._build_result(df, started)
         except Exception as exc:  # noqa: BLE001 — lifecycle contract: never raise
             return self._build_error(str(exc), started)
@@ -123,10 +114,6 @@ class WorldBankClient(BaseClient):
     #: ceiling on concurrent fetch tasks, so the per-task token budget
     #: (rate_limit / tasks) stays meaningful.
     FANOUT_MAX_TASKS = 8
-    #: actual executor-side HTTP attempts (incl. retries) booked by the
-    #: last extract's fan-outs — read from accumulators after the
-    #: materializing action, then credited into api_calls.
-    fanout_http_attempts = 0
 
     def _fetch_indicator(
         self, country_str: str, indicator: str, start_year: int, end_year: int
@@ -182,30 +169,19 @@ class WorldBankClient(BaseClient):
         skipped, since the driver walk's stop-on-malformed semantics don't
         compose with unordered tasks. Actual per-attempt HTTP counts come
         back through an accumulator, credited to api_calls after the
-        materializing action."""
-        n_slices = max(1, min(len(pages), self.FANOUT_MAX_TASKS))
-        delay_s = 60.0 * n_slices / self.rate_limit
-        # Charge the fan-out against the shared bucket before launch: one
-        # token per task ≈ the first simultaneous wave; executor-side
-        # self-throttling covers the rest of the request budget.
-        for _ in range(n_slices):
-            self._wait_for_token()
-        attempts_acc = self.spark.sparkContext.accumulator(0)
-        fetch = self._page_fetcher(
-            f"{self.base_url}{path}",
-            dict(base_params),
-            dict(self._session.headers),
-            delay_s,
-            n_slices,
-            attempts_acc,
+        materializing action (see BaseClient._fanout_json /
+        _finalize_fanouts)."""
+        url = f"{self.base_url}{path}"
+        headers = dict(self._session.headers)
+        params = dict(base_params)
+        return self._fanout_json(
+            list(pages),
+            lambda delay_s, n, acc: self._page_fetcher(
+                url, params, headers, delay_s, n, acc
+            ),
+            RECORD_SCHEMA,
+            self.FANOUT_MAX_TASKS,
         )
-        self.last_fanout_partitions = n_slices
-        self._pending_fanout_accs.append(attempts_acc)
-        rdd = (
-            self.spark.sparkContext.parallelize(list(pages), n_slices)
-            .mapPartitions(fetch)
-        )
-        return self.spark.read.schema(RECORD_SCHEMA).json(rdd)
 
     @staticmethod
     def _page_fetcher(
@@ -230,6 +206,10 @@ class WorldBankClient(BaseClient):
             import requests as rq
             from pyspark import TaskContext
 
+            from financial_data_engineering_spark.sources.base_client import (
+                executor_get,
+            )
+
             sess = rq.Session()
             sess.headers.update(headers)
             ctx = TaskContext.get()
@@ -237,41 +217,20 @@ class WorldBankClient(BaseClient):
             # stagger the fleet's first wave uniformly across one
             # inter-request window instead of bursting n_slices at once
             _time.sleep(delay_s * (pid % n_slices) / n_slices)
-            out: list[str] = []
             first = True
             for page in pages_iter:
                 if not first:
                     _time.sleep(delay_s)
                 first = False
-                last_err: Exception | None = None
-                for attempt in range(4):
-                    try:
-                        attempts_acc.add(1)
-                        resp = sess.get(
-                            url, params={**base_params, "page": page}, timeout=30
-                        )
-                    except rq.ConnectionError as exc:
-                        last_err = exc
-                        _time.sleep(2**attempt)
-                        continue
-                    if resp.status_code == 429:
-                        last_err = rq.HTTPError("429", response=resp)
-                        _time.sleep(int(resp.headers.get("Retry-After", 5)))
-                        continue
-                    resp.raise_for_status()
-                    payload = resp.json()
-                    if (
-                        isinstance(payload, list)
-                        and len(payload) >= 2
-                        and payload[1]
-                    ):
-                        out.extend(_json.dumps(rec) for rec in payload[1])
-                    break
-                else:
-                    raise RuntimeError(
-                        f"page {page}: all fetch attempts failed"
-                    ) from last_err
-            return iter(out)
+                payload = executor_get(
+                    sess, url, {**base_params, "page": page}, attempts_acc
+                )
+                if (
+                    isinstance(payload, list)
+                    and len(payload) >= 2
+                    and payload[1]
+                ):
+                    yield from (_json.dumps(rec) for rec in payload[1])
 
         return fetch
 

@@ -301,6 +301,66 @@ class TestOpenMeteo:
             result = client.extract(locations=[(0.0, 0.0, "X")])
         assert result.success and result.records == 0
 
+    def test_large_location_set_fans_out(self, spark, mock_weather):
+        """Above the threshold, locations go through
+        parallelize(locations).mapPartitions (SURVEY §2.A6) — the driver's
+        _get is never called, records stay distributed, api_calls books
+        actual executor HTTP attempts via the accumulator."""
+        client = OpenMeteoClient(spark)
+        n_locs = 10
+        locs = [(float(i), float(i), f"L{i}") for i in range(n_locs)]
+
+        def fake_fetcher(url, base_params, headers, delay_s, n_slices, acc):
+            assert "/archive" in url
+            daily = mock_weather["daily"]
+
+            def fetch(locs_iter):
+                import json as _json
+
+                for lat, lon, name in locs_iter:
+                    acc.add(1)
+                    yield _json.dumps({"location": name, "daily": daily})
+
+            return fetch
+
+        with patch.object(client, "_get") as g, patch.object(
+            client, "_location_fetcher", side_effect=fake_fetcher
+        ):
+            result = client.extract(locations=locs)
+        g.assert_not_called()  # every location fetched executor-side
+        assert result.success
+        assert result.records == n_locs * 3  # 3 days per location
+        assert client.last_fanout_partitions == client.FANOUT_MAX_TASKS
+        assert client.fanout_http_attempts == n_locs
+        assert client.api_calls == n_locs
+        assert result.data.storageLevel.useMemory  # persisted, not collected
+        names = {
+            r["location"] for r in result.data.select("location").collect()
+        }
+        assert names == {f"L{i}" for i in range(n_locs)}
+
+    def test_fanout_location_failure_surfaces_as_error_result(self, spark):
+        """Transport failure on any location fails the extraction loudly
+        (error result) instead of silently dropping that location."""
+        client = OpenMeteoClient(spark)
+        locs = [(float(i), float(i), f"L{i}") for i in range(9)]
+
+        def fake_fetcher(url, base_params, headers, delay_s, n_slices, acc):
+            def fetch(locs_iter):
+                for lat, lon, name in locs_iter:
+                    if name == "L5":
+                        raise RuntimeError("all fetch attempts failed: boom")
+                    yield "{}"
+
+            return fetch
+
+        with patch.object(client, "_get"), patch.object(
+            client, "_location_fetcher", side_effect=fake_fetcher
+        ):
+            result = client.extract(locations=locs)
+        assert not result.success
+        assert "all fetch attempts failed" in result.error
+
 
 # -- World Bank ---------------------------------------------------------------
 
