@@ -311,19 +311,23 @@ def ivf_assignments(
     """(id, v, probe_rank, cluster) rows: each vector's ``nprobe`` nearest
     coarse centroids by cosine (ties broken by lowest centroid id).
 
-    Arrow-batched numpy kernel: per batch, one (batch × centroids) GEMM on
-    the normalized matrices, then a lexsort picks each row's top-nprobe
-    centroids. Two earlier formulations lost here: sort_array-of-structs
-    runs interpreted and re-inlines per element (~100× slow), and a flat
-    unrolled projection is codegen-able but its ~1000-term method costs
-    ~10 s of janino compilation per lineage. The GEMM costs neither."""
+    Arrow-batched numpy kernel: per batch, one (batch × centroids) GEMM,
+    then a lexsort picks each row's top-nprobe centroids. Two earlier
+    formulations lost here: sort_array-of-structs runs interpreted and
+    re-inlines per element (~100× slow), and a flat unrolled projection is
+    codegen-able but its ~1000-term method costs ~10 s of janino
+    compilation per lineage. The GEMM costs neither.
+
+    Assignment is engine-stable by construction: the cosine uses the same
+    dot/(|v|·|c|) association as DuckDB's list_cosine_similarity and is
+    rounded to 9 decimals before the argmax (mirrored in the oracle), so
+    a last-ulp float difference can never flip which centroid wins."""
     import numpy as np
 
     cids = np.array([cid for cid, _ in centroids], dtype="int64")
     cmat = np.stack([np.asarray(v, dtype="float64") for _, v in centroids])
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm = np.where(cnorm == 0.0, 1.0, cnorm)
-    cn = cmat / cnorm[:, None]
 
     id_field = next(f for f in corpus.schema.fields if f.name == id_col)
     vec_field = next(f for f in corpus.schema.fields if f.name == vec_col)
@@ -342,12 +346,7 @@ def ivf_assignments(
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
-            vnorm = np.linalg.norm(mat, axis=1)
-            vnorm = np.where(vnorm == 0.0, 1.0, vnorm)
-            cos = (mat / vnorm[:, None]) @ cn.T
+            cos = _assign_cosine(np, pdf[vec_col], cmat, cnorm)
             # top-nprobe per row: cos desc, centroid id asc on ties
             order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
             take = order[:, :nprobe]
@@ -366,7 +365,79 @@ def ivf_assignments(
     return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
+def _assign_cosine(np, vec_series, cmat, cnorm_safe):
+    """(batch × centroids) cosine matrix for assignment: dot/(|v|·|c|) —
+    the list_cosine_similarity association — rounded to 9 decimals so the
+    argmax is stable across engines (zero-norm rows score 0)."""
+    mat = np.stack([np.asarray(v, dtype="float64") for v in vec_series])
+    vnorm = np.linalg.norm(mat, axis=1)
+    vnorm_safe = np.where(vnorm == 0.0, 1.0, vnorm)
+    cos = np.round(
+        (mat @ cmat.T) / np.outer(vnorm_safe, cnorm_safe), 9
+    )
+    cos[vnorm == 0.0, :] = 0.0
+    return cos
+
+
 KMEANS_SCALE = 1_000_000
+
+
+def _cluster_partials(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd-iteration pass fused into a single Arrow kernel: per
+    batch, assign every vector to its nearest centroid (same rounded
+    dot/(|v|·|c|) argmax as ivf_assignments) and emit ONE row per present
+    cluster holding (count, per-component sum of round(x·10^6) longs as an
+    array). Integer partial sums are order-independent, so summing the
+    partials on the driver is bit-identical to a global aggregate — and
+    this replaces the previous 65-buffer hash aggregate (a janino-compile
+    and shuffle constant paid twice per training) with a map-only pass
+    whose output is ~(partitions × clusters) tiny rows."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in centroids], dtype="int64")
+    cmat = np.stack([np.asarray(v, dtype="float64") for _, v in centroids])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm = np.where(cnorm == 0.0, 1.0, cnorm)
+
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cos = _assign_cosine(np, pdf[vec_col], cmat, cnorm)
+            order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
+            best = cids[order[:, 0]]
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            s = mat * KMEANS_SCALE
+            # round-half-away-from-zero, matching Spark/DuckDB round(x)
+            scaled = (np.floor(np.abs(s) + 0.5) * np.sign(s)).astype("int64")
+            present = np.unique(best)
+            yield pd.DataFrame(
+                {
+                    "cluster": present,
+                    "cnt": [int((best == c).sum()) for c in present],
+                    "sums": [
+                        scaled[best == c].sum(axis=0).tolist() for c in present
+                    ],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
 def kmeans_centroids(
@@ -382,15 +453,19 @@ def kmeans_centroids(
 
     Init is the ``n_centroids`` lowest-id corpus vectors (relabeled
     0..n-1); each of the fixed ``n_iters`` iterations assigns every vector
-    to its nearest centroid by cosine (ties → lowest centroid id) with the
-    distributed GEMM kernel, then recomputes each centroid as the exact
-    cluster mean: components are summed as ``round(x·10^6)`` longs —
-    order-independent integer sums — and divided once, so a SQL replica
-    computes bit-identical centroids regardless of aggregation order.
-    Empty clusters keep their previous centroid. Only the (n_centroids ×
-    dim) sums ever reach the driver — the control-plane collect that any
+    to its nearest centroid by cosine (ties → lowest centroid id) and
+    recomputes each centroid as the exact cluster mean — both fused into
+    one map-only Arrow pass per iteration (:func:`_cluster_partials`).
+    Components are summed as ``round(x·10^6)`` longs — order-independent
+    integer sums — and divided once, so a SQL replica computes
+    bit-identical centroids regardless of aggregation order. Empty
+    clusters keep their previous centroid. Only ~(partitions × clusters)
+    partial-sum rows ever reach the driver — the control-plane collect any
     iterative quantizer needs; the corpus itself never moves.
-    """
+
+    Callers doing several passes (training + final assignment) should pass
+    a persisted projection of (id_col, vec_col) so each iteration scans
+    the cache, not the source (see ivf_topk)."""
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
@@ -400,27 +475,22 @@ def kmeans_centroids(
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)
     ]
     for _ in range(n_iters):
-        assigned = ivf_assignments(
-            corpus, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
-        )
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            *[
-                F.sum(
-                    F.round(
-                        F.element_at("v", j + 1).cast("double") * KMEANS_SCALE, 0
-                    ).cast("long")
-                ).alias(f"c{j}")
-                for j in range(dim)
-            ],
+        partials = _cluster_partials(
+            corpus, cents, id_col=id_col, vec_col=vec_col
         ).collect()
-        by_cluster = {int(r["cluster"]): r for r in sums}
+        by_cluster: dict[int, tuple[int, list[int]]] = {}
+        for r in partials:
+            cnt, sums = by_cluster.get(int(r["cluster"]), (0, [0] * dim))
+            by_cluster[int(r["cluster"])] = (
+                cnt + int(r["cnt"]),
+                [a + int(b) for a, b in zip(sums, r["sums"])],
+            )
         cents = [
             (
                 cid,
                 [
-                    by_cluster[cid][f"c{j}"] / (KMEANS_SCALE * by_cluster[cid]["cnt"])
-                    for j in range(dim)
+                    s / (KMEANS_SCALE * by_cluster[cid][0])
+                    for s in by_cluster[cid][1]
                 ]
                 if cid in by_cluster
                 else old,
@@ -450,11 +520,15 @@ def ivf_topk(
 
     Coarse centroids come from :func:`kmeans_centroids` — deterministic
     seeded Lloyd iterations, so recall reflects real centroid quality
-    while a SQL oracle can still replay training exactly. All scoring is
-    flat codegen arithmetic; the only shuffle is the inverted-list
+    while a SQL oracle can still replay training exactly. The (id, vec)
+    projection is persisted once and shared by every training pass and the
+    final inverted-list assignment, so the source is scanned a single
+    time; scoring reuses the map-side-norm _pair_cos path (norms computed
+    once per row, not per pair); the only shuffle is the inverted-list
     equi-join on cluster id."""
+    proj = corpus.select(id_col, vec_col).persist()
     centroids = kmeans_centroids(
-        corpus,
+        proj,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_centroids,
@@ -462,31 +536,26 @@ def ivf_topk(
         dim=dim,
     )
     corpus_lists = ivf_assignments(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
-    ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster")
+        proj, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cluster",
+        l2_norm_fixed(F.col("v"), dim).alias("cn"),
+    )
     query_probes = ivf_assignments(
         queries, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
-    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cluster")
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "cluster",
+        l2_norm_fixed(F.col("v"), dim).alias("qn"),
+    )
     scored = (
         F.broadcast(query_probes)
         .join(corpus_lists, ["cluster"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.when(
-                    l2_norm_fixed(F.col("qv"), dim) * l2_norm_fixed(F.col("cv"), dim)
-                    > 0,
-                    dot_product_fixed(F.col("qv"), F.col("cv"), dim)
-                    / (
-                        l2_norm_fixed(F.col("qv"), dim)
-                        * l2_norm_fixed(F.col("cv"), dim)
-                    ),
-                ).otherwise(F.lit(0.0)),
-                4,
-            ).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", _pair_cos(dim).alias("cos"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -110,9 +110,11 @@ _KM_SCALE = 1_000_000
 def _kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
     """DuckDB CTE chain replaying llm.similarity.kmeans_centroids exactly:
     init = lowest-id vectors relabeled 0..n-1; per iteration, argmax-cosine
-    assignment (ties → lowest cid) then exact scaled-integer cluster means
-    (sum of round(x·10^6) longs, one division) — the same order-stable
-    arithmetic the Spark side uses, so centroids are bit-identical."""
+    assignment (cosine rounded to 9 decimals before the argmax so a
+    last-ulp difference can't flip a winner; ties → lowest cid) then exact
+    scaled-integer cluster means (sum of round(x·10^6) longs, one
+    division) — the same order-stable arithmetic the Spark side uses, so
+    centroids are bit-identical."""
     parts = [
         f"""cent0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -127,7 +129,8 @@ def _kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
     SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                   ORDER BY round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cv), 9)
                             DESC, c.cid) AS rn
         FROM embeddings e, cent{it} c
     ) WHERE rn = 1
@@ -159,7 +162,8 @@ assign AS (
     SELECT vec_id, cid, rn FROM (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                   ORDER BY round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cv), 9)
                             DESC, c.cid) AS rn
         FROM embeddings e, cent{_N_ITERS} c
     )
