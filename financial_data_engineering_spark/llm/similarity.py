@@ -199,6 +199,108 @@ def lsh_topk(
     )
 
 
+def _lsh_query_probes(
+    queries: DataFrame,
+    planes: list[list[float]],
+    n_probes: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qv, sig) with one row per probe: probe 0 is the query's
+    own bucket; probe i (i ≥ 1) flips the single bit whose hyperplane
+    margin |dot(q, plane)| is i-th smallest — the bits most likely to have
+    landed on the wrong side of their plane, i.e. the nearest
+    complementary buckets. Margins are rounded to 9 decimals before
+    ordering (ties → lowest plane index), so probe order is deterministic
+    and an SQL oracle can replay it exactly."""
+    import numpy as np
+
+    pm = np.stack([np.asarray(pl, dtype="float64") for pl in planes])
+    n_planes = pm.shape[0]
+    n_probes = max(1, min(n_probes, n_planes + 1))
+
+    id_field = next(f for f in queries.schema.fields if f.name == id_col)
+    vec_field = next(f for f in queries.schema.fields if f.name == vec_col)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField("qv", vec_field.dataType),
+            T.StructField("sig", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            dots = mat @ pm.T
+            bits = dots >= 0.0
+            margins = np.round(np.abs(dots), 9)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(n_planes), margins.shape), margins),
+                axis=1,
+            )
+            ids, vecs, sigs = [], [], []
+            for i in range(len(pdf)):
+                base = bits[i]
+                ids.append(pdf[id_col].iloc[i])
+                vecs.append(pdf[vec_col].iloc[i])
+                sigs.append("".join("1" if b else "0" for b in base))
+                for probe in range(1, n_probes):
+                    flipped = base.copy()
+                    j = order[i, probe - 1]
+                    flipped[j] = not flipped[j]
+                    ids.append(pdf[id_col].iloc[i])
+                    vecs.append(pdf[vec_col].iloc[i])
+                    sigs.append("".join("1" if b else "0" for b in flipped))
+            yield pd.DataFrame({"query_id": ids, "qv": vecs, "sig": sigs})
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_probes: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k: like :func:`lsh_topk`, but each query also
+    probes its ``n_probes - 1`` nearest complementary buckets (lowest
+    hyperplane margin bits flipped), so thin buckets can still fill k
+    candidates — recall is a strict superset of single-probe at ~n_probes×
+    the candidate cost, with no extra corpus-side work (the corpus is
+    still bucketed once). Each corpus vector lives in exactly one bucket
+    and probe signatures are distinct, so no candidate dedup is needed."""
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    qa = _lsh_query_probes(
+        queries, planes, n_probes, id_col=id_col, vec_col=vec_col
+    ).withColumn("qn", l2_norm_fixed(F.col("qv"), dim))
+    ca = _lsh_assign(
+        corpus, planes, "neighbor_id", "cv", id_col=id_col, vec_col=vec_col, dim=dim
+    ).withColumn("cn", l2_norm_fixed(F.col("cv"), dim))
+    scored = (
+        F.broadcast(qa)
+        .join(ca, ["sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_cos(dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def pairwise_cosine_gemm(
     corpus: DataFrame,
     *,

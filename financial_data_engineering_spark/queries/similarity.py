@@ -103,6 +103,80 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+_MULTIPROBE_ORACLE = f"""
+WITH planes AS (
+    SELECT p, list_transform(range(64), j ->
+        {sim.sql_hyperplane_component('p::VARCHAR', 'j::VARCHAR')}) AS w
+    FROM (SELECT unnest(range({_N_PLANES})) AS p)
+),
+dots AS (
+    SELECT e.vec_id, pl.p,
+           list_dot_product(e.embedding::DOUBLE[], pl.w) AS d
+    FROM embeddings e, planes pl
+),
+sigs AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY p) AS sig
+    FROM dots GROUP BY vec_id
+),
+qflip AS (
+    SELECT vec_id, p AS flip_p FROM (
+        SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(abs(d), 9), p) AS rn
+        FROM dots WHERE vec_id < {_N_QUERIES}
+    ) WHERE rn = 1
+),
+qprobes AS (
+    SELECT vec_id, sig FROM sigs WHERE vec_id < {_N_QUERIES}
+    UNION ALL
+    SELECT s.vec_id,
+           substr(s.sig, 1, f.flip_p)
+           || (CASE WHEN substr(s.sig, f.flip_p + 1, 1) = '1'
+                    THEN '0' ELSE '1' END)
+           || substr(s.sig, f.flip_p + 2) AS sig
+    FROM sigs s JOIN qflip f USING (vec_id)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM qprobes q
+    JOIN sigs c ON q.sig = c.sig AND q.vec_id != c.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (nprobe=2): each query probes its own bucket
+    plus the nearest complementary bucket — the one reached by flipping
+    the bit whose hyperplane margin |dot| is smallest (margin rounded to 9
+    decimals, ties → lowest plane, so the oracle replays probe order
+    exactly). Thin-bucket queries that single-probe LSH starves can fill
+    their k; candidate cost ≈ 2× while the corpus is still bucketed once."""
+    emb = load(spark, "embeddings", sf_dir)
+    out = sim.lsh_topk_multiprobe(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        k=_TOP_K,
+        n_planes=_N_PLANES,
+        n_probes=2,
+        dim=64,
+    )
+    return out.orderBy("query_id", "rank")
+
+
 _N_ITERS = 2
 _KM_SCALE = 1_000_000
 

@@ -179,6 +179,45 @@ def test_lsh_topk_subset_of_brute_force(spark):
         assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Probing the nearest complementary bucket can only add candidates:
+    per query, multi-probe must return at least as many rows as
+    single-probe, every single-probe hit must score identically, and no
+    multi-probe rank-i cosine may be worse than single-probe's rank-i."""
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 7) + 0.5, float((3 * i) % 5) - 2.0, 1.0, -0.5])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    single = sim.lsh_topk(queries, emb, k=5, n_planes=3, dim=4).collect()
+    multi = sim.lsh_topk_multiprobe(
+        queries, emb, k=5, n_planes=3, n_probes=2, dim=4
+    ).collect()
+    s_by_q: dict[int, list] = {}
+    m_by_q: dict[int, list] = {}
+    for r in single:
+        s_by_q.setdefault(r["query_id"], []).append(r)
+    for r in multi:
+        m_by_q.setdefault(r["query_id"], []).append(r)
+    m_pairs = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in multi}
+    for q, s_rows in s_by_q.items():
+        m_rows = m_by_q.get(q, [])
+        assert len(m_rows) >= len(s_rows)
+        s_cos = sorted((r["cos"] for r in s_rows), reverse=True)
+        m_cos = sorted((r["cos"] for r in m_rows), reverse=True)
+        for i, sc in enumerate(s_cos):
+            assert m_cos[i] >= sc
+    # single-probe candidates that survive into multi-probe's top-k keep
+    # their exact score (same _pair_cos arithmetic)
+    for r in single:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in m_pairs:
+            assert m_pairs[key] == r["cos"]
+
+
 def test_gemm_pairwise_matches_expression_cosine(spark):
     emb = spark.createDataFrame(
         [
