@@ -96,20 +96,22 @@ def sortmerge_join_count(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", plan_text(df)))
 
 
-def has_whole_stage_codegen(
-    df: DataFrame, execute: bool = True, row_cap: int = 10_000
-) -> bool:
+def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
     """True when at least one pipeline compiled to generated code
     (interpreted-only plans leave throughput on the table).
 
     Under AQE the physical plan is only finalized at runtime, so by
-    default this EXECUTES the frame once — capped at ``row_cap`` rows so a
-    plan check can never materialize a full result — and inspects the
-    finalized adaptive plan; pass ``execute=False`` to inspect a frame
-    you've already run."""
+    default this EXECUTES the frame once and inspects its finalized
+    adaptive plan. Execution runs THE CALLER'S exact QueryExecution — no
+    limit() is injected (a CollectLimit/AQE early-stop would change the
+    very plan being asserted, e.g. folding sort+limit to
+    TakeOrderedAndProject) and no separate write command is planned (that
+    would finalize a different QueryExecution than the one inspected).
+    The action is a JVM-side count over the plan's internal-row RDD, so
+    nothing materializes on the driver or crosses into Python. Pass
+    ``execute=False`` to inspect a frame you've already run."""
     if execute:
-        df = df.limit(row_cap)
-        df.collect()
+        df._jdf.queryExecution().toRdd().count()
     text = df._jdf.queryExecution().executedPlan().toString()
     # Codegen stages render as "*(N) Operator" in the simple plan string.
     return bool(re.search(r"\*\(\d+\) ", text))
