@@ -77,20 +77,34 @@ def lang_id(col: Column) -> Column:
     )
 
 
-def quality_score(col: Column) -> Column:
-    """Composite document-quality heuristic in [0,1]: rewards length and
-    stopword density, penalizes punctuation density. Deterministic closed
-    form (rounded to 4dp) so it hash-matches the SQL oracle."""
-    toks = token_count(col).cast("double")
-    stop_ratio = F.when(toks > 0, stopword_hits(col, "en").cast("double") / toks).otherwise(
+def quality_from_parts(toks: Column, stops: Column, praw: Column) -> Column:
+    """Quality score assembled from already-computed parts (token count,
+    en-stopword hits, raw punct ratio). Callers that also OUTPUT those
+    parts should compute them once in a lower projection and feed the
+    column refs here: Spark's CollapseProject won't merge a projection
+    whose non-cheap producer expressions are referenced more than once, so
+    the split/filter subtrees evaluate once per row instead of once per
+    consuming output column (the interpreted higher-order filter is the
+    expensive one). Arithmetic is identical to :func:`quality_score`."""
+    toks = toks.cast("double")
+    stop_ratio = F.when(toks > 0, stops.cast("double") / toks).otherwise(
         F.lit(0.0)
     )
     score = (
         0.35 * F.least(F.lit(1.0), toks / F.lit(20.0))
-        + 0.35 * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5.0))
+        + 0.35 * (F.lit(1.0) - F.least(F.lit(1.0), praw * 5.0))
         + 0.30 * F.least(F.lit(1.0), stop_ratio * 4.0)
     )
     return F.round(score, 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards length and
+    stopword density, penalizes punctuation density. Deterministic closed
+    form (rounded to 4dp) so it hash-matches the SQL oracle."""
+    return quality_from_parts(
+        token_count(col), stopword_hits(col, "en"), punct_ratio(col)
+    )
 
 
 def fingerprint(col: Column) -> Column:

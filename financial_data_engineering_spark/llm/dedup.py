@@ -462,12 +462,17 @@ def winnow_fingerprints(
     frame = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     )
-    count_w = Window.partitionBy("id")
+    # A frame starting at pos is fully inside the sequence iff a gram
+    # exists window-1 rows ahead. lead shares frame's partition/order, so
+    # both evaluate in ONE WindowExec over one sort — the previous
+    # count-over-(partition-only) window forced a second Window node.
     return (
-        grams.withColumn("m", F.min("h").over(frame))
-        .withColumn("n_grams", F.count(F.lit(1)).over(count_w))
-        # only frames fully inside the sequence define a fingerprint
-        .filter(F.col("pos") <= F.col("n_grams") - window)
+        grams.select(
+            "id",
+            F.min("h").over(frame).alias("m"),
+            F.lead("h", window - 1).over(w).alias("_end"),
+        )
+        .filter(F.col("_end").isNotNull())
         .select("id", F.col("m").alias("fp"))
         .distinct()
     )

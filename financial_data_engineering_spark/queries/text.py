@@ -35,15 +35,29 @@ from financial_data_engineering_spark.tables import load
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, punctuation ratio, stopword hits, and
-    composite quality score. Map-only: one scan, zero shuffles; the whole
-    row of metrics computes inside a single codegen stage."""
+    composite quality score. Map-only: one scan, zero shuffles.
+
+    Two-level projection on purpose: the base select computes each
+    expensive subtree (split + interpreted higher-order filter, regexes)
+    exactly once per row, and the quality score is assembled from those
+    column refs. A single flat select would re-inline the token/stopword/
+    punct trees into the quality column — CollapseProject keeps this
+    barrier because the producers are non-cheap and multiply-referenced."""
     docs = load(spark, "documents", sf_dir)
-    return docs.select(
+    base = docs.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
-        F.round(tx.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        tx.punct_ratio(F.col("text")).alias("_praw"),
         tx.stopword_hits(F.col("text"), "en").alias("en_stopwords"),
-        tx.quality_score(F.col("text")).alias("quality"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_praw"), 4).alias("punct_ratio"),
+        "en_stopwords",
+        tx.quality_from_parts(
+            F.col("n_tokens"), F.col("en_stopwords"), F.col("_praw")
+        ).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -115,9 +129,23 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     repr via BigDecimal, DuckDB scales in binary), so no double survives
     to the output."""
     docs = load(spark, "documents", sf_dir)
-    quality = tx.quality_score(F.col("text"))
+    # Same two-level projection as doc_text_stats: parts once per row,
+    # quality assembled from the refs (token_count would otherwise inline
+    # twice — once for q, once for t).
+    base = docs.select(
+        "source",
+        tx.token_count(F.col("text")).alias("t"),
+        tx.stopword_hits(F.col("text"), "en").alias("_stops"),
+        tx.punct_ratio(F.col("text")).alias("_praw"),
+    )
     return (
-        docs.select("source", quality.alias("q"), tx.token_count(F.col("text")).alias("t"))
+        base.select(
+            "source",
+            tx.quality_from_parts(
+                F.col("t"), F.col("_stops"), F.col("_praw")
+            ).alias("q"),
+            "t",
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
