@@ -1,11 +1,27 @@
 # Dev runner — same target surface as the reference Makefile, adapted to
-# the Spark engine (correctness gate + bench replace docker targets; this
-# project has no service dependencies to compose).
+# the Spark engine (correctness gate + bench added alongside the
+# reference's test/lint/docker targets).
 
-.PHONY: test check bench demo-quakes demo-economic demo-multi demo-awards demo-filings clean
+.PHONY: test lint check bench docker-test docker-run demo-quakes demo-economic demo-multi demo-awards demo-filings clean
 
 test:
 	python -m pytest tests/ -x -q
+
+# Reference Makefile:7 parity (ruff check --select F). Falls back to a
+# bytecode compile sweep when ruff isn't on the path (this container).
+lint:
+	@if command -v ruff >/dev/null 2>&1; then \
+		ruff check financial_data_engineering_spark/ tests/ --select F --ignore F401; \
+	else \
+		echo "ruff not installed; running compileall syntax sweep"; \
+		python -m compileall -q financial_data_engineering_spark tests examples bench.py __spark_entry__.py; \
+	fi
+
+docker-test:
+	docker compose run --rm test
+
+docker-run:
+	docker compose run --rm multi-source
 
 # Local replica of the round driver's Spark-vs-DuckDB correctness gate.
 check:
