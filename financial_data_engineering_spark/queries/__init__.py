@@ -17,6 +17,7 @@ from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
 from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
+from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401

@@ -1,0 +1,76 @@
+"""Invariant tests for the corpus-curation queries (sampling, packing,
+vocabulary) at sf0.001 — the oracle gate pins exact values at sf0.01;
+these pin the structural guarantees the docstrings promise."""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_data_engineering_spark import plans
+from financial_data_engineering_spark.queries import curation
+from financial_data_engineering_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_count(spark):
+    return load(spark, "documents", SF_DIR).count()
+
+
+def test_stratified_sample_caps_every_source(spark):
+    rows = curation.doc_sample_stratified(spark, SF_DIR).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert per_source
+    assert all(n <= curation.SAMPLE_PER_SOURCE for n in per_source.values())
+    # deterministic: same selection on a second run
+    again = curation.doc_sample_stratified(spark, SF_DIR).collect()
+    assert [(r["source"], r["doc_id"]) for r in rows] == [
+        (r["source"], r["doc_id"]) for r in again
+    ]
+
+
+def test_pack_bins_partitions_the_corpus_exactly(spark, docs_count):
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.functions import text as tx
+
+    bins = curation.doc_pack_bins(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in bins) == docs_count
+    total_tokens = (
+        load(spark, "documents", SF_DIR)
+        .select(F.sum(tx.token_count(F.col("text")).cast("long")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r["bin_tokens"] for r in bins) == total_tokens
+    # bin ids are contiguous from 0 within each source
+    by_source: dict[str, list[int]] = {}
+    for r in bins:
+        by_source.setdefault(r["source"], []).append(r["bin_id"])
+    for ids in by_source.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # a bin starts only when the previous ones consumed their budget: every
+    # non-final bin holds at least one document and the running sum entering
+    # a bin is >= bin_id * BIN_TOKENS by construction of the assignment
+    assert all(r["n_docs"] >= 1 for r in bins)
+
+
+def test_vocab_stats_bounds(spark):
+    rows = curation.source_vocab_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_types"] <= r["n_tokens"]
+        assert 0 < r["ttr_e4"] <= 10_000
+
+
+def test_top_bigrams_ranked_and_capped(spark):
+    df = curation.top_bigrams(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) <= curation.TOP_BIGRAMS_K
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r["bigram"] for r in rows)
+    # sort+limit must plan as TakeOrderedAndProject (no full sort at scale)
+    assert "TakeOrderedAndProject" in plans.plan_text(df)
