@@ -39,8 +39,17 @@ def main() -> None:
     # include every other registered query too — coverage is part of the bench
     names += [n for n in registry if n not in names]
 
-    # Warm up the JVM + parquet footer caches with one tiny action.
+    # Warm up the JVM, codegen pipeline, and each table's parquet
+    # footer/page caches with one tiny action per table — otherwise the
+    # first query to touch a table silently absorbs reader-initialization
+    # cost that belongs to the session, not the query.
     spark.range(1).count()
+    from financial_data_engineering_spark.schemas import TPCH_TABLES
+
+    for t in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in names:
