@@ -49,10 +49,35 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # arithmetic keeps the whole expression inside whole-stage codegen at ~100×
 # the throughput. The summation order (left-to-right) is identical to the
 # fold above, so both produce bit-identical doubles.
+#
+# The unrolled tree is built as ONE SQL string handed to a single F.expr
+# call when the operand is a column NAME: composing ~200 Column objects
+# through py4j costs ~2 s of driver time per expression (one JVM round
+# trip per node), which dominated small-corpus similarity queries. The
+# parsed tree is identical — SQL + and * are left-associative — so results
+# are bit-for-bit the same as the Column-composed form, which remains the
+# fallback for arbitrary Column operands.
 
 
-def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled dot product for vectors of known length ``dim``."""
+def _term_sql(a: str, b: str, j: int) -> str:
+    return (
+        f"(CAST(element_at({a}, {j}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {j}) AS DOUBLE))"
+    )
+
+
+def _quote(name: str) -> str:
+    return f"`{name}`"
+
+
+def dot_product_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled dot product for vectors of known length ``dim``. Pass
+    column names (not Columns) in hot paths — see module note."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _quote(a), _quote(b)
+        return F.expr(
+            " + ".join(_term_sql(qa, qb, j) for j in range(1, dim + 1))
+        )
     total = None
     for j in range(1, dim + 1):
         term = F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
@@ -60,11 +85,11 @@ def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
     return total
 
 
-def l2_norm_fixed(a: Column, dim: int) -> Column:
+def l2_norm_fixed(a: Column | str, dim: int) -> Column:
     return F.sqrt(dot_product_fixed(a, a, dim))
 
 
-def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Unrolled cosine similarity; 0.0 when either norm is zero."""
     denom = l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)
     return F.when(denom > 0, dot_product_fixed(a, b, dim) / denom).otherwise(

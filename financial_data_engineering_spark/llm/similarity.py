@@ -70,7 +70,7 @@ def _pair_cos(dim: int) -> Column:
     dim-term dot product is evaluated per pair. Same left-to-right double
     association as the one-shot expression, so results are bit-identical."""
     denom = F.col("qn") * F.col("cn")
-    dot = dot_product_fixed(F.col("qv"), F.col("cv"), dim)
+    dot = dot_product_fixed("qv", "cv", dim)
     return F.round(F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 4)
 
 
@@ -91,12 +91,12 @@ def brute_force_topk(
     qa = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
     )
     ca = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
     )
     scored = (
         F.broadcast(qa)
@@ -181,10 +181,10 @@ def lsh_topk(
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     qa = _lsh_assign(
         queries, planes, "query_id", "qv", id_col=id_col, vec_col=vec_col, dim=dim
-    ).withColumn("qn", l2_norm_fixed(F.col("qv"), dim))
+    ).withColumn("qn", l2_norm_fixed("qv", dim))
     ca = _lsh_assign(
         corpus, planes, "neighbor_id", "cv", id_col=id_col, vec_col=vec_col, dim=dim
-    ).withColumn("cn", l2_norm_fixed(F.col("cv"), dim))
+    ).withColumn("cn", l2_norm_fixed("cv", dim))
     scored = (
         F.broadcast(qa)
         .join(ca, ["sig"])
@@ -283,10 +283,10 @@ def lsh_topk_multiprobe(
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     qa = _lsh_query_probes(
         queries, planes, n_probes, id_col=id_col, vec_col=vec_col
-    ).withColumn("qn", l2_norm_fixed(F.col("qv"), dim))
+    ).withColumn("qn", l2_norm_fixed("qv", dim))
     ca = _lsh_assign(
         corpus, planes, "neighbor_id", "cv", id_col=id_col, vec_col=vec_col, dim=dim
-    ).withColumn("cn", l2_norm_fixed(F.col("cv"), dim))
+    ).withColumn("cn", l2_norm_fixed("cv", dim))
     scored = (
         F.broadcast(qa)
         .join(ca, ["sig"])
@@ -643,7 +643,7 @@ def ivf_topk(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         "cluster",
-        l2_norm_fixed(F.col("v"), dim).alias("cn"),
+        l2_norm_fixed("v", dim).alias("cn"),
     )
     query_probes = ivf_assignments(
         queries, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
@@ -651,7 +651,7 @@ def ivf_topk(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
         "cluster",
-        l2_norm_fixed(F.col("v"), dim).alias("qn"),
+        l2_norm_fixed("v", dim).alias("qn"),
     )
     scored = (
         F.broadcast(query_probes)
