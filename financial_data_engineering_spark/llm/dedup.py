@@ -349,27 +349,32 @@ def _simhash_packed_sums(
             F.conv(F.substring("hh", 9, 8), 16, 10).cast("long").alias("w1"),
         )
     )
+    # Rendered as one SQL string per packed counter (a single F.expr call
+    # each) rather than composing ~200 Column nodes through py4j — one JVM
+    # round trip per node was costing more driver time than the query's
+    # executors spent. The parsed trees are identical integer arithmetic.
     packed = []
     for g in range(16):
         word, pos = ("w0", g) if g < 8 else ("w1", g - 8)
-        nib = F.shiftright(F.col(word), 28 - 4 * pos).bitwiseAND(F.lit(15))
-        lanes = [
-            (F.shiftright(nib, q).bitwiseAND(F.lit(1)) * F.lit(1 << (15 * q)))
-            for q in range(4)
-        ]
-        packed.append(sum(lanes[1:], lanes[0]).alias(f"p{g}"))
+        nib = f"(shiftright({word}, {28 - 4 * pos}) & 15)"
+        lanes = " + ".join(
+            f"((shiftright({nib}, {q}) & 1) * {1 << (15 * q)})" for q in range(4)
+        )
+        packed.append(F.expr(lanes).alias(f"p{g}"))
     return tok_rows.select("id", *packed).groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{g}").alias(f"s{g}") for g in range(16)],
     )
 
 
-def _simhash_bit(sums_bit_index: int) -> Column:
-    """Sign bit j (0 = leftmost/MSB) from the packed sums frame: 1 iff
-    2·ones ≥ n."""
+def _simhash_bit_sql(sums_bit_index: int) -> str:
+    """SQL for sign bit j (0 = leftmost/MSB) from the packed sums frame:
+    1 iff 2·ones ≥ n."""
     g, q = sums_bit_index // 4, sums_bit_index % 4
-    ones = F.shiftright(F.col(f"s{g}"), 15 * q).bitwiseAND(F.lit(0x7FFF))
-    return F.when(ones * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        f"CAST(CASE WHEN ((shiftright(s{g}, {15 * q}) & 32767) * 2) >= n "
+        f"THEN 1 ELSE 0 END AS BIGINT)"
+    )
 
 
 def simhash_rows(
@@ -399,18 +404,16 @@ def simhash_fp_halves(
     distance is ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` — two codegen'd
     POPCNT instructions instead of 64 per-character substring compares."""
     sums = _simhash_packed_sums(docs, id_col, text_col)
-    hi = sum(
-        [(_simhash_bit(j).cast("long") * F.lit(1 << (31 - j))) for j in range(1, 32)],
-        _simhash_bit(0).cast("long") * F.lit(1 << 31),
+    # One SQL string per half (see _simhash_packed_sums note): 32 sign-bit
+    # terms each, identical left-associative integer sums to the previous
+    # Column-composed form.
+    hi = " + ".join(
+        f"({_simhash_bit_sql(j)} * {1 << (31 - j)})" for j in range(32)
     )
-    lo = sum(
-        [
-            (_simhash_bit(j).cast("long") * F.lit(1 << (63 - j)))
-            for j in range(33, 64)
-        ],
-        _simhash_bit(32).cast("long") * F.lit(1 << 31),
+    lo = " + ".join(
+        f"({_simhash_bit_sql(j)} * {1 << (63 - j)})" for j in range(32, 64)
     )
-    return sums.select("id", hi.alias("hi"), lo.alias("lo"))
+    return sums.select("id", F.expr(hi).alias("hi"), F.expr(lo).alias("lo"))
 
 
 def exact_survivors(
