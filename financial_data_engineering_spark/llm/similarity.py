@@ -332,11 +332,23 @@ def pairwise_cosine_gemm(
     Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded then
     thresholded. Pair math is identical to the single-matrix form:
     dot / (||a||·||b||), zero-norm vectors score 0.
+
+    Block-count sizing runs NO job: when ``n_blocks`` isn't given it is
+    estimated from the optimizer's size statistics (file size for parquet
+    scans) assuming ≥64 compressed bytes per vector row — erring toward
+    more/smaller blocks, which is memory-safe — and clamped to ≤64 blocks
+    in case a plan has no usable statistics (Spark's missing-stats default
+    is effectively infinite). Results don't depend on blocking; at real
+    scale pass ``n_blocks`` explicitly from known corpus size.
     """
     import numpy as np
 
     if n_blocks is None:
-        n_blocks = max(1, -(-corpus.count() // block_rows))
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        est_rows = max(1, size // 64)
+        n_blocks = min(64, max(1, -(-est_rows // block_rows)))
     pair_structs = [
         F.struct(
             F.least(F.col("blk"), F.lit(j)).alias("ba"),
