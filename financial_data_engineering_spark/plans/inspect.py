@@ -88,12 +88,18 @@ def shuffle_count(df: DataFrame) -> int:
 
 def broadcast_join_count(df: DataFrame) -> int:
     """Number of broadcast joins (hash or nested-loop) — the joins whose
-    build side ships to every executor instead of shuffling both sides."""
-    return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan_text(df)))
+    build side ships to every executor instead of shuffling both sides.
+    Counts numbered node headers, so each operator counts exactly once
+    (the bare node name also appears in the formatted tree summary)."""
+    return len(
+        re.findall(
+            r"\n\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan_text(df)
+        )
+    )
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", plan_text(df)))
+    return len(re.findall(r"\n\(\d+\) SortMergeJoin", plan_text(df)))
 
 
 def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
@@ -121,7 +127,7 @@ def nested_loop_join_count(df: DataFrame) -> int:
     """Number of nested-loop joins — the quadratic fallback that must
     never appear in a candidate-generation path (a broadcast NLJ against a
     deliberately small side is the one acceptable use)."""
-    return len(re.findall(r"NestedLoopJoin", plan_text(df)))
+    return len(re.findall(r"\n\(\d+\) \w*NestedLoopJoin", plan_text(df)))
 
 
 def pandas_kernel_count(df: DataFrame) -> int:
