@@ -50,6 +50,9 @@ def main() -> None:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).limit(1).count()
+    # ... and the Arrow/Python-worker pool (first mapInPandas otherwise
+    # books daemon startup to whichever kernel query runs first).
+    spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in names:
