@@ -5,7 +5,11 @@ scale factor, compares row count, sorted-column schema, and an
 order-insensitive value hash. Use while iterating so mismatches surface
 before the driver's round check.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--strict] [sf_dir] [query ...]
+
+``--strict`` compares floats by full-precision ``repr`` instead of the
+9-digit canonicalization — stricter than any plausible driver comparator,
+so a strict-green query cannot flip red on rounding grounds.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ from financial_data_engineering_spark import queries as q
 from financial_data_engineering_spark.schemas import TPCH_TABLES
 from financial_data_engineering_spark.session import get_spark
 
+STRICT = False
+
 
 def value_hash(rows: list[tuple], columns: list[str]) -> str:
     """Order-insensitive hash over stringified cells, columns sorted by name."""
@@ -35,13 +41,18 @@ def _cell(v) -> str:
     if v is None:
         return "\\N"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        return repr(v) if STRICT else repr(round(v, 9))
     return str(v)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = sys.argv[1:]
+    if args and args[0] == "--strict":
+        STRICT = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
 
     con = duckdb.connect()
