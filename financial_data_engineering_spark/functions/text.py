@@ -62,19 +62,34 @@ def lang_score(col: Column) -> dict[str, Column]:
     return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
 
 
-def lang_id(col: Column) -> Column:
-    """Argmax language by stopword votes, fixed tiebreak order en>de>fr>es.
+def stopword_hits_in(toks: Column, lang: str) -> Column:
+    """Stopword hits over an already-tokenized array column. No empty-text
+    guard needed: blank text tokenizes to [''] and '' matches no stopword,
+    so the count is 0 either way — same value as :func:`stopword_hits`."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("int")
 
-    At scale this is one pass of array intersections per row — no shuffle,
-    no UDF, fully codegen'd.
-    """
-    s = lang_score(col)
+
+def lang_id_from_counts(s: dict[str, Column]) -> Column:
+    """Argmax language from per-language vote-count columns, fixed
+    tiebreak order en>de>fr>es. Feed COLUMN REFS from a lower projection
+    when the counts are expensive (each is referenced up to three times
+    below — see quality_from_parts for why the layering matters)."""
     return (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
         .when(s["fr"] >= s["es"], "fr")
         .otherwise("es")
     )
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword votes, fixed tiebreak order en>de>fr>es.
+
+    At scale this is one pass of array intersections per row — no shuffle,
+    no UDF, fully codegen'd.
+    """
+    return lang_id_from_counts(lang_score(col))
 
 
 def quality_from_parts(toks: Column, stops: Column, praw: Column) -> Column:

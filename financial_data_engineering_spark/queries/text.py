@@ -77,10 +77,28 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (labeled lang × predicted lang). The per-row classifier is one
     pass of array intersections; the rollup is a single low-cardinality
     shuffle (≤ |langs|² groups), so map-side partial aggregation does
-    nearly all the work."""
+    nearly all the work.
+
+    Three-level projection: tokenize once, count each language's votes
+    once over the array, then argmax over the count refs — a flat select
+    would re-inline the tokenizer into all four interpreted stopword
+    filters and each filter into every argmax reference (up to 3×)."""
     docs = load(spark, "documents", sf_dir)
+    toks = docs.select("lang", tx._tokens(F.col("text")).alias("_toks"))
+    counts = toks.select(
+        "lang",
+        *[
+            tx.stopword_hits_in(F.col("_toks"), lang).alias(f"_s_{lang}")
+            for lang in tx.STOPWORDS
+        ],
+    )
     return (
-        docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        counts.select(
+            "lang",
+            tx.lang_id_from_counts(
+                {lang: F.col(f"_s_{lang}") for lang in tx.STOPWORDS}
+            ).alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_pred")
