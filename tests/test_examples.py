@@ -26,6 +26,24 @@ def test_multi_source_pipeline_offline(spark, tmp_path):
     assert dim.count() == 3 and "country_sk" in dim.columns
 
 
+def test_curate_training_corpus(spark, tmp_path):
+    from examples.curate_training_corpus import PER_SOURCE_CAP, main
+
+    out = main(sf_dir="/root/testdata/sf0.001", output_dir=str(tmp_path))
+    assert 0 < out["n_curated"] <= out["n_raw"]
+    curated = spark.read.parquet(str(tmp_path))
+    # curation invariants: dedup + quality gate + per-source cap all held
+    assert curated.count() == curated.select("doc_id").distinct().count()
+    assert curated.filter("quality < 0.5").count() == 0
+    from pyspark.sql import functions as F
+
+    caps = curated.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert caps <= PER_SOURCE_CAP
+    assert "bin_id" in curated.columns
+    # partitioned layout: per-source directories exist on disk
+    assert any(p.name.startswith("source=") for p in tmp_path.iterdir())
+
+
 def test_validate_federal_awards_offline(spark):
     from examples.validate_federal_awards import main
 
