@@ -2,7 +2,7 @@
 # the Spark engine (correctness gate + bench added alongside the
 # reference's test/lint/docker targets).
 
-.PHONY: test lint check bench docker-test docker-run demo-quakes demo-economic demo-multi demo-awards demo-filings clean
+.PHONY: test lint check bench docker-test docker-run demo-quakes demo-economic demo-multi demo-awards demo-filings demo-curate clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -45,6 +45,9 @@ demo-awards:
 
 demo-filings:
 	python examples/validate_sec_filings.py
+
+demo-curate:
+	python examples/curate_training_corpus.py
 
 clean:
 	find . -type d -name __pycache__ -exec rm -rf {} + 2>/dev/null; true
