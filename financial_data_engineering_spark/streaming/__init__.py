@@ -11,6 +11,7 @@ from financial_data_engineering_spark.streaming.events import (
     hourly_rollup,
     read_event_stream,
     run_to_memory_sink,
+    run_to_parquet_sink,
     sliding_counts,
     user_sessions,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "hourly_rollup",
     "read_event_stream",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
     "running_user_stats",
     "sliding_counts",
     "user_sessions",

@@ -132,7 +132,7 @@ def run_to_memory_sink(
 ) -> None:
     """Drain a (bounded) stream into an in-memory sink table and block
     until every available input file is processed — the test/dev harness
-    path. Production sinks swap this for parquet/Kafka + checkpointing."""
+    path. Production sinks swap this for :func:`run_to_parquet_sink`."""
     query = (
         stream.writeStream.format("memory")
         .queryName(table_name)
@@ -141,3 +141,31 @@ def run_to_memory_sink(
         .start()
     )
     query.awaitTermination()
+
+
+def run_to_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Durable sink: append the stream to parquet under ``path`` with a
+    write-ahead checkpoint — the exactly-once production path (restart
+    resumes from the checkpoint; already-committed files are never
+    rewritten). ``availableNow`` drains everything currently available
+    and stops, so the same call serves both backfill ("process the
+    existing lake once") and incremental runs. Append mode means
+    aggregated streams emit only watermark-finalized windows — the
+    correct durable semantics (a window is written exactly once, when it
+    can no longer change)."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.start().awaitTermination()

@@ -122,3 +122,23 @@ def test_stateful_running_user_stats_accumulates_across_batches(
     )
     cols = ["user_id", "n_events", "total_value", "max_value", "last_ts"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_parquet_sink_checkpoint_resume(spark, events_dir, tmp_path):
+    """Durable sink contract: draining a dedup stream into parquet with a
+    checkpoint writes each event exactly once, and a SECOND run against
+    the same checkpoint is a no-op (restart resumes, never rewrites)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = st.dedup_events(st.read_event_stream(spark, events_dir))
+    st.run_to_parquet_sink(stream, out, ckpt)
+
+    from financial_data_engineering_spark.tables import load
+
+    want = load(spark, "events", SF_SMALL).select("event_id").distinct().count()
+    got = spark.read.parquet(out)
+    assert got.count() == want
+    assert got.select("event_id").distinct().count() == want
+
+    # resume against the same checkpoint: nothing new to process
+    st.run_to_parquet_sink(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == want
