@@ -65,6 +65,31 @@ def test_vocab_stats_bounds(spark):
         assert 0 < r["ttr_e4"] <= 10_000
 
 
+def test_curation_plan_shapes_frozen(spark):
+    """Exchange budgets for the curation family (plan snapshot, same idea
+    as the dedup-family freeze): a regression that adds a shuffle here is
+    a regression that adds a network pass over the corpus at 100 TB. No
+    nested-loop joins anywhere; top_bigrams' top-k must plan as
+    TakeOrderedAndProject (no full-sort exchange for a LIMIT k)."""
+    budgets = {
+        # window(source) + presentation sort
+        "doc_sample_stratified": 2,
+        # running-sum window(source); rollup reuses its partitioning
+        "doc_pack_bins": 2,
+        # explode is map-side; distinct agg (2-phase) + presentation sort
+        "source_vocab_stats": 3,
+        # window(doc_id) + count agg; top-k is TakeOrdered, not a sort
+        "top_bigrams": 2,
+    }
+    for name, budget in budgets.items():
+        df = getattr(curation, name)(spark, SF_DIR)
+        assert plans.shuffle_count(df) <= budget, name
+        assert plans.nested_loop_join_count(df) == 0, name
+    assert "TakeOrderedAndProject" in plans.plan_text(
+        curation.top_bigrams(spark, SF_DIR)
+    )
+
+
 def test_top_bigrams_ranked_and_capped(spark):
     df = curation.top_bigrams(spark, SF_DIR)
     rows = df.collect()
