@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm import dedup as dd
+from financial_data_engineering_spark.operators.packing import pack_bins
 from financial_data_engineering_spark.session import get_spark
 from financial_data_engineering_spark.tables import load
 
@@ -83,14 +84,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     )
 
     # 4. token-budget packing (running sum per source)
-    cum = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = (
-        balanced.withColumn("_cum", F.sum("n_tokens").over(cum))
-        .withColumn("bin_id", F.expr(f"(_cum - n_tokens) div {BIN_TOKENS}"))
-        .drop("_cum")
-    )
+    packed = pack_bins(balanced, "source", "doc_id", "n_tokens", BIN_TOKENS)
 
     # 5. write, partitioned by source (partition pruning for per-source reads)
     packed.write.mode("overwrite").partitionBy("source").parquet(output_dir)

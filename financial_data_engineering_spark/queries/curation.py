@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm.dedup import tokens
+from financial_data_engineering_spark.operators.packing import pack_bins
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
@@ -107,22 +108,15 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum by (source, day) the way the streaming layer buckets
     events."""
     docs = load(spark, "documents", sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = pack_bins(
+        docs.select("source", "doc_id", tx.token_count(F.col("text")).alias("t")),
+        "source",
+        "doc_id",
+        "t",
+        BIN_TOKENS,
     )
     return (
-        docs.select(
-            "source", "doc_id", tx.token_count(F.col("text")).alias("t")
-        )
-        .withColumn("c", F.sum("t").over(w))
-        .select(
-            "source",
-            F.expr(f"(c - t) div {BIN_TOKENS}").alias("bin_id"),
-            "t",
-        )
-        .groupBy("source", "bin_id")
+        packed.groupBy("source", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("t").cast("long")).alias("bin_tokens"),

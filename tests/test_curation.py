@@ -57,6 +57,40 @@ def test_pack_bins_partitions_the_corpus_exactly(spark, docs_count):
     assert all(r["n_docs"] >= 1 for r in bins)
 
 
+def test_pack_bins_matches_python_reference(spark):
+    """Property check: the window-based packing equals the sequential
+    Python walk (bin = weight_before // budget) on randomized groups."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financial_data_engineering_spark.operators.packing import pack_bins
+
+    weights = st.lists(st.integers(0, 700), min_size=1, max_size=12)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(wa=weights, wb=weights, budget=st.sampled_from([1, 100, 512]))
+    def check(wa, wb, budget):
+        rows = [("a", i, w) for i, w in enumerate(wa)] + [
+            ("b", i, w) for i, w in enumerate(wb)
+        ]
+        df = spark.createDataFrame(rows, "g string, i int, w int")
+        got = {
+            (r["g"], r["i"]): r["bin_id"]
+            for r in pack_bins(df, "g", "i", "w", budget).collect()
+        }
+        for g, ws in (("a", wa), ("b", wb)):
+            before = 0
+            for i, w in enumerate(ws):
+                assert got[(g, i)] == before // budget, (g, i, budget)
+                before += w
+
+    check()
+
+
 def test_vocab_stats_bounds(spark):
     rows = curation.source_vocab_stats(spark, SF_DIR).collect()
     assert rows
