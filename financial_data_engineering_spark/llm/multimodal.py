@@ -136,6 +136,76 @@ def extract_features(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    max_width: int = 256,
+    max_height: int = 256,
+    require_real: bool = False,
+) -> DataFrame:
+    """Downscale each media payload to fit (max_width, max_height),
+    preserving aspect ratio; already-fitting media pass through unchanged
+    (payload identity preserved — the no-op case must not rewrite bytes).
+    1→1 Arrow-batched transform over the same MEDIA_SCHEMA struct; the
+    resized dimensions are recorded in ``source_meta`` (width/height/
+    resized keys) since the FAKE transcode can't embed them in a real
+    header. Aspect math is pure integer arithmetic (binding edge chosen by
+    cross-multiplication), so output dims are engine-replayable.
+
+    DETERMINISTIC FAKE transcode: the resized payload is the MD5 of
+    (payload ‖ new dims) — a byte-stable stand-in with the same UDF
+    signature as a real ``PIL.Image.resize`` integration
+    (``require_real=True`` raises at the seam)."""
+    if require_real:
+        raise NotImplementedError(
+            "Real media resizing needs PIL/ffmpeg, not present in this "
+            "environment. Integration seam: replace the fake transcode in "
+            "resize_media; the Spark plumbing is codec-agnostic."
+        )
+    out_schema = df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                if m is None or m["data"] is None:
+                    out.append(m)
+                    continue
+                data = bytes(m["data"])
+                w, h, _, _ = _fake_decode(data)
+                if w <= max_width and h <= max_height:
+                    out.append(m)
+                    continue
+                # binding edge by cross-multiplication: width binds iff
+                # w/max_width >= h/max_height  ⟺  w*max_height >= h*max_width
+                if w * max_height >= h * max_width:
+                    new_w = max_width
+                    new_h = max(1, h * max_width // w)
+                else:
+                    new_h = max_height
+                    new_w = max(1, w * max_height // h)
+                fake = hashlib.md5(
+                    data + f"|{new_w}x{new_h}".encode()
+                ).digest()
+                meta = dict(m["source_meta"] or {})
+                meta.update(
+                    {
+                        "width": str(new_w),
+                        "height": str(new_h),
+                        "resized": "true",
+                    }
+                )
+                out.append(
+                    {"data": fake, "mime": m["mime"], "source_meta": meta}
+                )
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

@@ -64,3 +64,39 @@ def test_sample_frames_fan_out_and_stride(media_df):
     assert all(r["id"] != 3 for r in frames)  # null payload emits nothing
     strided = mm.sample_frames(media_df, "id", every=2).collect()
     assert len([r for r in strided if r["id"] == 1]) == (expected_1 + 1) // 2
+
+
+def test_resize_media_bounds_aspect_and_identity(media_df):
+    decoded = {r["id"]: r for r in mm.decode_media(media_df).collect()}
+    out = mm.resize_media(media_df, max_width=32, max_height=32)
+    rows = {r["id"]: r["media"] for r in out.collect()}
+    for i in (1, 2):
+        w, h = decoded[i]["width"], decoded[i]["height"]
+        meta = rows[i]["source_meta"] or {}
+        if w <= 32 and h <= 32:
+            # no-op case: payload identity preserved, no resize marker
+            assert bytes(rows[i]["data"]) == decoded[i]["media"]["data"]
+            assert "resized" not in meta
+        else:
+            nw, nh = int(meta["width"]), int(meta["height"])
+            assert nw <= 32 and nh <= 32 and meta["resized"] == "true"
+            # aspect preserved within integer floor: the binding edge hits
+            # the bound exactly and the other scales proportionally
+            if w * 32 >= h * 32:
+                assert nw == 32 and nh == max(1, h * 32 // w)
+            else:
+                assert nh == 32 and nw == max(1, w * 32 // h)
+            assert len(bytes(rows[i]["data"])) == 16  # fake transcode
+    # null media passes through untouched
+    assert rows[3] is None or rows[3]["data"] is None
+    # deterministic across runs
+    again = {
+        r["id"]: r["media"]
+        for r in mm.resize_media(media_df, max_width=32, max_height=32).collect()
+    }
+    assert bytes(rows[1]["data"]) == bytes(again[1]["data"])
+
+
+def test_resize_media_require_real_raises(media_df):
+    with pytest.raises(NotImplementedError):
+        mm.resize_media(media_df, require_real=True)
