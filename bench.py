@@ -50,6 +50,12 @@ def main() -> None:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).limit(1).count()
+            # parquet count() reads only metadata; pull the actual bytes
+            # through the OS page cache so the first query touching each
+            # table isn't billed for cold disk reads
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
     # ... and the Arrow/Python-worker pool (first mapInPandas otherwise
     # books daemon startup to whichever kernel query runs first).
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
