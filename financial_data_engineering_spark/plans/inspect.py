@@ -29,9 +29,13 @@ def _formatted(df: DataFrame) -> str:
 
 
 def plan_text(df: DataFrame) -> str:
-    """The formatted physical plan (pre-AQE: what the optimizer chose
-    statically; AQE may further improve it at runtime)."""
-    return _formatted(df)
+    """The formatted physical plan. For a frame that has already executed
+    under AQE, the formatted output contains BOTH the final plan and an
+    "Initial Plan" section — keep only the former, or every node (and
+    every Exchange) counts twice."""
+    text = _formatted(df)
+    marker = text.find("== Initial Plan ==")
+    return text if marker == -1 else text[:marker]
 
 
 @dataclass

@@ -177,6 +177,55 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+_QUANT_ORACLE = """
+WITH ex AS (
+    SELECT vec_id,
+           (embedding::DOUBLE[])[CAST(j AS INT)] AS x
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+), b AS (
+    SELECT vec_id, x,
+           min(x) OVER (PARTITION BY vec_id) AS mn,
+           max(x) OVER (PARTITION BY vec_id) AS mx
+    FROM ex
+), c AS (
+    SELECT vec_id, x, mn, mx,
+           CASE WHEN mx > mn
+                THEN CAST(floor(((x - mn) * 255 / (mx - mn)) + 0.5) AS BIGINT)
+                ELSE 0 END AS code
+    FROM b
+), e AS (
+    SELECT vec_id, code,
+           CAST(floor(abs(x - (mn + (code * (mx - mn)) / 255)) * 1000000
+                      + 0.5) AS BIGINT) AS err_e6
+    FROM c
+), agg AS (
+    SELECT vec_id, count(*) AS n,
+           sum(code) AS code_sum, sum(err_e6) AS err_sum
+    FROM e GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(code_sum AS BIGINT) AS code_sum,
+       CAST((2 * err_sum + n) // (2 * n) AS BIGINT) AS mean_err_e6
+FROM agg
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantization_stats", oracle=_QUANT_ORACLE)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit over the embedding corpus: per
+    vector, the quantized-code checksum and the mean reconstruction error
+    (scaled integer) — the decision table for shipping embeddings at 1
+    byte/dim. Every rounding step is floor(v + 0.5) (true-value-based and
+    engine-identical, unlike round-of-double), so the oracle replays the
+    codes bit-for-bit. One shuffle: the per-vector window and the rollup
+    share their hash partitioning."""
+    from financial_data_engineering_spark.llm.quantize import quantization_stats
+
+    emb = load(spark, "embeddings", sf_dir)
+    return quantization_stats(emb).orderBy("vec_id")
+
+
 _N_ITERS = 2
 _KM_SCALE = 1_000_000
 

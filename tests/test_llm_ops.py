@@ -286,3 +286,25 @@ def test_simhash_pairs_finds_identical_docs_with_zero_hamming(spark):
     ])
     pairs = dd.simhash_near_dup_pairs(df, max_hamming=3).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_quantization_stats_hand_computed(spark):
+    from financial_data_engineering_spark import plans
+    from financial_data_engineering_spark.llm.quantize import quantization_stats
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]), (2, [2.5, 2.5])],
+        "vec_id long, embedding array<float>",
+    )
+    df = quantization_stats(emb)
+    rows = {r["vec_id"]: r for r in df.collect()}
+    # codes: 0, 255, floor(0.5*255 + 0.5) = 128
+    assert rows[1]["code_sum"] == 0 + 255 + 128
+    # only the 0.5 element reconstructs inexactly: |0.5 - 128/255|*1e6
+    # -> floor(1960.78 + 0.5) = 1961; half-up mean over 3 = 654
+    assert rows[1]["mean_err_e6"] == 654
+    # constant vector: all-zero codes, exact reconstruction
+    assert rows[2]["code_sum"] == 0
+    assert rows[2]["mean_err_e6"] == 0
+    # one exchange for the per-vector window; the rollup reuses it
+    assert plans.shuffle_count(df) <= 1
