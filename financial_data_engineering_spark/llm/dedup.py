@@ -416,6 +416,76 @@ def simhash_fp_halves(
     return sums.select("id", F.expr(hi).alias("hi"), F.expr(lo).alias("lo"))
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    components of the pair graph via min-label propagation — the step
+    between candidate pairs and survivor selection that a real dedup
+    pipeline needs (A~B and B~C must collapse to one group even when A~C
+    was never emitted).
+
+    Each round every node takes the minimum label among itself and its
+    neighbors (one edge-side join + groupBy-min + one label join — three
+    shuffles over the EDGE set, never the corpus); convergence is reached
+    after O(component diameter) rounds, and near-dup components are
+    near-cliques with tiny diameters, so 2-3 rounds is typical. The loop
+    stops at the fixpoint (changed == 0 — a control-plane count). For
+    galaxy-scale graphs swap in the large-star/small-star formulation
+    (same DataFrame ops, better worst-case rounds); the contract and
+    output stay identical. Deterministic: labels are ids, min is min.
+
+    Returns (node, component) — component = the minimum id in the node's
+    component; only nodes that appear in an edge are labeled."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def exact_survivors(
     docs: DataFrame, id_col: str, fingerprint_col: Column
 ) -> DataFrame:

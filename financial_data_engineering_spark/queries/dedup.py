@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm import dedup as dd
@@ -264,10 +265,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BUCKET_CAP = 200
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=rf"""
-    WITH toks AS (
+# CTE chain + final select for the simhash near-dup pairs, shared by the
+# pairs oracle and the connected-components oracle (one definition, no
+# drift). No ORDER BY so it can nest as a subquery/CTE.
+_SIMHASH_PAIRS_CTES = rf"""toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
         FROM documents
     ),
@@ -302,11 +303,19 @@ _SIMHASH_BUCKET_CAP = 200
                a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
         FROM sliced a JOIN sliced b
           ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
+    )"""
+
+_SIMHASH_PAIRS_SELECT = """SELECT doc_a, doc_b,
            bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTES}
+    {_SIMHASH_PAIRS_SELECT}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -327,3 +336,61 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         max_bucket_size=_SIMHASH_BUCKET_CAP,
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_component_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+    pairs AS (
+        {_SIMHASH_PAIRS_SELECT}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    comp(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, c.label FROM comp c JOIN edges e ON c.node = e.a
+    ),
+    grouped AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM comp GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size
+    FROM grouped
+    ORDER BY doc_id
+    """,
+)
+def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP resolution: the simhash pair graph collapsed
+    into connected components (min-label propagation, llm/dedup.py
+    connected_components) — A~B and B~C land in one group even when A~C
+    was never emitted, which is what survivor selection actually needs.
+    The oracle replays transitive closure with a recursive CTE, so the
+    iterative Spark fixpoint and SQL reachability must agree exactly.
+    Output: every paired document with its component id (= min doc_id in
+    the component) and the component size."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = dd.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
+    )
+    comps = dd.connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("component")
+    return (
+        comps.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )

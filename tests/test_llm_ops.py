@@ -308,3 +308,21 @@ def test_quantization_stats_hand_computed(spark):
     assert rows[2]["mean_err_e6"] == 0
     # one exchange for the per-vector window; the rollup reuses it
     assert plans.shuffle_count(df) <= 1
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must land in one group even though A~C was never an
+    edge; disjoint pairs stay separate; labels are the component min."""
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 7), (7, 2)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 5: 1, 9: 1, 12: 1,   # chain collapses transitively
+        20: 20, 21: 20,            # disjoint pair keeps its own min
+        2: 2, 7: 2, 30: 2,         # min id wins even off the path ends
+    }
