@@ -4,10 +4,12 @@ broadcast, and shuffle-count properties."""
 from financial_data_engineering_spark.plans.inspect import (
     ScanInfo,
     broadcast_join_count,
+    cartesian_count,
     has_whole_stage_codegen,
     nested_loop_join_count,
     pandas_kernel_count,
     plan_text,
+    row_udf_count,
     reads_only,
     scans,
     shuffle_count,
@@ -18,10 +20,12 @@ from financial_data_engineering_spark.plans.inspect import (
 __all__ = [
     "ScanInfo",
     "broadcast_join_count",
+    "cartesian_count",
     "has_whole_stage_codegen",
     "nested_loop_join_count",
     "pandas_kernel_count",
     "plan_text",
+    "row_udf_count",
     "reads_only",
     "scans",
     "shuffle_count",

@@ -134,6 +134,22 @@ def nested_loop_join_count(df: DataFrame) -> int:
     return len(re.findall(r"\n\(\d+\) \w*NestedLoopJoin", plan_text(df)))
 
 
+def cartesian_count(df: DataFrame) -> int:
+    """Number of CartesianProduct nodes — the all-pairs shuffle join that
+    is never acceptable in this engine (even candidate generation goes
+    through bucketed equi-joins or a broadcast NLJ against a bounded
+    side)."""
+    return len(re.findall(r"\n\(\d+\) CartesianProduct", plan_text(df)))
+
+
+def row_udf_count(df: DataFrame) -> int:
+    """Number of row-at-a-time Python UDF nodes (``BatchEvalPython``) —
+    the per-row Python round-trip that is 10-100× slower than Arrow
+    batches. Must be zero everywhere: Python kernels in this engine are
+    Arrow-batched (``ArrowEvalPython`` / mapInPandas / applyInPandas)."""
+    return len(re.findall(r"\n\(\d+\) BatchEvalPython", plan_text(df)))
+
+
 def pandas_kernel_count(df: DataFrame) -> int:
     """Number of Arrow-batched Python kernels (mapInPandas /
     applyInPandas) in the plan — the assertable marker that a GEMM-style
