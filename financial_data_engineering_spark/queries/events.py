@@ -128,6 +128,36 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel_pairs",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS first_id,
+           p.event_id AS then_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+               AS micros_to_conversion
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY first_id, then_id
+    """,
+)
+def event_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/attribution interval join: every click paired with each
+    purchase by the same user within the following hour. Batch face of
+    streaming.funnel_pairs — the SAME function body; the watermarks it
+    declares are no-ops on a batch frame, so the oracle pins the exact
+    semantics the streaming stream-stream join produces (parity asserted
+    in tests/test_streaming.py). Conversion latency is emitted as exact
+    integer microseconds — no float reaches the compared output."""
+    from financial_data_engineering_spark.streaming import funnel_pairs
+
+    events = load(spark, "events", sf_dir)
+    return funnel_pairs(events).orderBy("first_id", "then_id")
+
+
+@register(
     "events_asof_latest_order",
     oracle="""
     WITH latest_per_day AS (

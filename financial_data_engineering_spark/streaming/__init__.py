@@ -8,6 +8,7 @@ from financial_data_engineering_spark.streaming.events import (
     SESSION_GAP,
     WATERMARK,
     dedup_events,
+    funnel_pairs,
     hourly_rollup,
     read_event_stream,
     run_to_memory_sink,
@@ -20,6 +21,7 @@ __all__ = [
     "SESSION_GAP",
     "WATERMARK",
     "dedup_events",
+    "funnel_pairs",
     "hourly_rollup",
     "read_event_stream",
     "run_to_memory_sink",

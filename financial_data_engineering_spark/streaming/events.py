@@ -127,6 +127,70 @@ def dedup_events(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     )
 
 
+def funnel_pairs(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: every ``first_type`` event paired with
+    each ``then_type`` event by the SAME user within ``horizon`` after it —
+    the funnel/attribution primitive (click → purchase, signup → first
+    error, …).
+
+    Unified-model twin pair: on a batch frame the watermarks are no-ops
+    and this is a plain equi-join on user with a time-range predicate
+    (oracle-checked as ``event_funnel_pairs``); on a streaming frame the
+    SAME code is a watermarked stream-stream inner join. The time bound in
+    the join condition is what makes streaming state finite: Spark derives
+    from it that a buffered ``first`` row can be dropped once the ``then``
+    side's watermark passes its ts + horizon, so per-side state is
+    bounded by (events within horizon + lateness), not the full history.
+
+    At scale both sides shuffle once on user_id and matching is local to
+    the user partition; the horizon predicate prunes pairs inside the
+    join, so no time-cross-product ever materializes. Skewed power users
+    bound the worst case at (clicks/hour × purchases/horizon) per user —
+    linear state, quadratic only within one user-horizon.
+
+    Output: user_id, first_id, then_id, micros_to_conversion (exact
+    integer microseconds between the two events — float-free)."""
+    first = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("first_user"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    then = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("then_user"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    return first.join(
+        then,
+        F.expr(
+            "first_user = then_user AND then_ts > first_ts "
+            f"AND then_ts <= first_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("first_user").alias("user_id"),
+        "first_id",
+        "then_id",
+        (F.unix_micros("then_ts") - F.unix_micros("first_ts")).alias(
+            "micros_to_conversion"
+        ),
+    )
+
+
 def run_to_memory_sink(
     stream: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -84,6 +84,18 @@ def test_dedup_drops_replayed_events(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
 
 
+def test_funnel_pairs_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join parity: the watermarked click→purchase
+    join over the stream must emit exactly the pairs the batch twin (and
+    its DuckDB oracle) produces."""
+    stream = st.funnel_pairs(st.read_event_stream(spark, events_dir))
+    assert stream.isStreaming
+    got = _drain(spark, stream, "stream_funnel", mode="append")
+    want = q.all_queries()["event_funnel_pairs"](spark, SF_SMALL)
+    cols = ["user_id", "first_id", "then_id", "micros_to_conversion"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stateful_running_user_stats_accumulates_across_batches(
     spark, events_dir, tmp_path
 ):
