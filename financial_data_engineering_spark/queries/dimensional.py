@@ -94,3 +94,69 @@ def fact_orders_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "customer_priority_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey AS customer_id,
+               o_orderpriority AS priority,
+               o_orderdate AS observed_at,
+               o_orderkey AS tie,
+               CASE WHEN o_orderpriority IS DISTINCT FROM
+                         lag(o_orderpriority) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (PARTITION BY customer_id
+                                 ORDER BY observed_at, tie
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    versions AS (
+        SELECT customer_id, priority, version,
+               min(observed_at) AS valid_from,
+               count(*) AS n_observations
+        FROM runs
+        GROUP BY customer_id, priority, version
+    )
+    SELECT customer_id,
+           CAST(version AS BIGINT) AS version,
+           priority,
+           valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER v IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           n_observations
+    FROM versions
+    WINDOW v AS (PARTITION BY customer_id ORDER BY version)
+    ORDER BY customer_id, version
+    """,
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (J-family extension; the reference
+    stops at type-1 overwrite loads): each customer's order-priority
+    observations collapse into versioned validity intervals via
+    transform.scd2_from_observations — half-open [valid_from, valid_to)
+    rows an as-of probe can join exactly one of. The oracle replays the
+    identical gaps-and-islands derivation in SQL; the Spark plan does the
+    whole build in ONE data shuffle (every window/group clusters on the
+    customer key)."""
+    from financial_data_engineering_spark.transform import scd2_from_observations
+
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return scd2_from_observations(
+        orders,
+        key_cols=["customer_id"],
+        attr_cols=["priority"],
+        ts_col="o_orderdate",
+        tie_col="o_orderkey",
+    ).orderBy("customer_id", "version")

@@ -3,6 +3,7 @@ from financial_data_engineering_spark.transform.base_transformer import (
     TransformationResult,
 )
 from financial_data_engineering_spark.transform.date_dim import build_date_dimension
+from financial_data_engineering_spark.transform.scd import scd2_from_observations
 from financial_data_engineering_spark.transform.star_schema import StarSchemaBuilder
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "StarSchemaBuilder",
     "TransformationResult",
     "build_date_dimension",
+    "scd2_from_observations",
 ]

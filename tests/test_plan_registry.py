@@ -37,6 +37,7 @@ SHUFFLE_BUDGET = {
     "ann_lsh_cosine": 2,
     "ann_lsh_multiprobe": 2,
     "customer_padded_keys": 0,
+    "customer_priority_scd2": 2,
     "customers_without_orders": 2,
     "date_dimension": 2,
     "dedup_component_groups": 2,

@@ -90,3 +90,61 @@ def test_star_schema_build_missing_table_is_error_result(spark, tmp_path):
     result = builder.build({})
     assert not result.success
     assert "dim_missing" in result.error
+
+
+def test_scd2_versions_intervals_and_current_flag(spark):
+    """Gaps-and-islands SCD2: runs of equal attrs merge, re-appearing
+    values open a NEW version (A->B->A is three versions), intervals are
+    half-open and chain without gaps, exactly one current row per key."""
+    from datetime import datetime
+
+    from financial_data_engineering_spark.transform import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [
+            # key 1: A,A,B,A — three versions, middle run of length 1
+            (1, "A", datetime(2024, 1, 1), 10),
+            (1, "A", datetime(2024, 1, 5), 11),
+            (1, "B", datetime(2024, 2, 1), 12),
+            (1, "A", datetime(2024, 3, 1), 13),
+            # key 2: single observation — one current version
+            (2, "Z", datetime(2024, 1, 2), 14),
+            # key 3: null attr then value then null — NULL-safe change detection
+            (3, None, datetime(2024, 1, 1), 15),
+            (3, "C", datetime(2024, 1, 2), 16),
+            (3, None, datetime(2024, 1, 3), 17),
+        ],
+        "k int, attr string, ts timestamp, obs_id int",
+    )
+    out = scd2_from_observations(obs, ["k"], ["attr"], "ts", "obs_id")
+    rows = {(r.k, r.version): r for r in out.collect()}
+
+    assert [rows[(1, v)].attr for v in (1, 2, 3)] == ["A", "B", "A"]
+    assert rows[(1, 1)].n_observations == 2
+    # intervals chain: valid_to of v == valid_from of v+1, NULL only on last
+    assert rows[(1, 1)].valid_to == rows[(1, 2)].valid_from
+    assert rows[(1, 2)].valid_to == rows[(1, 3)].valid_from
+    assert rows[(1, 3)].valid_to is None
+    assert [rows[(1, v)].is_current for v in (1, 2, 3)] == [0, 0, 1]
+
+    assert rows[(2, 1)].is_current == 1 and rows[(2, 1)].valid_to is None
+
+    assert [rows[(3, v)].attr for v in (1, 2, 3)] == [None, "C", None]
+    assert sum(r.is_current for r in rows.values()) == 3  # one per key
+
+
+def test_scd2_same_timestamp_ties_resolved_by_tie_col(spark):
+    """Two observations at the SAME timestamp: the tie column makes the
+    order total, so versioning is deterministic, not partition-luck."""
+    from datetime import datetime
+
+    from financial_data_engineering_spark.transform import scd2_from_observations
+
+    ts = datetime(2024, 6, 1)
+    obs = spark.createDataFrame(
+        [(1, "X", ts, 2), (1, "Y", ts, 1)],
+        "k int, attr string, ts timestamp, obs_id int",
+    )
+    out = {r.version: r.attr for r in
+           scd2_from_observations(obs, ["k"], ["attr"], "ts", "obs_id").collect()}
+    assert out == {1: "Y", 2: "X"}
