@@ -14,6 +14,18 @@ scaled integers), so the DuckDB oracle pins it bit-for-bit:
   source — the vocabulary-diversity screen for low-quality sources.
 - ``top_bigrams``: corpus-wide bigram frequency top-k — boilerplate and
   contamination detection.
+- ``doc_repetition_flags``: Gopher-style within-document repetition
+  signals (duplicate-trigram fraction, top-bigram mass) with a binary
+  keep/drop flag.
+- ``doc_chunks``: fixed-size overlapping character chunking — the
+  context-window segmenter that turns documents into training sequences.
+- ``tfidf_top_terms``: per-source characteristic terms by tf-idf —
+  the "what is this source about" screen.
+- ``pii_scrub_stats``: regex PII scrubbing (emails, phone numbers) with
+  per-source redaction accounting. The synthetic corpus contains no PII,
+  so the query deterministically injects one email + one phone per
+  document first — the scrub kernel and its accounting are what's under
+  test, identically on both engines.
 """
 
 from __future__ import annotations
@@ -223,4 +235,347 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOP_BIGRAMS_K)
+    )
+
+
+#: doc_chunks: chunk size / stride in characters (overlap = CHUNK - STRIDE).
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+#: doc_repetition_flags thresholds (scaled 1e4): flag when the duplicate
+#: trigram fraction >= 5% or the most common bigram carries >= 10% of
+#: bigram mass.
+REP_DUP_TRI_E4 = 500
+REP_TOP_BI_E4 = 1000
+#: tfidf_top_terms: terms reported per source.
+TFIDF_TOP_K = 5
+
+#: PII regexes — identical semantics in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\(555\\) [0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "doc_repetition_flags",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ), g AS (
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(a)),
+                      j -> a[CAST(j AS INT)] || ' ' || a[CAST(j+1 AS INT)])) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3,
+               unnest(list_transform(range(1, len(a) - 1),
+                      j -> a[CAST(j AS INT)] || ' ' || a[CAST(j+1 AS INT)]
+                           || ' ' || a[CAST(j+2 AS INT)]))
+        FROM toks
+    ), c AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+    ), d AS (
+        SELECT doc_id,
+               sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS tri_total,
+               sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS tri_distinct,
+               sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS bi_total,
+               max(CASE WHEN n = 2 THEN c END) AS bi_max
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(tri_total AS BIGINT) AS n_trigrams,
+           CAST(CASE WHEN tri_total > 0 THEN
+               (2 * (tri_total - tri_distinct) * 10000 + tri_total)
+                   // (2 * tri_total) ELSE 0 END AS BIGINT) AS dup_tri_e4,
+           CAST(CASE WHEN bi_total > 0 THEN
+               (2 * bi_max * 10000 + bi_total) // (2 * bi_total)
+               ELSE 0 END AS BIGINT) AS top_bi_e4,
+           CAST(CASE WHEN (CASE WHEN tri_total > 0 THEN
+                   (2 * (tri_total - tri_distinct) * 10000 + tri_total)
+                       // (2 * tri_total) ELSE 0 END) >= {REP_DUP_TRI_E4}
+                 OR (CASE WHEN bi_total > 0 THEN
+                   (2 * bi_max * 10000 + bi_total) // (2 * bi_total)
+                   ELSE 0 END) >= {REP_TOP_BI_E4}
+               THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition screen in the spirit of the Gopher /
+    MassiveText quality rules: the fraction of word-trigram occurrences
+    that are repeats (``dup_tri_e4``) and the mass of the single most
+    frequent bigram (``top_bi_e4``), both half-up 1e4-scaled integers,
+    plus a keep/drop ``flagged`` bit. Repetitive boilerplate (nav bars,
+    templated pages) scores high on both and gets dropped before training.
+
+    Plan shape: tokenize once in a lower projection (the CollapseProject
+    escape hatch keeps the split from re-inlining into each gram lambda),
+    build positioned bi+tri-grams map-side, then two keyed aggregations —
+    (doc_id, n, gram) then (doc_id) — so everything clusters on doc_id and
+    scales per-document with no corpus-wide state."""
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("a"))
+
+    def gram(n: int) -> F.Column:
+        idx = F.sequence(F.lit(1), F.size("a") - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("a", (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size("a") >= n, g).otherwise(empty)
+
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(gram(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(gram(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    per_doc = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 3, F.col("c")).otherwise(0)).alias("tri_total"),
+            F.sum(F.when(F.col("n") == 3, 1).otherwise(0)).alias("tri_distinct"),
+            F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(0)).alias("bi_total"),
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("bi_max"),
+        )
+    )
+    dup_tri = (
+        "CASE WHEN tri_total > 0 THEN (2 * (tri_total - tri_distinct) * 10000"
+        " + tri_total) div (2 * tri_total) ELSE 0 END"
+    )
+    top_bi = (
+        "CASE WHEN bi_total > 0 THEN (2 * bi_max * 10000 + bi_total)"
+        " div (2 * bi_total) ELSE 0 END"
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("tri_total").cast("bigint").alias("n_trigrams"),
+            F.expr(dup_tri).cast("bigint").alias("dup_tri_e4"),
+            F.expr(top_bi).cast("bigint").alias("top_bi_e4"),
+            F.expr(
+                f"CAST(CASE WHEN ({dup_tri}) >= {REP_DUP_TRI_E4}"
+                f" OR ({top_bi}) >= {REP_TOP_BI_E4} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id, text,
+               unnest(range(0, 1 + (greatest(0, length(text) - {CHUNK_CHARS})
+                                    + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}))
+                   AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),
+                              {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),
+                      {CHUNK_CHARS})) AS chunk_md5
+    FROM spans
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunking — the segmenter that turns
+    long documents into training-context windows ({CHUNK_CHARS}-char chunks
+    every {CHUNK_STRIDE} chars, so consecutive chunks overlap by 50 chars
+    and every character lands in at least one chunk; the final chunk may be
+    short). Emits the md5 of each chunk rather than its text so the output
+    stays narrow — downstream exact-dedup of chunks joins on that key.
+
+    Map-only: chunk ids come from ``sequence`` + ``explode`` and each chunk
+    is a ``substring`` — no shuffle anywhere (the trailing sort is
+    presentation). Scales linearly in corpus bytes with ~1.33x write
+    amplification from the overlap."""
+    docs = load(spark, "documents", sf_dir)
+    n_chunks = (
+        f"1 + (greatest(0, length(text) - {CHUNK_CHARS})"
+        f" + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"
+    )
+    chunk = (
+        f"substring(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),"
+        f" {CHUNK_CHARS})"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(0, ({n_chunks}) - 1)")).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("bigint").alias("chunk_start"),
+            F.length(F.expr(chunk)).cast("bigint").alias("chunk_len"),
+            F.md5(F.expr(chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tok2 AS (
+        SELECT * FROM tok WHERE term != ''
+    ), tf AS (
+        SELECT source, term, count(*) AS tf FROM tok2 GROUP BY source, term
+    ), dfq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term
+    ), scored AS (
+        SELECT source, term, tf, df,
+               round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                             / df), 9) AS s9
+        FROM tf JOIN dfq USING (term)
+    ), ranked AS (
+        SELECT source, term, tf, df, s9,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY s9 DESC, term) AS rank
+        FROM scored
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(s9, 4) AS tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY source, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary: the {TFIDF_TOP_K} terms with
+    the highest tf-idf (term frequency within the source x ln(N/df)
+    inverse document frequency over the corpus). Surfaces what makes each
+    source distinctive — and exposes template sources whose "top" terms
+    are navigation boilerplate. Scores are rounded to 9 digits BEFORE the
+    rank window (ties then broken by term) so the ordering is identical on
+    both engines; the emitted score rounds to 4.
+
+    Two keyed aggregations over the exploded token stream (per-source tf,
+    per-term df), a shuffle join on term, and a per-source top-k window.
+    The corpus size N attaches as a broadcast of a single aggregated row —
+    the one whitelisted nested-loop join shape: a map-side scalar, not a
+    shuffle. At 100 TB you'd persist the token stream once instead of
+    scanning twice; the aggregation shapes are unchanged."""
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("s9"), F.asc("term"))
+    return (
+        tf.join(dfq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "s9",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("s9", 4).alias("tfidf"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH aug AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example call (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    ), scrubbed AS (
+        SELECT source, t,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+               regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_redacted,
+           min(md5(clean)) AS scrub_md5
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with per-source accounting: find and replace email
+    addresses and phone numbers, report how many of each were redacted and
+    how many characters the redaction removed, plus a deterministic
+    checksum (min md5 of scrubbed text) proving both engines produced the
+    identical scrubbed corpus. The synthetic documents contain no PII, so
+    one email and one phone are deterministically injected per document —
+    the kernel under test is the scrub itself.
+
+    Map-only regex work (Java regex and RE2 agree on these pattern
+    classes) followed by one keyed rollup; scales linearly and embarrasses
+    nothing at 100 TB. A production scrub emits the ``clean`` column as
+    the new corpus; this query emits the accounting."""
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example call (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    scrubbed = aug.select(
+        "source",
+        "t",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), 0)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum(F.length("t") - F.length("clean")).cast("bigint").alias(
+                "chars_redacted"
+            ),
+            F.min(F.md5("clean")).alias("scrub_md5"),
+        )
+        .orderBy("source")
     )

@@ -49,9 +49,11 @@ SHUFFLE_BUDGET = {
     "dedup_simhash_pairs": 0,
     "dedup_winnowing": 2,
     "doc_bpe_tokens": 1,
+    "doc_chunks": 1,
     "doc_fingerprints": 2,
     "doc_lang_id": 2,
     "doc_pack_bins": 2,
+    "doc_repetition_flags": 3,
     "doc_sample_stratified": 2,
     "doc_text_stats": 1,
     "embedding_quantization_stats": 2,
@@ -68,6 +70,7 @@ SHUFFLE_BUDGET = {
     "nation_latest_order_revenue": 2,
     "order_distinct_counts": 2,
     "order_priority_share": 2,
+    "pii_scrub_stats": 2,
     "pricing_summary": 2,
     "quality_completeness_lineitem": 1,
     "quality_pattern_customer_name": 1,
@@ -78,6 +81,7 @@ SHUFFLE_BUDGET = {
     "source_quality_rollup": 2,
     "source_vocab_stats": 3,
     "surrogate_keys_nation": 1,
+    "tfidf_top_terms": 6,
     "top_bigrams": 2,
     "top_customers_by_revenue": 1,
     "top_part_nouns": 1,
@@ -86,9 +90,10 @@ SHUFFLE_BUDGET = {
 
 # Queries allowed exactly this many nested-loop joins: the kNN scorer
 # cross-joins the corpus against a BROADCAST query set bounded to k<=100
-# rows (llm/similarity.py brute_force_topk) — a map-side loop, not a
-# shuffle. Everything else: zero.
-NLJ_WHITELIST = {"knn_brute_force_cosine": 1}
+# rows (llm/similarity.py brute_force_topk), and tfidf attaches the corpus
+# size N as a broadcast of ONE aggregated row — both map-side loops, not
+# shuffles. Everything else: zero.
+NLJ_WHITELIST = {"knn_brute_force_cosine": 1, "tfidf_top_terms": 1}
 
 
 def test_budget_covers_entire_registry():
