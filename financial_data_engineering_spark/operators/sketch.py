@@ -1,0 +1,98 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The reference engine counts distincts exactly (src/quality/validator.py
+uniqueness rule; SURVEY.md §2.D4). At the 100 TB tier an exact global
+distinct is often the single most expensive aggregate in a profile job, so
+this module adds the classic bottom-k sketch as a first-class operator: hash
+every key to a uniform 48-bit integer, keep the k smallest DISTINCT hash
+values, and estimate the cardinality as ``(k-1) / R_k`` where ``R_k`` is the
+k-th smallest hash normalized to [0, 1) (Bar-Yossef et al. 2002,
+Beyer et al. "On Synopses for Distinct-Value Estimation" SIGMOD'07).
+
+Unlike HyperLogLog (whose register layout and float corrections differ per
+implementation), KMV is exactly replayable in ANSI SQL — md5 prefix, sort,
+limit, one integer division — so the DuckDB oracle pins the estimator
+bit-for-bit. All arithmetic is integer: the estimate is
+``(k-1)·2^48 div h_k``, no doubles anywhere.
+
+Scale design: the only shuffle is the hash-distinct, whose volume is bounded
+by the number of DISTINCT keys (HashAggregate dedups map-side), i.e. the
+same bound ``count(DISTINCT x)`` pays — and this operator reports that exact
+count alongside the estimate for accuracy auditing. A pure sketch pass that
+never shuffles the key set (per-partition bottom-k + driver merge, or a
+pre-filter ``h < threshold`` from a prior estimate) keeps the same estimator
+arithmetic; use it when the exact count is not wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: hash domain: first 12 hex chars of md5 = 48 uniform bits. 2^48 keeps
+#: (k-1)·2^48 far inside BIGINT for any practical k (k ≤ ~32000).
+KMV_HASH_BITS = 48
+_SCALE = 1 << KMV_HASH_BITS
+
+
+def kmv_hash(col: F.Column) -> F.Column:
+    """Uniform 48-bit integer hash of a key (md5-prefix family — the same
+    public construction every dedup family in llm/dedup.py uses)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row frame: ``kmv_k``, ``n_exact`` (exact distinct, for audit),
+    ``kmv_estimate`` (the sketch), ``err_e4`` (half-up scaled relative
+    error |est−exact|/exact × 10⁴). NULL keys are excluded, matching
+    ``count(DISTINCT col)``. When fewer than k distinct keys exist the
+    sketch holds them all and the estimate IS the exact count.
+    """
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(kmv_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    bottom_k = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual"))
+    )
+    exact = hashes.agg(F.count(F.lit(1)).alias("n_exact"))
+    # Combine the two one-row aggregates without a join: pad columns, union,
+    # fold with max (each column is non-null in exactly one input row).
+    stats = (
+        bottom_k.select(
+            "kth", "k_actual", F.lit(None).cast("long").alias("n_exact")
+        )
+        .unionByName(
+            exact.select(
+                F.lit(None).cast("long").alias("kth"),
+                F.lit(None).cast("long").alias("k_actual"),
+                "n_exact",
+            )
+        )
+        .agg(
+            F.max("kth").alias("kth"),
+            F.max("k_actual").alias("k_actual"),
+            F.max("n_exact").alias("n_exact"),
+        )
+    )
+    est = (
+        f"CASE WHEN k_actual < {k} THEN k_actual "
+        f"ELSE {(k - 1) * _SCALE} div greatest(kth, 1) END"
+    )
+    return stats.select(
+        F.lit(k).cast("bigint").alias("kmv_k"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.expr(est).cast("bigint").alias("kmv_estimate"),
+        F.expr(
+            f"CASE WHEN n_exact > 0 THEN"
+            f" (2 * abs(({est}) - n_exact) * 10000 + n_exact)"
+            f" div (2 * n_exact) ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("err_e4"),
+    )

@@ -18,6 +18,7 @@ from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F
 from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
+from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401

@@ -1,0 +1,59 @@
+"""Approximate-query-processing queries: sketches whose estimators are
+deterministic and exactly replayable in SQL, so the oracle can pin them.
+
+``kmv_distinct_customers`` runs the KMV bottom-k sketch (operators/sketch.py)
+over the order fact's customer key and reports the estimate NEXT TO the
+exact count and the scaled relative error — the accuracy audit is part of
+the query surface, not a claim in a docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from financial_data_engineering_spark.operators.sketch import kmv_distinct
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+#: sketch size: expected relative error ~ 1/sqrt(k-1) ≈ 6.3%.
+KMV_K = 256
+_SCALE = 1 << 48
+_NUM = (KMV_K - 1) * _SCALE
+
+
+@register(
+    "kmv_distinct_customers",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), tk AS (
+        SELECT max(h) AS kth, count(*) AS k_actual
+        FROM (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K})
+    ), ex AS (
+        SELECT count(*) AS n_exact FROM hashes
+    ), est AS (
+        SELECT n_exact,
+               CASE WHEN k_actual < {KMV_K} THEN k_actual
+                    ELSE {_NUM} // greatest(kth, 1) END AS e
+        FROM tk, ex
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS kmv_k,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(e AS BIGINT) AS kmv_estimate,
+           CAST(CASE WHEN n_exact > 0 THEN
+                    (2 * abs(e - n_exact) * 10000 + n_exact) // (2 * n_exact)
+                ELSE 0 END AS BIGINT) AS err_e4
+    FROM est
+    """,
+)
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers in the order fact, estimated by the KMV bottom-k
+    sketch and audited against the exact distinct in the same row. The
+    estimator is pure integer arithmetic over md5-prefix hashes — both
+    engines replay it bit-for-bit (sketches with engine-private layouts,
+    e.g. HyperLogLog, can't be oracle-checked like this).
+
+    The tk/ex/est CTE structure in the oracle mirrors the operator's
+    bottom-k / exact / combine stages one-to-one."""
+    return kmv_distinct(load(spark, "orders", sf_dir), "o_custkey", KMV_K)

@@ -63,6 +63,7 @@ SHUFFLE_BUDGET = {
     "fact_orders_star": 1,
     "high_value_parties": 1,
     "hourly_event_rollup": 2,
+    "kmv_distinct_customers": 3,
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,

@@ -77,3 +77,32 @@ def test_pricing_summary_groups(spark):
     flags = {(r["l_returnflag"], r["l_linestatus"]) for r in rows}
     assert len(flags) == len(rows)
     assert all(r["count_order"] > 0 for r in rows)
+
+
+def test_kmv_distinct_exact_when_k_covers_cardinality(spark):
+    """Fewer distinct keys than k: the sketch holds every hash, so the
+    estimate IS the exact count; duplicates and NULLs don't inflate it."""
+    from financial_data_engineering_spark.operators import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(i % 40,) for i in range(400)] + [(None,)], "k int"
+    )
+    row = kmv_distinct(df, "k", k=256).collect()[0]
+    assert row.n_exact == 40
+    assert row.kmv_estimate == 40
+    assert row.err_e4 == 0
+
+
+def test_kmv_distinct_estimates_within_expected_error(spark):
+    """More distinct keys than k: estimate within ~5/sqrt(k-1) relative
+    error (far looser than the 1-sigma bound, so not flaky) and consistent
+    with the reported err_e4."""
+    from financial_data_engineering_spark.operators import kmv_distinct
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    row = kmv_distinct(df, "k", k=256).collect()[0]
+    assert row.n_exact == 5000
+    assert abs(row.kmv_estimate - 5000) / 5000 < 5 / (255**0.5)
+    assert row.err_e4 == (
+        2 * abs(row.kmv_estimate - 5000) * 10000 + 5000
+    ) // (2 * 5000)
