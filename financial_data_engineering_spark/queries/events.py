@@ -211,3 +211,51 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("last_orderdate"),
         F.round("o_totalprice", 2).alias("last_totalprice"),
     ).orderBy("event_id")
+
+
+@register(
+    "event_rollup_grouping_sets",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    )
+    SELECT CAST(2 * GROUPING(event_type) + GROUPING(day) AS BIGINT) AS gid,
+           event_type,
+           day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e
+    GROUP BY ROLLUP (event_type, day)
+    ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def event_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass — the hypertable/OLAP-cube
+    pattern: (event_type, day) leaves, per-type subtotals, and the grand
+    total from a single ROLLUP aggregation instead of three queries over
+    the fact. ``gid`` (2·grouping(type) + grouping(day)) disambiguates a
+    subtotal row from a data row whose key is genuinely NULL.
+
+    Spark expands grouping sets BEFORE the exchange, so partial
+    aggregation still runs map-side for every granularity and the single
+    shuffle carries (leaves + subtotals + 1) keys — at 100 TB that is one
+    fact-table pass instead of one per granularity, the whole point of the
+    operator."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.select("event_type", F.to_date(F.col("ts")).alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("gid", "event_type", "day", "n_events", "total_value")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("event_type"),
+            F.asc_nulls_first("day"),
+        )
+    )

@@ -58,6 +58,7 @@ SHUFFLE_BUDGET = {
     "doc_text_stats": 1,
     "embedding_quantization_stats": 2,
     "event_funnel_pairs": 2,
+    "event_rollup_grouping_sets": 2,
     "event_type_counts": 1,
     "events_asof_latest_order": 3,
     "fact_orders_star": 1,
