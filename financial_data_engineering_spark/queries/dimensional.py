@@ -7,8 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.functions.keys import date_key, surrogate_key
+from financial_data_engineering_spark.operators.asof import asof_join
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 from financial_data_engineering_spark.transform.date_dim import build_date_dimension
@@ -96,10 +98,10 @@ def fact_orders_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_priority_scd2",
-    oracle="""
-    WITH ordered AS (
+# Gaps-and-islands SCD2 derivation as DuckDB CTEs — shared by the dimension
+# build oracle and the as-of probe oracle so the two can never drift.
+_SCD2_VERSIONS_CTE = """
+    ordered AS (
         SELECT o_custkey AS customer_id,
                o_orderpriority AS priority,
                o_orderdate AS observed_at,
@@ -123,6 +125,13 @@ def fact_orders_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM runs
         GROUP BY customer_id, priority, version
     )
+"""
+
+
+@register(
+    "customer_priority_scd2",
+    oracle=f"""
+    WITH {_SCD2_VERSIONS_CTE}
     SELECT customer_id,
            CAST(version AS BIGINT) AS version,
            priority,
@@ -160,3 +169,103 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="o_orderdate",
         tie_col="o_orderkey",
     ).orderBy("customer_id", "version")
+
+
+@register(
+    "lineitem_priority_asof",
+    oracle=f"""
+    WITH {_SCD2_VERSIONS_CTE},
+    dim AS (
+        SELECT customer_id, priority, valid_from
+        FROM (SELECT customer_id, priority, valid_from,
+                     row_number() OVER (PARTITION BY customer_id, valid_from
+                                        ORDER BY version DESC) AS dup_rn
+              FROM versions)
+        WHERE dup_rn = 1
+    ),
+    li AS (
+        -- (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+        -- so tag each lineitem ROW with a synthetic id for the rank below.
+        SELECT o_custkey AS customer_id, l_shipdate, l_quantity,
+               row_number() OVER () AS li_rid
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cand AS (
+        SELECT li.li_rid, li.l_quantity, d.priority,
+               row_number() OVER (PARTITION BY li.li_rid
+                                  ORDER BY d.valid_from DESC) AS rn
+        FROM li LEFT JOIN dim d
+          ON d.customer_id = li.customer_id AND d.valid_from <= li.l_shipdate
+    )
+    SELECT coalesce(priority, 'NONE') AS priority_at_ship,
+           count(*) AS n_lineitems,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM cand WHERE rn = 1
+    GROUP BY priority_at_ship
+    ORDER BY priority_at_ship
+    """,
+)
+def lineitem_priority_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point of a type-2 dimension: probe it AS OF each fact's own
+    timestamp. Every lineitem looks up the priority version its customer
+    was in on the SHIP date (not today's), then the result rolls up per
+    priority. Versions sharing a valid_from keep only the highest version
+    (the superseded one's half-open interval is empty), making the as-of
+    ordering total on both engines.
+
+    Spark plan: the dimension builds in its one customer-keyed shuffle;
+    lineitem picks up its customer via an equi-join on orderkey; the probe
+    itself is operators.asof_join — union + one key-partitioned window,
+    ONE shuffle, no interval blow-up join (the oracle's inequality-join +
+    rank formulation would multiply candidates at scale; the union-window
+    form streams). Cite: reference has no as-of surface (SURVEY §2.C)."""
+    from financial_data_engineering_spark.transform import scd2_from_observations
+
+    orders = load(spark, "orders", sf_dir)
+    dim_full = scd2_from_observations(
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderdate",
+            "o_orderkey",
+        ),
+        key_cols=["customer_id"],
+        attr_cols=["priority"],
+        ts_col="o_orderdate",
+        tie_col="o_orderkey",
+    )
+    dup_w = Window.partitionBy("customer_id", "valid_from").orderBy(
+        F.desc("version")
+    )
+    dim = (
+        dim_full.withColumn("dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("dup_rn") == 1)
+        .select("customer_id", "priority", "valid_from")
+    )
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", F.col("o_custkey").alias("customer_id")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("customer_id", "l_shipdate", "l_quantity")
+    )
+    probed = asof_join(
+        li,
+        dim,
+        on="customer_id",
+        left_time="l_shipdate",
+        right_time="valid_from",
+        payload_cols=["priority"],
+    )
+    return (
+        probed.groupBy(
+            F.coalesce("priority", F.lit("NONE")).alias("priority_at_ship")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("priority_at_ship")
+    )

@@ -68,6 +68,7 @@ SHUFFLE_BUDGET = {
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,
+    "lineitem_priority_asof": 4,
     "multimodal_decode_stats": 2,
     "nation_latest_order_revenue": 2,
     "order_distinct_counts": 2,
