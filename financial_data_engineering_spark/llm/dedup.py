@@ -433,11 +433,24 @@ def connected_components(
     neighbors (one edge-side join + groupBy-min + one label join — three
     shuffles over the EDGE set, never the corpus); convergence is reached
     after O(component diameter) rounds, and near-dup components are
-    near-cliques with tiny diameters, so 2-5 rounds is typical. The loop
-    stops at the fixpoint (changed == 0 — a control-plane count). For
+    near-cliques with tiny diameters, so 2-5 rounds is typical. For
     galaxy-scale graphs swap in the large-star/small-star formulation
     (same DataFrame ops, better worst-case rounds); the contract and
     output stay identical. Deterministic: labels are ids, min is min.
+
+    Two runtime adaptations keep the per-round cost proportional to the
+    GRAPH, not the session defaults:
+
+    - The loop's frames are repartitioned to a width sized from the
+      materialized edge count (the count is control-plane: the edges are
+      already checkpointed). A 300-edge graph iterates in 1-partition
+      jobs instead of 32-task rounds; a billion-edge graph still fans
+      out.
+    - The fixpoint test exploits monotonicity: labels only ever
+      decrease, so sum(label) strictly decreases until the fixpoint —
+      one tiny aggregate per round (summed as decimal(38,0), exact for
+      any graph size) instead of a self-join + filter + count, removing
+      a per-round shuffle join.
 
     Each round's result is materialized with ``localCheckpoint`` — the
     mandatory move for iterative DataFrame algorithms: persist() caches
@@ -454,15 +467,26 @@ def connected_components(
     edges_ck = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint()
-    sym = edges_ck.unionByName(
-        edges_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # Size the loop's parallelism from the graph itself (~50k edges per
+    # partition, capped): the edge count is free now that edges_ck is
+    # materialized, and every subsequent round pays per-task scheduling
+    # on exactly this width.
+    n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
+    sym = (
+        edges_ck.unionByName(
+            edges_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(n_parts, "dst")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(n_parts, "node")
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -480,15 +504,15 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Monotone fixpoint: labels never increase, so the (exact,
+        # overflow-free) label sum is strictly decreasing until converged.
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
