@@ -8,6 +8,7 @@ from financial_data_engineering_spark.streaming.events import (
     SESSION_GAP,
     WATERMARK,
     dedup_events,
+    enrich_events,
     funnel_pairs,
     hourly_rollup,
     read_event_stream,
@@ -21,6 +22,7 @@ __all__ = [
     "SESSION_GAP",
     "WATERMARK",
     "dedup_events",
+    "enrich_events",
     "funnel_pairs",
     "hourly_rollup",
     "read_event_stream",

@@ -233,3 +233,20 @@ def run_to_parquet_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.start().awaitTermination()
+
+
+def enrich_events(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment: attach a slowly-changing dimension's
+    payload to every event via a broadcast left join. Stream-static joins
+    are STATELESS — no watermark, no state store; each micro-batch joins
+    against the dimension as of that batch, so a dimension refresh (e.g.
+    the SCD2 current-version view) is picked up on the next trigger
+    without restarting the query.
+
+    At scale the static side must stay broadcast-sized (dimension, not
+    fact); if it outgrows the broadcast threshold Spark falls back to a
+    per-batch shuffle join, which still works but costs a stream-side
+    repartition every trigger — keep dimensions narrow."""
+    return events.join(F.broadcast(dim), on=on, how="left")

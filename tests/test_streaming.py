@@ -154,3 +154,26 @@ def test_parquet_sink_checkpoint_resume(spark, events_dir, tmp_path):
     # resume against the same checkpoint: nothing new to process
     st.run_to_parquet_sink(stream, out, ckpt)
     assert spark.read.parquet(out).count() == want
+
+
+def test_enrich_events_stream_static_join_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment: every streamed event picks up
+    its dimension payload exactly as the batch join does; events with no
+    dimension row keep NULL (left join), and the op is stateless (no
+    watermark required)."""
+    dim = spark.range(0, 5).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier_"), (F.col("id") % 3).cast("string")).alias("tier"),
+    )
+    stream = st.enrich_events(st.read_event_stream(spark, events_dir), dim)
+    assert stream.isStreaming
+    got = _drain(spark, stream, "stream_enriched", mode="append")
+    batch = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
+    )
+    want_rows = _rows(
+        batch.join(F.broadcast(dim), "user_id", "left"),
+        ["event_id", "tier"],
+    )
+    assert _rows(got, ["event_id", "tier"]) == want_rows
+    assert got.filter(F.col("tier").isNull()).count() > 0  # left-join nulls kept
