@@ -3,6 +3,11 @@ from financial_data_engineering_spark.transform.base_transformer import (
     TransformationResult,
 )
 from financial_data_engineering_spark.transform.date_dim import build_date_dimension
+from financial_data_engineering_spark.transform.export import (
+    export_jsonl_shards,
+    read_jsonl_shards,
+    with_shard,
+)
 from financial_data_engineering_spark.transform.scd import scd2_from_observations
 from financial_data_engineering_spark.transform.star_schema import StarSchemaBuilder
 

@@ -148,3 +148,48 @@ def test_scd2_same_timestamp_ties_resolved_by_tie_col(spark):
     out = {r.version: r.attr for r in
            scd2_from_observations(obs, ["k"], ["attr"], "ts", "obs_id").collect()}
     assert out == {1: "Y", 2: "X"}
+
+
+def test_jsonl_export_deterministic_shards_and_roundtrip(spark, tmp_path):
+    """Hash-sharded JSONL export: membership is a pure function of the key
+    (re-export reproduces identical shard assignment), each shard is one
+    file, and a schema-supplied read round-trips every value including
+    nested arrays."""
+    from financial_data_engineering_spark.transform import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+        with_shard,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", f"text {i}", [float(i), float(i) + 0.5]) for i in range(50)],
+        "doc_id string, body string, emb array<double>",
+    )
+
+    # shard id is deterministic: same key -> same shard, twice
+    a = {r.doc_id: r.shard for r in with_shard(df, "doc_id", 4).collect()}
+    b = {r.doc_id: r.shard for r in with_shard(df, "doc_id", 4).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3}
+    assert all(0 <= s < 4 for s in a.values())
+
+    path = str(tmp_path / "corpus")
+    export_jsonl_shards(df, path, key_col="doc_id", n_shards=4)
+
+    # one data file per shard directory (repartition clustered each shard)
+    import glob
+
+    for s in range(4):
+        files = [f for f in glob.glob(f"{path}/shard={s}/*")
+                 if not f.endswith((".crc", "_SUCCESS"))]
+        assert len(files) == 1, files
+
+    back = read_jsonl_shards(
+        spark, path, schema="doc_id string, body string, emb array<double>, shard int"
+    )
+    rows = {r.doc_id: r for r in back.collect()}
+    assert len(rows) == 50
+    assert rows["doc7"].body == "text 7"
+    assert rows["doc7"].emb == [7.0, 7.5]
+    # partition column round-trips the hash membership
+    assert {k: r.shard for k, r in rows.items()} == a
