@@ -56,10 +56,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # pandas/Arrow writers emit timestamp[ns] parquet, which Spark's
-        # vectorized reader rejects as TimestampType; read as long and
-        # convert explicitly (tables.load does the div-1000 conversion).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

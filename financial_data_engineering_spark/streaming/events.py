@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from financial_data_engineering_spark.schemas import SCHEMAS
 
@@ -42,21 +41,13 @@ def read_event_stream(
     ``maxFilesPerTrigger`` is the ingestion throttle (the streaming analog
     of the REST layer's token bucket).
     """
-    schema = SCHEMAS["events"]
-    # The driver's parquet stores ts as ns; the batch loader converts via
-    # int64 (tables.py). For streams we declare ts as long and convert the
-    # same way, so batch and stream rows are bit-identical.
-    stream_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in schema.fields
-        ]
-    )
-    reader = spark.readStream.schema(stream_schema)
+    # The events parquet stores ts as timestamp[us] — Spark's native
+    # TimestampType precision — so the declared batch schema reads the
+    # stream directly and batch/stream rows are bit-identical.
+    reader = spark.readStream.schema(SCHEMAS["events"])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(path)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:

@@ -168,9 +168,7 @@ def test_enrich_events_stream_static_join_matches_batch(spark, events_dir):
     stream = st.enrich_events(st.read_event_stream(spark, events_dir), dim)
     assert stream.isStreaming
     got = _drain(spark, stream, "stream_enriched", mode="append")
-    batch = spark.read.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
-    )
+    batch = spark.read.parquet(events_dir)
     want_rows = _rows(
         batch.join(F.broadcast(dim), "user_id", "left"),
         ["event_id", "tier"],
