@@ -89,3 +89,22 @@ def test_collect_economic_indicators_offline(spark):
     assert all(r["year"] == 2023 for r in latest)
     vals = [r["value"] for r in latest]
     assert vals == sorted(vals, reverse=True)
+
+def test_generate_sample_reports(spark, tmp_path, monkeypatch):
+    """The published sample-report artifacts regenerate deterministically:
+    three validation reports (JSON + text) and a corpus profile."""
+    import json
+
+    from examples import generate_sample_reports as g
+
+    monkeypatch.setattr(g, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr("sys.argv", ["generate_sample_reports.py", str(tmp_path)])
+    g.main()
+
+    for name in ("orders_quality", "lineitem_quality", "documents_quality"):
+        payload = json.loads((tmp_path / f"{name}.json").read_text())
+        assert payload["name"] == name
+        assert payload["summary"]["total_rules"] == len(payload["results"])
+        assert (tmp_path / f"{name}.txt").read_text().strip()
+    profile = json.loads((tmp_path / "corpus_profile.json").read_text())
+    assert profile["sources"] and all(s["n_docs"] > 0 for s in profile["sources"])
