@@ -279,6 +279,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: every training document sharing at least
+    ``min_shared`` distinct word ``n``-grams with a held-out evaluation
+    document — the contamination-detection pass an LLM data pipeline runs
+    before training (the published recipe: flag training docs with long
+    n-gram collisions against benchmark/eval text).
+
+    Plan shape: both sides build the same distinct (id, shingle) inverted
+    index as the dedup passes; the join on the shingle key counts distinct
+    shared n-grams per (train, eval) pair. At 100 TB the asymmetry is the
+    design: eval suites are MB-scale while the corpus is the 100 TB side,
+    so the eval index is BROADCAST (``broadcast_eval``) and the training
+    index streams map-side through it — no shuffle of the corpus at all.
+    Set ``broadcast_eval=False`` only for giant eval sets, which falls back
+    to a shuffle join on uniform shingle keys.
+
+    Output (all integers, engine-exact): ``train_id``, ``eval_id``,
+    ``n_shared`` distinct shared n-grams, ``eval_sz`` distinct n-grams in
+    the eval doc, and ``permille`` = n_shared·1000 div eval_sz — the
+    contaminated fraction of the eval doc in exact integer permille."""
+    tr = shingle_rows(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), "g"
+    )
+    ev = shingle_rows(eval_df, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), "g"
+    )
+    ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
+    ev_join = F.broadcast(ev) if broadcast_eval else ev
+    hits = (
+        tr.join(ev_join, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_join = F.broadcast(ev_sz) if broadcast_eval else ev_sz
+    return hits.join(sz_join, "eval_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        "eval_sz",
+        F.expr("n_shared * 1000 div eval_sz").alias("permille"),
+    )
+
+
 def simhash64(col: Column) -> Column:
     """64-bit SimHash as a Column expression (64-char '0'/'1' string).
 

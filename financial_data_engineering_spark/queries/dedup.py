@@ -154,6 +154,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+#: Eval split: docs whose md5(doc_id) starts with 0 or 1 (~1/8 of the corpus)
+#: stand in for a held-out benchmark suite. Deterministic and replayable.
+_EVAL_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+
+@register(
+    "eval_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4])) AS s
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+    ev AS (SELECT * FROM inv WHERE {_EVAL_PRED}),
+    tr AS (SELECT * FROM inv WHERE NOT ({_EVAL_PRED})),
+    ev_sz AS (SELECT doc_id, count(*) AS eval_sz FROM ev GROUP BY doc_id),
+    pairs AS (
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+               count(*) AS n_shared
+        FROM tr JOIN ev ON tr.g = ev.g
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT train_id, eval_id, n_shared, eval_sz,
+           (n_shared * 1000) // eval_sz AS permille
+    FROM pairs JOIN ev_sz ON ev_sz.doc_id = pairs.eval_id
+    ORDER BY train_id, eval_id
+    """,
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination pass: training documents sharing ≥ 2
+    distinct 5-gram word shingles with the held-out eval slice (a
+    deterministic md5-prefix ~1/8 split of ``documents``). The eval
+    inverted index is broadcast, so the training corpus never shuffles —
+    the shape that makes decontamination affordable at 100 TB, where the
+    eval side is MB-scale benchmark text. All-integer output (permille =
+    n_shared·1000 div eval_sz) so the oracle replays exactly."""
+    docs = load(spark, "documents", sf_dir)
+    is_eval = F.expr(
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')"
+    )
+    return dd.contamination_pairs(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        "doc_id",
+        "text",
+        n=5,
+        min_shared=2,
+    ).orderBy("train_id", "eval_id")
+
+
 @register(
     "dedup_simhash",
     oracle=r"""

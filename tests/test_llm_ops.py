@@ -326,3 +326,46 @@ def test_connected_components_transitive_closure(spark):
         20: 20, 21: 20,            # disjoint pair keeps its own min
         2: 2, 7: 2, 30: 2,         # min id wins even off the path ends
     }
+
+def test_contamination_pairs_hand_computed(spark):
+    """Planted overlap: train doc 10 embeds a 6-token run of eval doc 1
+    (two distinct 5-grams); train doc 11 shares nothing. permille is exact
+    integer arithmetic."""
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )  # 8 tokens -> 4 distinct 5-grams
+    train = spark.createDataFrame(
+        [
+            (10, "x y alpha beta gamma delta epsilon zeta w v u t"),
+            (11, "completely different words with no shared runs here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.contamination_pairs(
+        train, eval_df, "doc_id", "text", n=5, min_shared=2
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.train_id, row.eval_id) == (10, 1)
+    # shared 5-grams: "alpha beta gamma delta epsilon", "beta gamma delta epsilon zeta"
+    assert row.n_shared == 2 and row.eval_sz == 4
+    assert row.permille == 500
+
+
+def test_contamination_min_shared_filters(spark):
+    """min_shared=3 must drop the 2-shingle overlap from the previous test."""
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, "x y alpha beta gamma delta epsilon zeta w v u t")],
+        "doc_id long, text string",
+    )
+    assert (
+        dd.contamination_pairs(
+            train, eval_df, "doc_id", "text", n=5, min_shared=3
+        ).count()
+        == 0
+    )

@@ -57,6 +57,9 @@ SHUFFLE_BUDGET = {
     "doc_sample_stratified": 2,
     "doc_text_stats": 1,
     "embedding_quantization_stats": 2,
+    # broadcast eval index: the 4 exchanges are the two tiny eval-side
+    # aggregations + final sort, never a corpus shuffle (SMJ count is 0)
+    "eval_contamination": 4,
     "event_funnel_pairs": 2,
     "event_rollup_grouping_sets": 2,
     "event_type_counts": 1,
