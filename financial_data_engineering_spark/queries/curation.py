@@ -85,6 +85,51 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mix_rebalance",
+    oracle="""
+    WITH w AS (
+        SELECT source, doc_id,
+               1 + (CAST(substr(source, 4) AS INT) % 3) AS wt
+        FROM documents
+    ),
+    cnt AS (SELECT source, wt, count(*) AS n_docs FROM w GROUP BY source, wt),
+    tot AS (SELECT sum(wt) AS W FROM cnt),
+    nmax AS (SELECT min(n_docs * W // wt) AS N FROM cnt, tot),
+    quota AS (
+        SELECT source, (N * wt) // W AS quota FROM cnt, tot, nmax
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.source, r.doc_id, q.quota
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.quota
+    ORDER BY r.source, r.doc_id
+    """,
+)
+def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture rebalance: downsample every source to the exact
+    quota of the largest corpus achievable at target weights (here a
+    deterministic 1/2/3 weighting derived from the source name). All
+    quota math is integer (N = min n_s·W div w_s; q_s = N·w_s div W) and
+    selection ranks on md5(doc_id) — fully engine-replayable. Two
+    corpus-side shuffles (count agg + rank window); quotas and the
+    achievable-N scalar attach via broadcast."""
+    from financial_data_engineering_spark.operators.mixing import (
+        mixture_rebalance,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    weight = F.expr("1 + (CAST(substr(source, 4, 10) AS INT) % 3)")
+    return mixture_rebalance(docs, weight, "source", "doc_id").orderBy(
+        "source", "doc_id"
+    )
+
+
+@register(
     "doc_pack_bins",
     oracle=f"""
     WITH toks AS (

@@ -133,3 +133,44 @@ def test_top_bigrams_ranked_and_capped(spark):
     assert all(" " in r["bigram"] for r in rows)
     # sort+limit must plan as TakeOrderedAndProject (no full sort at scale)
     assert "TakeOrderedAndProject" in plans.plan_text(df)
+
+
+def test_mixture_quotas_integer_math(spark):
+    """Hand-checked quota math: sources a(30 docs, w=1), b(10, w=2).
+    W=3; N = min(30*3//1, 10*3//2) = min(90, 15) = 15;
+    q_a = 15*1//3 = 5, q_b = 15*2//3 = 10."""
+    from financial_data_engineering_spark.operators.mixing import mixture_quotas
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", 100 + i) for i in range(10)],
+        "source string, doc_id long",
+    )
+    wt = F.when(F.col("source") == "b", F.lit(2)).otherwise(F.lit(1))
+    got = {
+        r.source: (r.weight, r.n_docs, r.quota)
+        for r in mixture_quotas(docs, wt).collect()
+    }
+    assert got == {"a": (1, 30, 5), "b": (2, 10, 10)}
+
+
+def test_mixture_rebalance_exact_and_deterministic(spark):
+    """Rebalance keeps exactly the quota per source and the selection is
+    stable across runs (md5 ranking, no RNG)."""
+    from financial_data_engineering_spark.operators.mixing import (
+        mixture_quotas,
+        mixture_rebalance,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", 100 + i) for i in range(10)],
+        "source string, doc_id long",
+    )
+    wt = F.when(F.col("source") == "b", F.lit(2)).otherwise(F.lit(1))
+    quotas = {r.source: r.quota for r in mixture_quotas(docs, wt).collect()}
+    kept = mixture_rebalance(docs, wt).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in kept} == quotas
+    first = sorted(r.doc_id for r in mixture_rebalance(docs, wt).collect())
+    second = sorted(r.doc_id for r in mixture_rebalance(docs, wt).collect())
+    assert first == second

@@ -52,6 +52,9 @@ SHUFFLE_BUDGET = {
     "doc_chunks": 1,
     "doc_fingerprints": 2,
     "doc_lang_id": 2,
+    # 4 = corpus count agg + one-partition quota window (k source rows)
+    # + corpus rank window + presentation sort; quotas attach broadcast
+    "doc_mix_rebalance": 4,
     "doc_pack_bins": 2,
     "doc_repetition_flags": 3,
     "doc_sample_stratified": 2,
