@@ -415,3 +415,54 @@ def customer_padded_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(10)
     )
+
+
+@register(
+    "order_week_shipments",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def order_week_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-keyed big×big interval join: per order, ALL lineitems (any
+    order) shipped inside [o_orderdate, o_orderdate + 7 days) — the
+    market-activity-around-an-event query shape. Expressed through the
+    bucketed range-join operator: the inequality condition becomes an
+    equi-join on weekly epoch-day buckets (each 7-day interval covers
+    <= 2 buckets) plus an exact containment filter — no nested-loop
+    join, uniform shuffle keys, codegen throughout. Quantities sum as
+    BIGINT so the aggregate is engine-exact."""
+    from financial_data_engineering_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("start_day"),
+        (F.expr("unix_micros(o_orderdate) div 86400000000") + 7).alias(
+            "end_day"
+        ),
+    )
+    ship = load(spark, "lineitem", sf_dir).select(
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("ship_day"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return (
+        point_in_interval_join(
+            ship, orders, "ship_day", "start_day", "end_day", bucket_width=7
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -106,3 +106,80 @@ def test_kmv_distinct_estimates_within_expected_error(spark):
     assert row.err_e4 == (
         2 * abs(row.kmv_estimate - 5000) * 10000 + 5000
     ) // (2 * 5000)
+
+
+class TestPointInIntervalJoin:
+    """Bucketed range-join operator: containment semantics and plan shape."""
+
+    def _frames(self, spark):
+        points = spark.createDataFrame(
+            [(0, 5), (1, 10), (2, 14), (3, 15), (4, 99)],
+            "pid long, p long",
+        )
+        intervals = spark.createDataFrame(
+            [(100, 5, 15), (200, 10, 11), (300, 90, 120)],
+            "iid long, s long, e long",
+        )
+        return points, intervals
+
+    def test_containment_inclusive_start_exclusive_end(self, spark):
+        from financial_data_engineering_spark.operators.rangejoin import (
+            point_in_interval_join,
+        )
+
+        points, intervals = self._frames(spark)
+        got = sorted(
+            (r.pid, r.iid)
+            for r in point_in_interval_join(
+                points, intervals, "p", "s", "e", bucket_width=7
+            ).collect()
+        )
+        # p=5 in [5,15); p=10 in [5,15) and [10,11); p=14 in [5,15);
+        # p=15 NOT in [5,15) (end exclusive); p=99 in [90,120)
+        assert got == [(0, 100), (1, 100), (1, 200), (2, 100), (4, 300)]
+
+    def test_bucket_width_does_not_change_semantics(self, spark):
+        from financial_data_engineering_spark.operators.rangejoin import (
+            point_in_interval_join,
+        )
+
+        points, intervals = self._frames(spark)
+        expect = None
+        for width in (1, 3, 50, 1000):
+            got = sorted(
+                (r.pid, r.iid)
+                for r in point_in_interval_join(
+                    points, intervals, "p", "s", "e", bucket_width=width
+                ).collect()
+            )
+            expect = got if expect is None else expect
+            assert got == expect, f"width={width} changed the result"
+
+    def test_extra_equality_keys(self, spark):
+        from financial_data_engineering_spark.operators.rangejoin import (
+            point_in_interval_join,
+        )
+
+        points = spark.createDataFrame(
+            [("a", 5), ("b", 5)], "k string, p long"
+        )
+        intervals = spark.createDataFrame(
+            [("a", 0, 10)], "k string, s long, e long"
+        )
+        got = point_in_interval_join(
+            points, intervals, "p", "s", "e", bucket_width=4, keys=["k"]
+        ).collect()
+        assert [(r.k, r.p) for r in got] == [("a", 5)]
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        from financial_data_engineering_spark import plans
+        from financial_data_engineering_spark.operators.rangejoin import (
+            point_in_interval_join,
+        )
+
+        points, intervals = self._frames(spark)
+        df = point_in_interval_join(
+            points, intervals, "p", "s", "e", bucket_width=7
+        )
+        assert plans.nested_loop_join_count(df) == 0
+        assert plans.cartesian_count(df) == 0
