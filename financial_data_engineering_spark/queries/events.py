@@ -259,3 +259,30 @@ def event_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("day"),
         )
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: floor(value/width)
+    bucket ids — one partial-aggregated shuffle, the distribution-profile
+    primitive every monitoring layer needs. The bucket id is the same
+    IEEE divide+floor on both engines, so counts replay exactly."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )

@@ -466,3 +466,66 @@ def order_week_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "lineitem_price_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+               THEN l_extendedprice END) AS p25,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+               THEN l_extendedprice END) AS p50,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+               THEN l_extendedprice END) AS p75,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+               THEN l_extendedprice END) AS p90
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per return flag, computed the
+    engine-portable way: rank rows in one window pass (deterministic
+    tie-break on the full key) and pick the value at position
+    ceil(p·n) — the inverted-CDF definition, spelled out so both engines
+    run the identical integer index selection instead of their own
+    quantile builtins (whose boundary conventions differ). Values pass
+    through untouched, so the comparison is bit-exact. One shuffle for
+    the window, map-side conditional aggregation after.
+
+    At 100 TB the exact-rank pass costs a full sort per group; swap in
+    approx_percentile for monitoring paths and keep this for audits."""
+    li = load(spark, "lineitem", sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")).cast("bigint"))
+        return F.max(
+            F.when(F.col("rn") == pos, F.col("l_extendedprice"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75"), pick(0.90, "p90"))
+        .orderBy("l_returnflag")
+    )

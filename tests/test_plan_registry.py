@@ -66,6 +66,7 @@ SHUFFLE_BUDGET = {
     "event_funnel_pairs": 2,
     "event_rollup_grouping_sets": 2,
     "event_type_counts": 1,
+    "events_value_histogram": 2,
     "events_asof_latest_order": 3,
     "fact_orders_star": 1,
     "high_value_parties": 1,
@@ -74,6 +75,7 @@ SHUFFLE_BUDGET = {
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,
+    "lineitem_price_quantiles": 2,
     "lineitem_priority_asof": 4,
     "multimodal_decode_stats": 2,
     "nation_latest_order_revenue": 2,
