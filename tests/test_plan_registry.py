@@ -81,8 +81,9 @@ SHUFFLE_BUDGET = {
     "nation_latest_order_revenue": 2,
     "order_distinct_counts": 2,
     "order_priority_share": 2,
-    # bucketed range join: equi-join on weekly buckets (broadcast at test
-    # scale, shuffle-on-uniform-buckets at 100 TB) + agg + sort, no NLJ
+    # pre-aggregated bucketed range join: day rollup + per-order agg +
+    # sort; the join attaches day summaries by bucket (broadcast at test
+    # scale, shuffle-on-uniform-buckets at 100 TB), no NLJ
     "order_week_shipments": 3,
     "pii_scrub_stats": 2,
     "pricing_summary": 2,
