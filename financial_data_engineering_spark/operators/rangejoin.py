@@ -65,3 +65,58 @@ def point_in_interval_join(
         )
         .drop(_BUCKET)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    *,
+    bucket_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join interval rows whose half-open ranges overlap
+    (``l_start < r_end AND r_start < l_end``), optionally also matching
+    equality ``keys``. Both sides explode onto their covered buckets and
+    equi-join on bucket id; a pair overlapping across several buckets is
+    kept exactly once WITHOUT a distinct shuffle, by accepting the match
+    only in the first bucket both intervals share —
+    ``bucket == greatest(l_start, r_start) div width`` — a pure filter,
+    so dedup costs nothing. Column names must be disjoint between the
+    two inputs (alias before calling for self-joins)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+    join_keys = [_BUCKET, *(keys or [])]
+    lv = left.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {bucket_width}"),
+                F.expr(f"{l_end} div {bucket_width}"),
+            )
+        ),
+    )
+    rv = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {bucket_width}"),
+                F.expr(f"{r_end} div {bucket_width}"),
+            )
+        ),
+    )
+    return (
+        lv.join(rv, join_keys)
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (
+                F.col(_BUCKET)
+                == F.expr(f"greatest({l_start}, {r_start}) div {bucket_width}")
+            )
+        )
+        .drop(_BUCKET)
+    )

@@ -543,3 +543,78 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75"), pick(0.90, "p90"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "customer_overlapping_orders",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           CAST(date_diff('day',
+                greatest(a.o_orderdate, b.o_orderdate),
+                least(a.o_orderdate + INTERVAL 7 DAY,
+                      b.o_orderdate + INTERVAL 7 DAY)) AS BIGINT)
+               AS overlap_days
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def customer_overlapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval-overlap self-join: pairs of the SAME customer's
+    orders whose 7-day windows overlap — the burst-activity detector.
+    Runs on the bucketed interval-overlap operator: both sides explode
+    onto weekly buckets, equi-join on (custkey, bucket), and each
+    overlapping pair survives exactly once via the first-shared-bucket
+    filter (no distinct shuffle). The customer key bounds per-bucket
+    multiplicity, so the join scales with orders-per-customer-week, not
+    corpus size. overlap_days is exact integer day arithmetic."""
+    from financial_data_engineering_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    left = base.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("day").alias("a_start"),
+        (F.col("day") + 7).alias("a_end"),
+    )
+    right = base.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("day").alias("b_start"),
+        (F.col("day") + 7).alias("b_end"),
+    )
+    return (
+        interval_overlap_join(
+            left,
+            right,
+            "a_start",
+            "a_end",
+            "b_start",
+            "b_end",
+            bucket_width=7,
+            keys=["custkey"],
+        )
+        .filter(F.col("order_a") < F.col("order_b"))
+        .select(
+            "custkey",
+            "order_a",
+            "order_b",
+            (
+                F.least(F.col("a_end"), F.col("b_end"))
+                - F.greatest(F.col("a_start"), F.col("b_start"))
+            ).alias("overlap_days"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )

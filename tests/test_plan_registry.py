@@ -36,6 +36,7 @@ SHUFFLE_BUDGET = {
     "ann_ivf_cosine": 3,
     "ann_lsh_cosine": 2,
     "ann_lsh_multiprobe": 2,
+    "customer_overlapping_orders": 3,
     "customer_padded_keys": 0,
     "customer_priority_scd2": 2,
     "customers_without_orders": 2,

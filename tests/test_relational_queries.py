@@ -183,3 +183,54 @@ class TestPointInIntervalJoin:
         )
         assert plans.nested_loop_join_count(df) == 0
         assert plans.cartesian_count(df) == 0
+
+
+class TestIntervalOverlapJoin:
+    """Bucketed interval-overlap join: half-open overlap semantics and the
+    first-shared-bucket dedup (each pair exactly once, no distinct)."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 20, 30), (3, 5, 50)],
+            "lid long, ls long, le long",
+        )
+        right = spark.createDataFrame(
+            [(10, 9, 12), (20, 10, 15), (30, 29, 31), (40, 60, 70)],
+            "rid long, rs long, re long",
+        )
+        return left, right
+
+    def test_overlap_semantics_half_open(self, spark):
+        from financial_data_engineering_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bucket_width=8
+            ).collect()
+        )
+        # [0,10) overlaps [9,12) but NOT [10,15) (half-open); [20,30)
+        # overlaps [29,31); [5,50) overlaps [9,12), [10,15), [29,31);
+        # nothing overlaps [60,70)
+        assert got == [(1, 10), (2, 30), (3, 10), (3, 20), (3, 30)]
+
+    def test_each_pair_exactly_once_across_widths(self, spark):
+        """A pair spanning many shared buckets must not duplicate."""
+        from financial_data_engineering_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        left, right = self._frames(spark)
+        expect = None
+        for width in (1, 3, 8, 100):
+            got = sorted(
+                (r.lid, r.rid)
+                for r in interval_overlap_join(
+                    left, right, "ls", "le", "rs", "re", bucket_width=width
+                ).collect()
+            )
+            expect = got if expect is None else expect
+            assert got == expect, f"width={width} changed the result"
