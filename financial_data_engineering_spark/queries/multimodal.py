@@ -75,3 +75,69 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT source,
+               CAST(16 * (1 + {_NIB.format(pos=1)}) AS BIGINT) AS w,
+               CAST(16 * (1 + {_NIB.format(pos=2)}) AS BIGINT) AS h
+        FROM documents
+    ),
+    resized AS (
+        SELECT source, w, h,
+               (w > 96 OR h > 64) AS is_rs,
+               CASE WHEN w * 64 >= h * 96
+                    THEN 96
+                    ELSE greatest(1, (w * 64) // h) END AS rw,
+               CASE WHEN w * 64 >= h * 96
+                    THEN greatest(1, (h * 96) // w)
+                    ELSE 64 END AS rh
+        FROM dims
+    )
+    SELECT source,
+           count(*) AS n_media,
+           sum(CASE WHEN is_rs THEN 1 ELSE 0 END) AS n_resized,
+           sum(CASE WHEN is_rs THEN rw ELSE 0 END) AS sum_new_w,
+           sum(CASE WHEN is_rs THEN rh ELSE 0 END) AS sum_new_h
+    FROM resized
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize audit: wrap each document as media, run
+    the Arrow-batched resize kernel (96×64 box), and roll up per source
+    how many payloads were downscaled and their total output dimensions.
+    The resize records its output dims in source_meta as exact integers
+    (binding edge by cross-multiplication, floor division), so the oracle
+    replays the whole transform — struct plumbing, batch shape, and
+    aspect math — in SQL. Integer-only output."""
+    docs = load(spark, "documents", sf_dir)
+    media = docs.select(
+        "source",
+        mm.media_struct(F.encode(F.col("text"), "UTF-8"), "text/plain").alias(
+            "media"
+        ),
+    )
+    resized = mm.resize_media(media, "media", max_width=96, max_height=64)
+    meta = F.col("media.source_meta")
+    is_rs = meta["resized"] == "true"
+    return (
+        resized.select(
+            "source",
+            is_rs.alias("is_rs"),
+            F.when(is_rs, meta["width"].cast("long")).otherwise(0).alias("nw"),
+            F.when(is_rs, meta["height"].cast("long")).otherwise(0).alias("nh"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.when(F.col("is_rs"), 1).otherwise(0)).alias("n_resized"),
+            F.sum("nw").alias("sum_new_w"),
+            F.sum("nh").alias("sum_new_h"),
+        )
+        .orderBy("source")
+    )
