@@ -141,3 +141,48 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id, source,
+               CAST(1 + {_NIB.format(pos=3)} AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT source,
+           sum((n_frames + 1) // 2) AS n_sampled,
+           sum(((n_frames + 1) // 2) * ((n_frames + 1) // 2 - 1))
+               AS sum_frame_idx
+    FROM meta
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling audit: explode every media payload into its frames
+    through the 1→N mapInPandas generator with stride 2, then count the
+    sampled frames and sum their indices per source. With stride 2 a clip
+    of n frames yields ceil(n/2) samples at indices 0,2,4,… whose sum is
+    k·(k-1) for k = ceil(n/2) — exact integers the oracle recomputes from
+    the fake-decode frame counts, pinning the generator's fan-out shape
+    and stride arithmetic."""
+    docs = load(spark, "documents", sf_dir)
+    media = docs.select(
+        "doc_id",
+        "source",
+        mm.media_struct(F.encode(F.col("text"), "UTF-8"), "text/plain").alias(
+            "media"
+        ),
+    )
+    frames = mm.sample_frames(media, "doc_id", "media", every=2)
+    return (
+        frames.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("frame_idx").cast("long")).alias("sum_frame_idx"),
+        )
+        .orderBy("source")
+    )

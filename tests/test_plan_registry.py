@@ -79,6 +79,7 @@ SHUFFLE_BUDGET = {
     "lineitem_price_quantiles": 2,
     "lineitem_priority_asof": 4,
     "multimodal_decode_stats": 2,
+    "multimodal_frame_stats": 2,
     "multimodal_resize_stats": 2,
     "nation_latest_order_revenue": 2,
     "order_distinct_counts": 2,
