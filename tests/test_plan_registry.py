@@ -94,7 +94,9 @@ SHUFFLE_BUDGET = {
     "quality_pattern_customer_name": 1,
     "quality_range_quantity": 1,
     "quality_uniqueness_orders": 2,
+    "region_local_supplier_volume": 3,
     "revenue_by_region_segment": 2,
+    "shipping_priority_revenue": 2,
     "sliding_event_counts": 2,
     "source_quality_rollup": 2,
     "source_vocab_stats": 3,
