@@ -17,6 +17,7 @@ from financial_data_engineering_spark.queries.registry import (
 # FIRST and the longest-green relational rows last.
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
+from financial_data_engineering_spark.queries import relational_ext  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
 from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
