@@ -4,13 +4,17 @@
 Flow over the ``documents`` table:
   1. exact-dedup: drop every non-survivor of a fingerprint group
      (md5 of whitespace-normalized lowercase text, min-id survives);
-  2. quality gate: keep documents with quality_score >= 0.5
+  2. decontaminate: drop training docs sharing >= 2 distinct 5-gram
+     shingles with the held-out eval slice (broadcast eval index — the
+     corpus never shuffles for this step);
+  3. quality gate: keep documents with quality_score >= 0.5
      (length/punctuation/stopword composite — all codegen expressions);
-  3. balance: deterministic stratified cap per source (md5-rank), so no
-     crawl source dominates the mix;
-  4. pack: assign survivors to fixed-token-budget training bins via a
+  4. balance: weighted mixture rebalance to exact integer quotas
+     (every source downsampled toward target weights, md5-rank
+     selection), then a stratified hard cap per source;
+  5. pack: assign survivors to fixed-token-budget training bins via a
      running token sum;
-  5. write the curated corpus parquet, partitioned by source.
+  6. write the curated corpus parquet, partitioned by source.
 
 Every step is a lazy DataFrame transform — one pipeline, no driver-side
 row handling; the only actions are the final counts and the write.
@@ -32,6 +36,7 @@ from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm import dedup as dd
+from financial_data_engineering_spark.operators.mixing import mixture_rebalance
 from financial_data_engineering_spark.operators.packing import pack_bins
 from financial_data_engineering_spark.session import get_spark
 from financial_data_engineering_spark.tables import load
@@ -51,6 +56,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
         docs, "doc_id", tx.fingerprint(F.col("text"))
     ).select(F.col("doc_id"))
     deduped = docs.join(survivors, "doc_id")
+
+    # 1b. decontaminate against the held-out eval slice (md5-prefix 1/8
+    # split here; in production, the benchmark suites). Contaminated ids
+    # leave via a broadcast anti-join — no corpus shuffle.
+    is_eval = F.expr("substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')")
+    contaminated = dd.contamination_pairs(
+        deduped.filter(~is_eval),
+        deduped.filter(is_eval),
+        "doc_id",
+        "text",
+        n=5,
+        min_shared=2,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    deduped = deduped.filter(~is_eval).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
 
     # 2. quality gate (parts computed once — see quality_from_parts)
     scored = deduped.select(
@@ -73,12 +94,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     )
     kept = scored.filter(F.col("quality") >= 0.5)
 
-    # 3. stratified cap per source (deterministic md5 rank)
+    # 3. weighted mixture rebalance (sources get 1/2/3 weights from their
+    # name) down to the largest corpus achievable at those proportions,
+    # then the stratified hard cap per source on what remains
+    weight = F.expr("1 + (CAST(substr(source, 4, 10) AS INT) % 3)")
+    quota_ids = mixture_rebalance(kept, weight, "source", "doc_id").select(
+        "doc_id"
+    )
+    rebalanced = kept.join(quota_ids, "doc_id")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     balanced = (
-        kept.withColumn("_rn", F.row_number().over(w))
+        rebalanced.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= PER_SOURCE_CAP)
         .drop("_rn")
     )

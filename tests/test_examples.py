@@ -108,3 +108,25 @@ def test_generate_sample_reports(spark, tmp_path, monkeypatch):
         assert (tmp_path / f"{name}.txt").read_text().strip()
     profile = json.loads((tmp_path / "corpus_profile.json").read_text())
     assert profile["sources"] and all(s["n_docs"] > 0 for s in profile["sources"])
+
+def test_curate_corpus_excludes_eval_and_contaminated(spark, tmp_path):
+    """The decontamination stage must drop both the eval slice itself and
+    every training doc flagged as contaminated."""
+    from pyspark.sql import functions as F
+
+    from examples.curate_training_corpus import main
+    from financial_data_engineering_spark.llm import dedup as dd
+    from financial_data_engineering_spark.tables import load
+
+    out = main(sf_dir="/root/testdata/sf0.001", output_dir=str(tmp_path))
+    curated = spark.read.parquet(str(tmp_path))
+    is_eval = F.expr("substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')")
+    assert curated.filter(is_eval).count() == 0
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    flagged = dd.contamination_pairs(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text",
+        n=5, min_shared=2,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    assert curated.join(flagged, "doc_id").count() == 0
+    assert out["n_curated"] > 0
