@@ -96,3 +96,65 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .cast("bigint")
         .alias("err_e4"),
     )
+
+
+def kmv_group_sketches(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketches PLUS their merge — the property that makes
+    bottom-k sketches the right distinct-counter at 100 TB: each group's
+    sketch is its k smallest distinct hashes, and the UNION's sketch is
+    just the bottom-k of the concatenated per-group sketches — k·|groups|
+    rows, no second pass over the raw data. The merged row (group =
+    '__ALL__') here is computed exactly that way, so overlapping groups
+    dedupe correctly (same key → same hash on every partition, node, or
+    engine).
+
+    Output: one row per group plus '__ALL__', each with ``k_actual``
+    (sketch fill) and the integer estimate ``(k-1)·2^48 div h_k``
+    (= k_actual when the sketch isn't full, i.e. exact)."""
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"), kmv_hash(F.col(key_col)).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    # Materialize the per-group sketches once: both consumers (the
+    # per-group rows and the merge) read this k·|groups|-row frame, and
+    # without truncation each would re-run the corpus-sized hash-distinct
+    # lineage. This localCheckpoint IS the "store the partial sketches"
+    # step of a real profile job.
+    bottom = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+        .localCheckpoint()
+    )
+    per_group = bottom.groupBy("grp").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual")
+    )
+    merged = (
+        bottom.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual"))
+        .select(F.lit("__ALL__").alias("grp"), "kth", "k_actual")
+    )
+    est = (
+        f"CASE WHEN k_actual < {k} THEN k_actual "
+        f"ELSE {(k - 1) * _SCALE} div greatest(kth, 1) END"
+    )
+    return (
+        per_group.unionByName(merged)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("k_actual").cast("bigint").alias("k_actual"),
+            F.expr(est).cast("bigint").alias("kmv_estimate"),
+        )
+        .orderBy(group_col)
+    )

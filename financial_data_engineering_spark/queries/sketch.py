@@ -57,3 +57,51 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tk/ex/est CTE structure in the oracle mirrors the operator's
     bottom-k / exact / combine stages one-to-one."""
     return kmv_distinct(load(spark, "orders", sf_dir), "o_custkey", KMV_K)
+
+
+@register(
+    "kmv_priority_union",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    bottom AS (
+        SELECT grp, h FROM hashes
+        QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= {KMV_K}
+    ),
+    per_group AS (
+        SELECT grp, max(h) AS kth, count(*) AS k_actual
+        FROM bottom GROUP BY grp
+    ),
+    merged AS (
+        SELECT '__ALL__' AS grp, max(h) AS kth, count(*) AS k_actual
+        FROM (SELECT DISTINCT h FROM bottom ORDER BY h LIMIT {KMV_K})
+    ),
+    combined AS (
+        SELECT * FROM per_group UNION ALL SELECT * FROM merged
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(k_actual AS BIGINT) AS k_actual,
+           CAST(CASE WHEN k_actual < {KMV_K} THEN k_actual
+                ELSE {_NUM} // greatest(kth, 1) END AS BIGINT) AS kmv_estimate
+    FROM combined
+    ORDER BY o_orderpriority
+    """,
+)
+def kmv_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketches: per-priority KMV sketches of the distinct
+    customer set, and the '__ALL__' row merged from ONLY the per-group
+    bottom-k rows — never rescanning the fact. Customer sets overlap
+    heavily across priorities, so the merge exercises sketch-union
+    dedup (same key → same hash everywhere), the property that lets
+    100 TB profile jobs build per-partition sketches and combine them
+    driver-side or in a reduce tree."""
+    from financial_data_engineering_spark.operators.sketch import (
+        kmv_group_sketches,
+    )
+
+    return kmv_group_sketches(
+        load(spark, "orders", sf_dir), "o_orderpriority", "o_custkey", KMV_K
+    )

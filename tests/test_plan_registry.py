@@ -73,6 +73,9 @@ SHUFFLE_BUDGET = {
     "high_value_parties": 1,
     "hourly_event_rollup": 2,
     "kmv_distinct_customers": 3,
+    # post-checkpoint plan: sketches materialize once; merge + union +
+    # sort read the k·|groups| frame
+    "kmv_priority_union": 3,
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,
