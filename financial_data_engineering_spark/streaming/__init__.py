@@ -32,3 +32,7 @@ __all__ = [
     "sliding_counts",
     "user_sessions",
 ]
+from financial_data_engineering_spark.streaming.documents import (  # noqa: E402,F401
+    contamination_screen,
+    read_document_stream,
+)

@@ -175,3 +175,35 @@ def test_enrich_events_stream_static_join_matches_batch(spark, events_dir):
     )
     assert _rows(got, ["event_id", "tier"]) == want_rows
     assert got.filter(F.col("tier").isNull()).count() > 0  # left-join nulls kept
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", d / "documents.parquet")
+    return str(d)
+
+
+def test_contamination_screen_stream_matches_batch(spark, docs_dir):
+    """Streaming decontamination parity: the update-mode screen over the
+    streamed corpus must flag exactly the documents the batch plan flags,
+    with identical shared-shingle counts. Also cross-checked against the
+    batch contamination operator aggregated over the eval union."""
+    from financial_data_engineering_spark.tables import load
+
+    docs = load(spark, "documents", SF_SMALL)
+    is_eval = F.expr("substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')")
+    eval_docs = docs.filter(is_eval)
+
+    stream = st.contamination_screen(
+        st.read_document_stream(spark, docs_dir).filter(~is_eval), eval_docs
+    )
+    assert stream.isStreaming
+    st.run_to_memory_sink(stream, "stream_contam", output_mode="update")
+    got = _rows(spark.sql("SELECT * FROM stream_contam"), ["doc_id", "n_shared"])
+
+    batch = st.contamination_screen(docs.filter(~is_eval), eval_docs)
+    assert not batch.isStreaming  # unified model: same fn, batch frame
+    want = _rows(batch, ["doc_id", "n_shared"])
+    assert got == want
+    assert len(got) > 0  # the sf0.001 corpus contains planted overlap
