@@ -279,6 +279,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard with PREFIX FILTERING — the
+    candidate-pruned plan from the set-similarity-join literature
+    (Chaudhuri et al. SSJoin; Bayardo et al. AllPairs; Xiao et al.
+    PPJoin), expressed relationally.
+
+    Theorem (prefix filter): order every document's shingles by one
+    global total order and keep only the first ``|x| − ⌈t·|x|⌉ + 1`` as
+    its PREFIX; any pair with Jaccard ≥ t must collide on at least one
+    prefix shingle. Candidates therefore come from a self-join of the
+    (much smaller) prefix index, and the exact Jaccard verification runs
+    only on candidates against the full index — same output as the
+    unfiltered plan, provably.
+
+    The global order is (document frequency ASC, shingle) — rarest
+    first, the order that shrinks candidates hardest AND pushes
+    stop-shingles out of every prefix, so the quadratic hot-shingle
+    blowup the plain plan guards with ``max_doc_freq`` cannot happen in
+    candidate generation at all; hot shingles only reappear in the
+    verification join, already restricted to candidate pairs.
+
+    Shuffles: df aggregate + df attach (uniform shingle keys), one
+    per-doc rank window, the prefix self-join, and the verification —
+    every key either a shingle hash or a doc id, no skew beyond what
+    data frequency dictates.
+
+    WHEN TO USE (measured): the pruning pays when documents are long
+    (hundreds+ of shingles) and true matches are rare — there the plain
+    plan's co-occurrence join is Σ df_g² while prefix candidates stay
+    near-linear. On this benchmark's short documents (~50 shingles,
+    df ≤ 3) the rank window costs more than it saves (11.4 s vs 3.7 s
+    at sf0.1), so :func:`ngram_jaccard_pairs` remains the registered
+    default; output equivalence is property-pinned in tests."""
+    inv = shingle_rows(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df_tbl = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    ranked = (
+        inv.join(df_tbl, "g")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast(
+        "int"
+    ) + 1
+    pref = ranked.filter(F.col("rank") <= prefix_len).select("id", "g")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _pair_jaccard(cand, inv, threshold)
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

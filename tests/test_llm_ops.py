@@ -369,3 +369,34 @@ def test_contamination_min_shared_filters(spark):
         ).count()
         == 0
     )
+
+
+def test_ngram_prefix_filter_matches_plain_exact(spark):
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin) must produce
+    EXACTLY the unfiltered plan's pairs — the filter is a lossless
+    candidate prune, on real corpus data and on a crafted frame with a
+    hot shingle shared by every doc."""
+    from financial_data_engineering_spark.tables import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    plain = sorted(
+        map(tuple, dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect())
+    )
+    pref = sorted(
+        map(tuple, dd.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.3).collect())
+    )
+    assert plain == pref and len(plain) > 0
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "the common tail alpha beta gamma delta"),
+            (2, "the common tail alpha beta gamma epsilon"),
+            (3, "the common tail zeta eta theta iota"),
+            (4, "unrelated words entirely different from others here"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.2, 0.5, 0.8):
+        a = sorted(map(tuple, dd.ngram_jaccard_pairs(crafted, "doc_id", "text", n=3, threshold=t).collect()))
+        b = sorted(map(tuple, dd.ngram_jaccard_pairs_prefix(crafted, "doc_id", "text", n=3, threshold=t).collect()))
+        assert a == b, f"threshold {t} diverged"
