@@ -624,3 +624,27 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_dense_ids",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY source, doc_id) AS seq_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous training-sample ids ordered by (source, doc_id),
+    computed the scale-safe way: range-repartition + per-partition ranks
+    + driver-side prefix-sum offsets (operators/ids.py) instead of the
+    single-partition global window. The oracle IS the single-partition
+    global window — both must agree exactly, which pins the offset
+    arithmetic and the range-partition total ordering."""
+    from financial_data_engineering_spark.operators.ids import dense_row_ids
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    return dense_row_ids(docs, ["source", "doc_id"]).select(
+        "doc_id", "seq_id"
+    ).orderBy("doc_id")

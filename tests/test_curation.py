@@ -174,3 +174,27 @@ def test_mixture_rebalance_exact_and_deterministic(spark):
     first = sorted(r.doc_id for r in mixture_rebalance(docs, wt).collect())
     second = sorted(r.doc_id for r in mixture_rebalance(docs, wt).collect())
     assert first == second
+
+
+def test_dense_row_ids_matches_global_row_number(spark):
+    """The distributed offset construction must equal the single-partition
+    global window, including across many partitions and with a
+    non-trivial order key."""
+    from financial_data_engineering_spark.operators.ids import dense_row_ids
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("k"), F.col("id").alias("payload")
+    )
+    got = dense_row_ids(df, ["k"], num_partitions=13)
+    want = df.withColumn(
+        "seq_id", F.row_number().over(Window.orderBy("k"))
+    )
+    assert sorted((r.k, r.seq_id) for r in got.collect()) == sorted(
+        (r.k, r.seq_id) for r in want.collect()
+    )
+    # ids are a dense 1..N permutation
+    n = df.count()
+    ids = sorted(r.seq_id for r in got.collect())
+    assert ids == list(range(1, n + 1))

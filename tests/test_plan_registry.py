@@ -51,6 +51,9 @@ SHUFFLE_BUDGET = {
     "dedup_winnowing": 2,
     "doc_bpe_tokens": 1,
     "doc_chunks": 1,
+    # post-checkpoint: pid-window + presentation sort; the range
+    # repartition ran at build time (frozen by localCheckpoint)
+    "doc_dense_ids": 2,
     "doc_fingerprints": 2,
     "doc_lang_id": 2,
     # 4 = corpus count agg + one-partition quota window (k source rows)
