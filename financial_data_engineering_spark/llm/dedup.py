@@ -786,3 +786,43 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame | None,
+    id_col: str = "doc_id",
+    fingerprint_col: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: process a NEW batch of documents against
+    the fingerprint registry accumulated by prior batches — the
+    steady-state shape of a production corpus pipeline, where yesterday's
+    100 TB is not re-fingerprinted to admit today's terabyte.
+
+    Two-step: (1) within-batch survivors (min id per fingerprint), then
+    (2) an anti-join against the registry drops documents whose content
+    arrived in ANY earlier batch. Both shuffles key on the uniform
+    128-bit fingerprint; the registry side is (fp)-only and bounded by
+    distinct content, not corpus size. Passing ``seen_fps=None`` starts
+    an empty registry.
+
+    Returns ``(new_unique, updated_registry)`` — persist the registry
+    frame (parquet) between runs; the round-trip is pinned by test."""
+    from financial_data_engineering_spark.functions import text as tx
+
+    fp = (
+        fingerprint_col
+        if fingerprint_col is not None
+        else tx.fingerprint(F.col("text"))
+    )
+    batch_survivors = exact_survivors(new_docs, id_col, fp)
+    if seen_fps is not None:
+        fresh = batch_survivors.join(seen_fps, "fp", "left_anti")
+        updated = seen_fps.select("fp").unionByName(fresh.select("fp"))
+    else:
+        fresh = batch_survivors
+        updated = fresh.select("fp")
+    new_unique = new_docs.join(
+        fresh.select(F.col(id_col)), id_col
+    )
+    return new_unique, updated

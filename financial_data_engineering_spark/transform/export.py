@@ -63,3 +63,30 @@ def read_jsonl_shards(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.option("basePath", path).json(f"{path}/{SHARD_COL}=*")
+
+
+def write_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files governance: write parquet with a bounded file count
+    sized from the data — ``ceil(rows / target_rows_per_file)`` files —
+    instead of one file per shuffle partition. A 100 TB pipeline that
+    writes a 32-partition frame per run accretes millions of tiny files
+    (metadata pressure on every subsequent scan); compacting at write
+    time costs one round-robin repartition and keeps file sizes in the
+    efficient scan range. Returns the file count used.
+
+    With ``partition_by``, files-per-write applies per write overall (the
+    repartition spreads rows evenly; hive partitioning then splits each
+    task's rows into its partition directories)."""
+    total = df.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files

@@ -400,3 +400,53 @@ def test_ngram_prefix_filter_matches_plain_exact(spark):
         a = sorted(map(tuple, dd.ngram_jaccard_pairs(crafted, "doc_id", "text", n=3, threshold=t).collect()))
         b = sorted(map(tuple, dd.ngram_jaccard_pairs_prefix(crafted, "doc_id", "text", n=3, threshold=t).collect()))
         assert a == b, f"threshold {t} diverged"
+
+
+def test_incremental_exact_dedup_two_batches(spark, tmp_path):
+    """Registry round-trip: batch 2 must drop docs whose content arrived
+    in batch 1 (even under different ids), dedupe within itself, and
+    admit genuinely new content. The registry survives a parquet
+    round-trip between runs."""
+    from financial_data_engineering_spark.llm.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    uniq1, reg1 = incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in uniq1.collect()) == [1, 3]
+    reg_path = str(tmp_path / "registry")
+    reg1.write.mode("overwrite").parquet(reg_path)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta gamma"),   # batch-1 content, normalized dup
+            (11, "zeta eta theta"),        # new
+            (12, "zeta eta theta"),        # in-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    reg = spark.read.parquet(reg_path)
+    uniq2, reg2 = incremental_exact_dedup(b2, reg)
+    assert sorted(r.doc_id for r in uniq2.collect()) == [11]
+    # updated registry holds all three distinct fingerprints
+    assert reg2.distinct().count() == 3
+
+
+def test_write_compacted_parquet_bounds_file_count(spark, tmp_path):
+    import glob
+
+    from financial_data_engineering_spark.transform.export import (
+        write_compacted_parquet,
+    )
+
+    df = spark.range(0, 10_000).repartition(32)
+    out = str(tmp_path / "compact")
+    n = write_compacted_parquet(df, out, target_rows_per_file=4_000)
+    assert n == 3
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 3
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
