@@ -2,6 +2,7 @@ from financial_data_engineering_spark.quality.report import ValidationReport
 from financial_data_engineering_spark.quality.rules import (
     CompletenessRule,
     CustomRule,
+    FreshnessRule,
     PatternRule,
     RangeRule,
     Rule,
@@ -14,6 +15,7 @@ from financial_data_engineering_spark.quality.validator import DataValidator
 __all__ = [
     "CompletenessRule",
     "CustomRule",
+    "FreshnessRule",
     "DataValidator",
     "PatternRule",
     "RangeRule",

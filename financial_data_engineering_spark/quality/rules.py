@@ -283,6 +283,74 @@ class PatternRule(Rule):
         return CompiledRule(self, exprs=exprs, finalize=finalize)
 
 
+class FreshnessRule(Rule):
+    """Timestamp recency (extension beyond the reference's six rule
+    types — the timeliness dimension every production quality framework
+    adds): the column's MAX value must be within ``max_age_hours`` of
+    ``as_of``. Fuses into the shared single-scan aggregate like
+    Completeness/Range/Pattern. An all-null or empty column fails (there
+    is no fresh data), with the detail saying so.
+
+    ``as_of`` is an explicit timestamp string ("YYYY-MM-DD HH:MM:SS",
+    session-timezone naive) rather than now() — deterministic runs,
+    replayable audits."""
+
+    def __init__(
+        self,
+        column: str,
+        max_age_hours: float,
+        as_of: str,
+        name: str | None = None,
+    ):
+        super().__init__(name or f"freshness_{column}")
+        self.column = column
+        self.max_age_hours = max_age_hours
+        self.as_of = as_of
+
+    def compile(self, df: DataFrame) -> CompiledRule:
+        if self.column not in df.columns:
+            return CompiledRule(
+                self,
+                immediate=RuleResult(
+                    rule_name=self.name,
+                    passed=False,
+                    column=self.column,
+                    details={"error": f"column {self.column!r} not found"},
+                ),
+            )
+        tag = f"__{id(self):x}"
+        exprs = [
+            F.max(F.col(self.column).cast("timestamp")).alias(f"{tag}_max"),
+        ]
+
+        def finalize(row: dict[str, Any]) -> RuleResult:
+            newest = row[f"{tag}_max"]
+            if newest is None:
+                return RuleResult(
+                    rule_name=self.name,
+                    passed=False,
+                    column=self.column,
+                    details={"error": "no non-null timestamps"},
+                )
+            from datetime import datetime
+
+            as_of_ts = datetime.fromisoformat(self.as_of)
+            age_hours = (as_of_ts - newest).total_seconds() / 3600.0
+            return RuleResult(
+                rule_name=self.name,
+                passed=age_hours <= self.max_age_hours,
+                column=self.column,
+                details={
+                    "newest": str(newest),
+                    "age_hours": round(age_hours, 2),
+                    "max_age_hours": self.max_age_hours,
+                    "as_of": self.as_of,
+                },
+            )
+
+        return CompiledRule(self, exprs=exprs, finalize=finalize)
+
+
 class CustomRule(Rule):
     """User-defined validation: ``func(df) -> (bool, dict)``. The callable
     receives the Spark DataFrame and may run its own aggregations."""

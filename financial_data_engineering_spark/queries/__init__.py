@@ -23,8 +23,8 @@ from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 from financial_data_engineering_spark.queries import events  # noqa: E402,F401
-from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
 from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
+from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
 from financial_data_engineering_spark.queries import relational  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get", "register"]

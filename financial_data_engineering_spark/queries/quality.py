@@ -18,6 +18,32 @@ from financial_data_engineering_spark.tables import load
 
 
 @register(
+    "quality_freshness_events",
+    oracle="""
+    SELECT max(ts) AS newest,
+           CAST((epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(max(ts)))
+                // 3600 AS BIGINT) AS age_hours_floor
+    FROM events
+    """,
+)
+def quality_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreshnessRule (extension): the compiled max-timestamp aggregate,
+    run through the actual rule compiler, plus the whole-hours age
+    against a FIXED as_of (deterministic audits — never now()). Age is
+    integer floor-division of epoch seconds, engine-exact."""
+    from financial_data_engineering_spark.quality.rules import FreshnessRule
+
+    ev = load(spark, "events", sf_dir)
+    compiled = FreshnessRule("ts", 48, "2024-01-31 00:00:00").compile(ev)
+    return ev.agg(*compiled.exprs).toDF("newest").select(
+        "newest",
+        F.expr(
+            "(unix_timestamp(timestamp '2024-01-31 00:00:00') "
+            "- unix_timestamp(newest)) div 3600"
+        ).alias("age_hours_floor"),
+    )
+
+@register(
     "quality_completeness_lineitem",
     oracle="""
     SELECT count(*) AS total_rows,

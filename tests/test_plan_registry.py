@@ -97,6 +97,7 @@ SHUFFLE_BUDGET = {
     "pii_scrub_stats": 2,
     "pricing_summary": 2,
     "quality_completeness_lineitem": 1,
+    "quality_freshness_events": 1,
     "quality_pattern_customer_name": 1,
     "quality_range_quantity": 1,
     "quality_uniqueness_orders": 2,

@@ -151,3 +151,49 @@ def test_validator_report_rollup(spark, messy_df):
     assert d["summary"]["rows_checked"] == 5
     assert len(d["results"]) == 3
     assert len(report.failures) == 1
+
+
+class TestFreshnessRule:
+    """Timeliness extension: max(ts) within max_age of a fixed as_of."""
+
+    def _events(self, spark):
+        from financial_data_engineering_spark.tables import load
+        from tests.conftest import SF_SMALL
+
+        return load(spark, "events", SF_SMALL)
+
+    def test_fresh_passes_and_stale_fails(self, spark):
+        from financial_data_engineering_spark.quality import FreshnessRule
+
+        ev = self._events(spark)
+        # events end 2024-01-30; as_of one day later with 48h budget: fresh
+        ok = FreshnessRule("ts", 48, "2024-01-31 00:00:00").evaluate(ev)
+        assert ok.passed and ok.details["age_hours"] <= 48
+        # as_of a year later with the same budget: stale
+        bad = FreshnessRule("ts", 48, "2025-01-31 00:00:00").evaluate(ev)
+        assert not bad.passed
+        assert bad.details["age_hours"] > 48
+
+    def test_all_null_and_missing_column(self, spark):
+        from financial_data_engineering_spark.quality import FreshnessRule
+
+        empty = spark.createDataFrame([], "ts timestamp")
+        r = FreshnessRule("ts", 1, "2024-01-01 00:00:00").evaluate(empty)
+        assert not r.passed and "no non-null" in r.details["error"]
+        r2 = FreshnessRule("nope", 1, "2024-01-01 00:00:00").evaluate(empty)
+        assert not r2.passed and "not found" in r2.details["error"]
+
+    def test_fuses_into_single_scan_with_other_rules(self, spark):
+        """RuleSet fusion: freshness joins the one-pass aggregate."""
+        from financial_data_engineering_spark.quality import (
+            CompletenessRule,
+            FreshnessRule,
+        )
+        from financial_data_engineering_spark.quality.rules import RuleSet
+
+        ev = self._events(spark)
+        rs = RuleSet("events")
+        rs.add(CompletenessRule(["event_id", "ts"]))
+        rs.add(FreshnessRule("ts", 48, "2024-01-31 00:00:00"))
+        results = rs.evaluate(ev)
+        assert all(r.passed for r in results)
