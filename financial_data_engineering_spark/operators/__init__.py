@@ -7,14 +7,32 @@ from financial_data_engineering_spark.operators.relational import (
     value_counts,
 )
 from financial_data_engineering_spark.operators.asof import asof_join
-from financial_data_engineering_spark.operators.sketch import kmv_distinct
+from financial_data_engineering_spark.operators.ids import dense_row_ids
+from financial_data_engineering_spark.operators.mixing import (
+    mixture_quotas,
+    mixture_rebalance,
+)
+from financial_data_engineering_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from financial_data_engineering_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_group_sketches,
+)
 
 __all__ = [
     "anti_join_orphans",
     "argmax_per_group",
     "asof_join",
-    "kmv_distinct",
+    "dense_row_ids",
     "duplicate_row_count",
+    "interval_overlap_join",
+    "kmv_distinct",
+    "kmv_group_sketches",
+    "mixture_quotas",
+    "mixture_rebalance",
+    "point_in_interval_join",
     "topk",
     "union_frames",
     "value_counts",

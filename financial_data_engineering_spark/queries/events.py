@@ -286,3 +286,53 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    hits AS (
+        SELECT DISTINCT f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+               e.user_id
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM hits GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST event day, counted
+    on each of the next 7 days they return — the product-analytics
+    staple. Three shuffles: the per-user first-day aggregate, the
+    per-user join back (both keyed on user_id — at 100 TB the firsts
+    side is |users| rows and usually broadcastable), and the final
+    (cohort, offset) rollup after a distinct that dedups multiple
+    same-day events. Day arithmetic is integer date differences."""
+    events = load(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    hits = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .distinct()
+    )
+    return (
+        hits.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

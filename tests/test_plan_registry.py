@@ -112,6 +112,7 @@ SHUFFLE_BUDGET = {
     "top_bigrams": 2,
     "top_customers_by_revenue": 1,
     "top_part_nouns": 1,
+    "user_retention_cohorts": 4,
     "user_sessions": 2,
 }
 
