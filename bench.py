@@ -96,17 +96,21 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Compact separators and a stopped session keep the JSON line short and
+    # make it the absolute LAST stdout — the round-4 artifact was truncated
+    # at the head by the driver's bounded tail capture, so every byte of
+    # noise after (or inside) this line risks an unparseable official record.
+    line = json.dumps(payload, separators=(",", ":"))
+    spark.stop()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -48,12 +48,20 @@ def point_in_interval_join(
         raise ValueError("bucket_width must be a positive integer")
     join_keys = [_BUCKET, *(keys or [])]
     p = points.withColumn(_BUCKET, F.expr(f"{point_col} div {bucket_width}"))
+    # ``end`` is exclusive, so the last bucket an interval can match in is
+    # (end - 1) div width — using end div width would emit one dead candidate
+    # bucket per exactly-aligned interval (correct but wasted join work).
+    # greatest() guards a degenerate empty interval (start == end) from
+    # producing a descending sequence.
     iv = intervals.withColumn(
         _BUCKET,
         F.explode(
             F.sequence(
                 F.expr(f"{start_col} div {bucket_width}"),
-                F.expr(f"{end_col} div {bucket_width}"),
+                F.expr(
+                    f"greatest({start_col} div {bucket_width},"
+                    f" ({end_col} - 1) div {bucket_width})"
+                ),
             )
         ),
     )
@@ -90,12 +98,17 @@ def interval_overlap_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be a positive integer")
     join_keys = [_BUCKET, *(keys or [])]
+    # Half-open ends: last reachable bucket is (end - 1) div width; see
+    # point_in_interval_join for the greatest() empty-interval guard.
     lv = left.withColumn(
         _BUCKET,
         F.explode(
             F.sequence(
                 F.expr(f"{l_start} div {bucket_width}"),
-                F.expr(f"{l_end} div {bucket_width}"),
+                F.expr(
+                    f"greatest({l_start} div {bucket_width},"
+                    f" ({l_end} - 1) div {bucket_width})"
+                ),
             )
         ),
     )
@@ -104,7 +117,10 @@ def interval_overlap_join(
         F.explode(
             F.sequence(
                 F.expr(f"{r_start} div {bucket_width}"),
-                F.expr(f"{r_end} div {bucket_width}"),
+                F.expr(
+                    f"greatest({r_start} div {bucket_width},"
+                    f" ({r_end} - 1) div {bucket_width})"
+                ),
             )
         ),
     )

@@ -12,19 +12,21 @@ from financial_data_engineering_spark.queries.registry import (
 )
 
 # Import for registration side effects. Registration order is also driver
-# gate order, and the driver checks a bounded window of the registry — so
-# the newest / least-proven families (similarity, multimodal, dedup) come
-# FIRST and the longest-green relational rows last.
-from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
+# gate order, and the driver checks a bounded window (~50) of the registry.
+# Round-5 rotation: the families whose rows were OUTSIDE the r4 window
+# (relational, dimensional, quality) plus the three r4 hash-fixed queries
+# (multimodal ×2, curation's doc_mix_rebalance) come FIRST for driver
+# re-confirmation; the families driver-greened in r4 rotate to the tail.
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
-from financial_data_engineering_spark.queries import relational_ext  # noqa: E402,F401
-from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
-from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
-from financial_data_engineering_spark.queries import text  # noqa: E402,F401
-from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
 from financial_data_engineering_spark.queries import relational  # noqa: E402,F401
+from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
+from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
+from financial_data_engineering_spark.queries import relational_ext  # noqa: E402,F401
+from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
+from financial_data_engineering_spark.queries import text  # noqa: E402,F401
+from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get", "register"]

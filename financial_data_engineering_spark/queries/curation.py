@@ -96,7 +96,8 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(wt) AS W FROM cnt),
     nmax AS (SELECT min(n_docs * W // wt) AS N FROM cnt, tot),
     quota AS (
-        SELECT source, (N * wt) // W AS quota FROM cnt, tot, nmax
+        SELECT source, CAST((N * wt) // W AS BIGINT) AS quota
+        FROM cnt, tot, nmax
     ),
     ranked AS (
         SELECT source, doc_id,

@@ -99,9 +99,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_media,
-           sum(CASE WHEN is_rs THEN 1 ELSE 0 END) AS n_resized,
-           sum(CASE WHEN is_rs THEN rw ELSE 0 END) AS sum_new_w,
-           sum(CASE WHEN is_rs THEN rh ELSE 0 END) AS sum_new_h
+           CAST(sum(CASE WHEN is_rs THEN 1 ELSE 0 END) AS BIGINT) AS n_resized,
+           CAST(sum(CASE WHEN is_rs THEN rw ELSE 0 END) AS BIGINT) AS sum_new_w,
+           CAST(sum(CASE WHEN is_rs THEN rh ELSE 0 END) AS BIGINT) AS sum_new_h
     FROM resized
     GROUP BY source
     ORDER BY source
@@ -152,9 +152,9 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source,
-           sum((n_frames + 1) // 2) AS n_sampled,
-           sum(((n_frames + 1) // 2) * ((n_frames + 1) // 2 - 1))
-               AS sum_frame_idx
+           CAST(sum((n_frames + 1) // 2) AS BIGINT) AS n_sampled,
+           CAST(sum(((n_frames + 1) // 2) * ((n_frames + 1) // 2 - 1))
+               AS BIGINT) AS sum_frame_idx
     FROM meta
     GROUP BY source
     ORDER BY source

@@ -45,6 +45,67 @@ def _cell(v) -> str:
     return str(v)
 
 
+#: DuckDB int128 types. The driver's value hash is dtype-sensitive, so an
+#: oracle emitting these (bare ``sum()``, ``//`` over a sum-derived operand)
+#: hash-mismatches Spark's BIGINT even when every value is equal — the exact
+#: failure mode of the three r4 red rows. Hard-fail locally.
+_HUGE = {"HUGEINT", "UHUGEINT"}
+
+
+def _type_class(t: str) -> str:
+    """Collapse a Spark dtype / DuckDB type string to a comparable class."""
+    t = t.strip().upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.startswith("ARRAY"):
+        return "array"
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    if t in {
+        "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    }:
+        return "int"
+    if t in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if t in {"VARCHAR", "STRING", "TEXT", "CHAR"}:
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in {"BLOB", "BINARY"}:
+        return "binary"
+    return t.lower()
+
+
+def _dtype_problems(s_dtypes, o_cols, o_types) -> list[str]:
+    """HUGEINT columns and Spark-vs-DuckDB type-class divergence."""
+    problems = []
+    huge = [
+        f"{c}:{t}"
+        for c, t in zip(o_cols, o_types)
+        if str(t).upper() in _HUGE
+    ]
+    if huge:
+        problems.append(
+            f"oracle int128 column(s) {huge} — CAST(... AS BIGINT); "
+            "driver hash is dtype-sensitive"
+        )
+    s_map = {c: _type_class(t) for c, t in s_dtypes}
+    o_map = {c: _type_class(str(t)) for c, t in zip(o_cols, o_types)}
+    diverged = [
+        f"{c}: spark {s_map[c]} vs oracle {o_map[c]}"
+        for c in sorted(set(s_map) & set(o_map))
+        if s_map[c] != o_map[c]
+    ]
+    if diverged:
+        problems.append("dtype class mismatch: " + "; ".join(diverged))
+    return problems
+
+
 def main() -> int:
     global STRICT
     args = sys.argv[1:]
@@ -70,6 +131,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
             spark.catalog.clearCache()  # drop operator-persisted intermediates
         except Exception as exc:  # noqa: BLE001
@@ -82,6 +144,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             o_cols = rel.columns
+            o_types = [str(t) for t in rel.types]
             o_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
@@ -92,8 +155,10 @@ def main() -> int:
             problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(o_cols)}")
-        elif value_hash(s_rows, s_cols) != value_hash(o_rows, o_cols):
-            problems.append("value hash mismatch")
+        else:
+            problems.extend(_dtype_problems(s_dtypes, o_cols, o_types))
+            if value_hash(s_rows, s_cols) != value_hash(o_rows, o_cols):
+                problems.append("value hash mismatch")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
