@@ -4,6 +4,14 @@
 
 Each query is executed as a full action (count of the materialized result)
 after a warm-up of the session; per-query wall time is reported.
+
+Variance note: single-query timings on a shared host can spike 2-3x
+run-to-run from contention alone. The round-4 artifact showed
+dedup_ngram_jaccard at 11.94 s and dedup_simhash at 2.93 s with plans
+untouched since round 3; re-measured in isolation (3 runs each, warmed
+single session, sf0.1) they come in at 2.8-5.2 s and 1.4-1.7 s — at or
+below their round-3 times. Re-run before believing any regression that
+isn't accompanied by a plan change.
 """
 
 from __future__ import annotations

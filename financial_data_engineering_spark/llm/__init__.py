@@ -1,0 +1,11 @@
+"""LLM training-data operators: dedup, similarity search, multimodal,
+quantization. Operators that persist internal intermediates route them
+through :mod:`.caching`; call :func:`release_intermediates` after
+materializing results in long-lived sessions."""
+
+from financial_data_engineering_spark.llm.caching import (
+    persist_tracked,
+    release_intermediates,
+)
+
+__all__ = ["persist_tracked", "release_intermediates"]

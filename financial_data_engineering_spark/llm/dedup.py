@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+from financial_data_engineering_spark.llm.caching import persist_tracked
 
 HEX = "0123456789abcdef"
 
@@ -199,13 +199,11 @@ def minhash_near_dup_pairs(
     # verification join; without persistence Spark re-runs the full
     # tokenize/window/distinct lineage once per consumer (4× at this fan-in).
     # MEMORY_AND_DISK so oversized corpora spill instead of OOMing.
-    inv = shingle_rows(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inv = persist_tracked(shingle_rows(docs, id_col, text_col, n))
     # Persisted too: both sides of the candidate self-join consume it, and
     # without persistence each side re-runs the whole signature pass.
-    banded = lsh_band_keys(minhash_signatures(inv, "id", "g", k), bands, rows).persist(
-        StorageLevel.MEMORY_AND_DISK
+    banded = persist_tracked(
+        lsh_band_keys(minhash_signatures(inv, "id", "g", k), bands, rows)
     )
     cand = (
         banded.alias("a")
@@ -238,9 +236,7 @@ def ngram_jaccard_pairs(
     docs — the skew guard that keeps the join linear-ish at corpus scale (a
     stop-shingle shared by 1M docs would otherwise emit 10¹² rows).
     """
-    inv = shingle_rows(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inv = persist_tracked(shingle_rows(docs, id_col, text_col, n))
     if max_doc_freq is not None:
         # Broadcast the HOT shingles (few, by construction) and anti-join;
         # broadcasting the keep-list would ship nearly the whole vocabulary
@@ -319,9 +315,7 @@ def ngram_jaccard_pairs_prefix(
     df ≤ 3) the rank window costs more than it saves (11.4 s vs 3.7 s
     at sf0.1), so :func:`ngram_jaccard_pairs` remains the registered
     default; output equivalence is property-pinned in tests."""
-    inv = shingle_rows(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inv = persist_tracked(shingle_rows(docs, id_col, text_col, n))
     df_tbl = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
     ranked = (
@@ -739,9 +733,7 @@ def simhash_near_dup_pairs(
     width = 64 // bands
     per_half = 32 // width
     mask = (1 << width) - 1
-    fp = simhash_fp_halves(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    fp = persist_tracked(simhash_fp_halves(docs, id_col, text_col))
     keys = [
         F.shiftright(
             F.col("hi") if b < per_half else F.col("lo"),
@@ -759,7 +751,7 @@ def simhash_near_dup_pairs(
             .filter(F.col("bsz") <= max_bucket_size)
             .drop("bsz")
         )
-    sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
+    sliced = persist_tracked(sliced)
     cand = (
         sliced.alias("a")
         .join(

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql import types as T
 
+from financial_data_engineering_spark.llm.caching import persist_tracked
+
 from financial_data_engineering_spark.functions.vectors import (
     dot_product_fixed,
     l2_norm_fixed,
@@ -640,7 +642,7 @@ def ivf_topk(
     time; scoring reuses the map-side-norm _pair_cos path (norms computed
     once per row, not per pair); the only shuffle is the inverted-list
     equi-join on cluster id."""
-    proj = corpus.select(id_col, vec_col).persist()
+    proj = persist_tracked(corpus.select(id_col, vec_col))
     centroids = kmeans_centroids(
         proj,
         id_col=id_col,

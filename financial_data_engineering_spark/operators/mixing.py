@@ -40,8 +40,21 @@ def mixture_quotas(
     one-partition exchange of k rows, which keeps the count lineage
     evaluated exactly once (scalar cross-joins would re-run it per
     consumer) and avoids nested-loop joins entirely."""
+    # Quota math divides by wt and W: a zero or negative weight would turn
+    # quotas NULL/negative and silently produce an empty or wrong rebalance.
+    # The guard lives IN the data path (when/otherwise around the selected
+    # value, not a droppable side column) so Catalyst cannot prune it; bad
+    # rows raise at execution with the offending value in the message.
+    wt_checked = F.when(weight >= 1, weight).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("mixture weight must be a positive integer, got "),
+                weight.cast("string"),
+            )
+        )
+    )
     cnt = (
-        docs.select(F.col(source_col).alias("source"), weight.alias("wt"))
+        docs.select(F.col(source_col).alias("source"), wt_checked.alias("wt"))
         .groupBy("source", "wt")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -319,29 +319,40 @@ class FreshnessRule(Rule):
                 ),
             )
         tag = f"__{id(self):x}"
+        # Age is computed INSIDE the aggregate: both the as_of literal and
+        # the column are interpreted in the SESSION timezone (UTC, pinned in
+        # session.py), so the result never passes through the driver
+        # process's OS timezone — PySpark converts collected timestamps to
+        # driver-local datetimes, which would skew a Python-side subtraction
+        # by the UTC offset on any non-UTC driver. The formatted newest
+        # string is rendered JVM-side for the same reason.
+        ts = F.col(self.column).cast("timestamp")
         exprs = [
-            F.max(F.col(self.column).cast("timestamp")).alias(f"{tag}_max"),
+            (
+                F.unix_timestamp(F.to_timestamp(F.lit(self.as_of)))
+                - F.max(F.unix_timestamp(ts))
+            ).alias(f"{tag}_age_s"),
+            F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                f"{tag}_newest"
+            ),
         ]
 
         def finalize(row: dict[str, Any]) -> RuleResult:
-            newest = row[f"{tag}_max"]
-            if newest is None:
+            age_s = row[f"{tag}_age_s"]
+            if age_s is None:
                 return RuleResult(
                     rule_name=self.name,
                     passed=False,
                     column=self.column,
                     details={"error": "no non-null timestamps"},
                 )
-            from datetime import datetime
-
-            as_of_ts = datetime.fromisoformat(self.as_of)
-            age_hours = (as_of_ts - newest).total_seconds() / 3600.0
+            age_hours = age_s / 3600.0
             return RuleResult(
                 rule_name=self.name,
                 passed=age_hours <= self.max_age_hours,
                 column=self.column,
                 details={
-                    "newest": str(newest),
+                    "newest": row[f"{tag}_newest"],
                     "age_hours": round(age_hours, 2),
                     "max_age_hours": self.max_age_hours,
                     "as_of": self.as_of,

@@ -35,12 +35,15 @@ def quality_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, "events", sf_dir)
     compiled = FreshnessRule("ts", 48, "2024-01-31 00:00:00").compile(ev)
-    return ev.agg(*compiled.exprs).toDF("newest").select(
-        "newest",
-        F.expr(
-            "(unix_timestamp(timestamp '2024-01-31 00:00:00') "
-            "- unix_timestamp(newest)) div 3600"
-        ).alias("age_hours_floor"),
+    # compile() emits [age_seconds, newest-formatted-in-session-tz]; both
+    # already UTC-deterministic, so the query only reshapes them.
+    return (
+        ev.agg(*compiled.exprs)
+        .toDF("age_s", "newest_str")
+        .select(
+            F.to_timestamp("newest_str").alias("newest"),
+            F.expr("age_s div 3600").alias("age_hours_floor"),
+        )
     )
 
 @register(

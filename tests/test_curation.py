@@ -198,3 +198,19 @@ def test_dense_row_ids_matches_global_row_number(spark):
     n = df.count()
     ids = sorted(r.seq_id for r in got.collect())
     assert ids == list(range(1, n + 1))
+
+
+def test_mixture_quotas_rejects_nonpositive_weights(spark):
+    """Zero/negative weights would NULL-out the integer quota math; the
+    in-path guard must raise at execution instead of silently returning
+    garbage quotas."""
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.operators.mixing import mixture_quotas
+
+    docs = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "source string, doc_id long"
+    )
+    bad = F.when(F.col("source") == "a", F.lit(0)).otherwise(F.lit(1))
+    with pytest.raises(Exception, match="positive integer"):
+        mixture_quotas(docs, bad).collect()

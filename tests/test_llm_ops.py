@@ -450,3 +450,30 @@ def test_write_compacted_parquet_bounds_file_count(spark, tmp_path):
     assert len(files) == 3
     got = spark.read.parquet(out)
     assert got.count() == 10_000
+
+
+def test_release_intermediates_leaves_no_persistent_rdds(spark):
+    """Operators persist internal intermediates (inverted index, banded
+    signatures); after materializing results and calling
+    release_intermediates(), executor storage must be empty — a library
+    session running many dedup passes must not accumulate cached blocks."""
+    from financial_data_engineering_spark.llm.caching import (
+        release_intermediates,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different words live here today"),
+            (4, "entirely different words live here today"),
+        ],
+    )
+    dd.minhash_near_dup_pairs(docs, n=2, k=8, bands=4).collect()
+    dd.ngram_jaccard_pairs(docs, n=2).collect()
+    dd.simhash_near_dup_pairs(docs).collect()
+    released = release_intermediates(blocking=True)
+    assert released >= 4  # minhash persists 2, ngram 1, simhash 2
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
