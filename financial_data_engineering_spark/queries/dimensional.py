@@ -70,7 +70,7 @@ def surrogate_keys_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key,
            substring(md5(concat_ws('|', c_name, CAST(c_custkey AS VARCHAR))), 1, 12)
                AS customer_sk,
-           round(o_totalprice, 2) AS totalprice
+           o_totalprice AS totalprice
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_orderkey
@@ -92,7 +92,7 @@ def fact_orders_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             date_key(F.col("o_orderdate")).alias("date_key"),
             "customer_sk",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
         )
         .orderBy("o_orderkey")
     )
@@ -199,7 +199,7 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(priority, 'NONE') AS priority_at_ship,
            count(*) AS n_lineitems,
-           round(sum(l_quantity), 2) AS total_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM cand WHERE rn = 1
     GROUP BY priority_at_ship
     ORDER BY priority_at_ship
@@ -265,7 +265,7 @@ def lineitem_priority_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
         .orderBy("priority_at_ship")
     )

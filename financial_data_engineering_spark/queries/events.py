@@ -23,7 +23,8 @@ from financial_data_engineering_spark.tables import load
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_e2
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -38,13 +39,15 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_e2"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
         .orderBy("window_start", "event_type")
     )
@@ -55,8 +58,10 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) - to_hours(off) AS window_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
-           round(max(value), 4) AS max_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_e2,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_value_e2
     FROM events, (SELECT unnest([0, 1]) AS off)
     GROUP BY 1
     ORDER BY window_start
@@ -71,11 +76,18 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_e2"
+            ),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "max_value_e2"
+            ),
         )
         .select(
-            F.col("w.start").alias("window_start"), "n_events", "total_value", "max_value"
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value_e2",
+            "max_value_e2",
         )
         .orderBy("window_start")
     )
@@ -172,7 +184,7 @@ def event_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.ts,
            o.o_orderkey AS last_orderkey,
            o.o_orderdate AS last_orderdate,
-           round(o.o_totalprice, 2) AS last_totalprice
+           o.o_totalprice AS last_totalprice
     FROM events e
     ASOF LEFT JOIN latest_per_day o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
@@ -209,7 +221,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_orderdate").alias("last_orderdate"),
-        F.round("o_totalprice", 2).alias("last_totalprice"),
+        F.col("o_totalprice").alias("last_totalprice"),
     ).orderBy("event_id")
 
 
@@ -223,7 +235,8 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            day,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_e2
     FROM e
     GROUP BY ROLLUP (event_type, day)
     ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST
@@ -250,9 +263,11 @@ def event_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_e2"
+            ),
         )
-        .select("gid", "event_type", "day", "n_events", "total_value")
+        .select("gid", "event_type", "day", "n_events", "total_value_e2")
         .orderBy(
             "gid",
             F.asc_nulls_first("event_type"),

@@ -98,8 +98,8 @@ def quality_uniqueness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(l_quantity) AS checked,
            CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
-           round(min(l_quantity), 2) AS min_found,
-           round(max(l_quantity), 2) AS max_found
+           min(l_quantity) AS min_found,
+           max(l_quantity) AS max_found
     FROM lineitem
     """,
 )
@@ -108,12 +108,9 @@ def quality_range_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiler. Inclusive bounds, nulls/NaN excluded (SURVEY §4 NaN trap)."""
     li = load(spark, "lineitem", sf_dir)
     compiled = RangeRule("l_quantity", min_val=1, max_val=50).compile(li)
-    out = li.agg(*compiled.exprs).toDF("checked", "violations", "min_found", "max_found")
-    return out.select(
-        "checked",
-        "violations",
-        F.round("min_found", 2).alias("min_found"),
-        F.round("max_found", 2).alias("max_found"),
+    # min/max are passthroughs of integer-valued quantities — no rounding.
+    return li.agg(*compiled.exprs).toDF(
+        "checked", "violations", "min_found", "max_found"
     )
 
 

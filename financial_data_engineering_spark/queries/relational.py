@@ -26,18 +26,35 @@ from financial_data_engineering_spark.tables import load
 @register(
     "pricing_summary",
     oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ),
+    a AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(q) AS BIGINT) AS sum_qty,
+               CAST(sum(p) AS BIGINT) AS sum_base_price_e2,
+               CAST(sum(p * (100 - d)) AS BIGINT) AS sum_disc_price_e4,
+               CAST(sum(p * (100 - d) * (100 + t)) AS BIGINT) AS sum_charge_e6,
+               CAST(sum(d) AS BIGINT) AS dsum,
+               count(*) AS count_order
+        FROM b GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           sum_qty, sum_base_price_e2, sum_disc_price_e4, sum_charge_e6,
+           CAST((2 * sum_qty * 10000 + count_order) // (2 * count_order)
+                AS BIGINT) AS avg_qty_e4,
+           CAST((2 * sum_base_price_e2 * 100 + count_order)
+                // (2 * count_order) AS BIGINT) AS avg_price_e4,
+           CAST((2 * dsum * 100 + count_order) // (2 * count_order)
+                AS BIGINT) AS avg_disc_e4,
+           count_order
+    FROM a
     ORDER BY l_returnflag, l_linestatus
     """,
 )
@@ -49,22 +66,47 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate filter + 7-column projection push into the parquet scan.
     """
     li = load(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # Exact integer domain: prices/discount/tax are 2-decimal-exact in the
+    # data, so cents (e2) / e4 / e6 long arithmetic replays bit-identically
+    # on any engine and is immune to float summation order. Headroom: e6
+    # sums fit int64 up to ~9.2e18 (≈9e12 charge-dollars per group); beyond
+    # that flip the accumulators to decimal(38,0) — same plan shape.
+    q = F.col("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    t = F.round(F.col("l_tax") * 100).cast("long")
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(q).alias("sum_qty"),
+            F.sum(p).alias("sum_base_price_e2"),
+            F.sum(p * (100 - d)).alias("sum_disc_price_e4"),
+            F.sum(p * (100 - d) * (100 + t)).alias("sum_charge_e6"),
+            F.sum(d).alias("_dsum"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # Round-half-up averages at fixed decimal scale: (2*num*scale + den)
+    # div (2*den) — the repo-standard engine-exact rounding idiom.
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_e2",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        F.expr(
+            "(2 * sum_qty * 10000 + count_order) div (2 * count_order)"
+        ).alias("avg_qty_e4"),
+        F.expr(
+            "(2 * sum_base_price_e2 * 100 + count_order) div (2 * count_order)"
+        ).alias("avg_price_e4"),
+        F.expr(
+            "(2 * _dsum * 100 + count_order) div (2 * count_order)"
+        ).alias("avg_disc_e4"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @register(
@@ -101,13 +143,14 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e2,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_e2 DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -125,10 +168,12 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(customer), orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     agg = joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_e2"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    return topk(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+    return topk(agg, [F.desc("revenue_e2"), F.asc("c_custkey")], 20)
 
 
 @register(
@@ -142,13 +187,14 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n_name AS nation,
            count(*) AS n_customers,
-           round(sum(l.o_totalprice), 2) AS latest_revenue
+           CAST(sum(CAST(round(l.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS latest_revenue_e2
     FROM latest l
     JOIN customer c ON l.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE l.rn = 1
     GROUP BY n.n_name
-    ORDER BY latest_revenue DESC, nation
+    ORDER BY latest_revenue_e2 DESC, nation
     LIMIT 10
     """,
 )
@@ -172,9 +218,11 @@ def nation_latest_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("latest_revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "latest_revenue_e2"
+            ),
         )
-        .orderBy(F.desc("latest_revenue"), F.asc("nation"))
+        .orderBy(F.desc("latest_revenue_e2"), F.asc("nation"))
         .limit(10)
     )
 
@@ -218,26 +266,40 @@ def order_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lineitem_global_stats",
     oracle="""
+    WITH b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+    )
     SELECT count(*) AS n_rows,
-           round(sum(l_extendedprice), 2) AS total_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(median(CAST(l_quantity AS DOUBLE)), 4) AS median_qty,
-           round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price
-    FROM lineitem
+           CAST(sum(p) AS BIGINT) AS total_price_e2,
+           CAST((2 * sum(q) * 10000 + count(*)) // (2 * count(*))
+                AS BIGINT) AS avg_qty_e4,
+           median(CAST(q AS DOUBLE)) AS median_qty,
+           CAST(min(p) AS BIGINT) AS min_price_e2,
+           CAST(max(p) AS BIGINT) AS max_price_e2
+    FROM b
     """,
 )
 def lineitem_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global stats (D5): sum/mean/median/min/max
     (validate_federal_awards.py:170-171). Exact median for oracle parity;
     at scale percentile_approx avoids the global sort."""
-    return load(spark, "lineitem", sf_dir).agg(
+    li = load(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # median of integer quantities is k or k+0.5 — exactly representable,
+    # so the double passes the cross-engine compare without rounding.
+    return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.median(F.col("l_quantity").cast("double")), 4).alias("median_qty"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.sum(p).alias("total_price_e2"),
+        F.expr(
+            "(2 * sum(CAST(l_quantity AS BIGINT)) * 10000 + count(*))"
+            " div (2 * count(*))"
+        ).alias("avg_qty_e4"),
+        F.median(q.cast("double")).alias("median_qty"),
+        F.min(p).alias("min_price_e2"),
+        F.max(p).alias("max_price_e2"),
     )
 
 
@@ -266,10 +328,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "high_value_parties",
     oracle="""
     SELECT * FROM (
-        SELECT c_name AS name, round(c_acctbal, 2) AS acctbal, 'customer' AS kind
+        SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
         FROM customer WHERE c_acctbal > 5000
         UNION ALL
-        SELECT s_name AS name, round(s_acctbal, 2) AS acctbal, 'supplier' AS kind
+        SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
         FROM supplier WHERE s_acctbal > 5000
     )
     ORDER BY acctbal DESC, name
@@ -282,12 +344,12 @@ def high_value_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, "supplier", sf_dir)
     c = customer.filter(F.col("c_acctbal") > 5000).select(
         F.col("c_name").alias("name"),
-        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_acctbal").alias("acctbal"),
         F.lit("customer").alias("kind"),
     )
     s = supplier.filter(F.col("s_acctbal") > 5000).select(
         F.col("s_name").alias("name"),
-        F.round("s_acctbal", 2).alias("acctbal"),
+        F.col("s_acctbal").alias("acctbal"),
         F.lit("supplier").alias("kind"),
     )
     return union_frames([c, s]).orderBy(F.desc("acctbal"), F.asc("name"))
@@ -297,7 +359,9 @@ def high_value_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region_segment",
     oracle="""
     SELECT r.r_name AS region, c.c_mktsegment AS segment,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -327,9 +391,10 @@ def revenue_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("region", "segment")
@@ -341,7 +406,8 @@ def revenue_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+           CAST((2 * count(*) * 1000000 + sum(count(*)) OVER ())
+                // (2 * sum(count(*)) OVER ()) AS BIGINT) AS share_e6
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -357,10 +423,10 @@ def order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_orderpriority",
         "n_orders",
-        F.round(
-            F.col("n_orders") * F.lit(1.0) / F.sum("n_orders").over(Window.partitionBy()),
-            6,
-        ).alias("share"),
+        F.expr(
+            "(2 * n_orders * 1000000 + sum(n_orders) OVER ())"
+            " div (2 * sum(n_orders) OVER ())"
+        ).alias("share_e6"),
     ).orderBy("o_orderpriority")
 
 

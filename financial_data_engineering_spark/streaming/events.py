@@ -59,13 +59,15 @@ def hourly_rollup(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_e2"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
     )
 
@@ -78,14 +80,18 @@ def sliding_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_e2"
+            ),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "max_value_e2"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "n_events",
-            "total_value",
-            "max_value",
+            "total_value_e2",
+            "max_value_e2",
         )
     )
 

@@ -24,7 +24,7 @@ def test_flagship_runs_and_is_deterministic(spark):
     b = fn(spark, SF_SMALL).collect()
     assert a == b
     assert 0 < len(a) <= 10
-    assert a[0]["latest_revenue"] >= a[-1]["latest_revenue"]
+    assert a[0]["latest_revenue_e2"] >= a[-1]["latest_revenue_e2"]
 
 
 def test_every_query_has_matching_column_names_with_oracle(spark):

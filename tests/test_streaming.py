@@ -48,7 +48,7 @@ def test_hourly_rollup_unified_with_batch(spark, events_dir):
     stream = st.hourly_rollup(st.read_event_stream(spark, events_dir))
     got = _drain(spark, stream, "stream_hourly")
     want = q.all_queries()["hourly_event_rollup"](spark, SF_SMALL)
-    cols = ["window_start", "event_type", "n_events", "total_value"]
+    cols = ["window_start", "event_type", "n_events", "total_value_e2"]
     assert _rows(got, cols) == _rows(want, cols)
 
 
@@ -56,7 +56,7 @@ def test_sliding_counts_unified_with_batch(spark, events_dir):
     stream = st.sliding_counts(st.read_event_stream(spark, events_dir))
     got = _drain(spark, stream, "stream_sliding")
     want = q.all_queries()["sliding_event_counts"](spark, SF_SMALL)
-    cols = ["window_start", "n_events", "total_value", "max_value"]
+    cols = ["window_start", "n_events", "total_value_e2", "max_value_e2"]
     assert _rows(got, cols) == _rows(want, cols)
 
 
