@@ -186,6 +186,38 @@ def sql_fingerprint(col: str) -> str:
     return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
 
 
+#: Bucket count for deterministic content-hash split assignment.
+SPLIT_BUCKETS = 100
+
+
+def content_split(col: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Leakage-aware deterministic train/val/test assignment.
+
+    Buckets on the CONTENT fingerprint (first 32 md5 bits mod 100), so
+    byte-identical documents always land in the same split regardless of
+    id, shard, or arrival order — the property that stops train/test
+    leakage through exact duplicates. Pure column expression: no RNG
+    state, no shuffle, reproducible across runs and engines.
+    """
+    b = (
+        F.conv(F.substring(fingerprint(col), 1, 8), 16, 10).cast("long")
+        % SPLIT_BUCKETS
+    )
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def sql_content_split(col: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    b = f"(('0x' || substr({sql_fingerprint(col)}, 1, 8))::BIGINT % {SPLIT_BUCKETS})"
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+
+
 # BPE-style pre-tokenizer classes: letter runs, digit runs, single
 # non-space symbols — the shape GPT-2-family pre-tokenizers produce before
 # merges. Identical semantics in Java regex and RE2.

@@ -818,3 +818,58 @@ def incremental_exact_dedup(
         fresh.select(F.col(id_col)), id_col
     )
     return new_unique, updated
+
+
+def minhash_registry_matches(
+    batch: DataFrame,
+    registry_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch NEAR-dup screen: which new documents are fuzzy
+    duplicates of an already-ingested corpus — the incremental companion
+    to :func:`incremental_exact_dedup` for content that was edited, not
+    copied byte-for-byte.
+
+    Shape: both sides get the same MinHash band keys; candidates come from
+    the batch×registry equi-join on (band, key) — NEVER batch×registry
+    all-pairs — and only candidates pay exact-Jaccard verification. At
+    steady state the registry side is yesterday's banded keys read from
+    parquet; today's batch is the only side shingled fresh, so daily cost
+    scales with the batch, not the corpus.
+
+    Returns (id, best_match, jaccard): the registry document with the
+    highest verified Jaccard ≥ threshold per batch document (ties → lowest
+    registry id). Batch and registry ids must be disjoint.
+    """
+    rows = k // bands
+    inv_b = persist_tracked(shingle_rows(batch, id_col, text_col, n))
+    inv_r = persist_tracked(shingle_rows(registry_docs, id_col, text_col, n))
+    bands_b = lsh_band_keys(minhash_signatures(inv_b, "id", "g", k), bands, rows)
+    bands_r = lsh_band_keys(minhash_signatures(inv_r, "id", "g", k), bands, rows)
+    cand = (
+        bands_b.alias("a")
+        .join(
+            bands_r.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = _pair_jaccard(cand, inv_b.unionByName(inv_r), threshold)
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias(id_col),
+            F.col("doc_b").alias("best_match"),
+            "jaccard",
+        )
+    )

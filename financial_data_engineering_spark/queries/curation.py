@@ -49,6 +49,34 @@ TOP_BIGRAMS_K = 20
 
 
 @register(
+    "doc_split_assign",
+    oracle=f"""
+    WITH b AS (
+        SELECT source, {tx.sql_content_split('text')} AS split
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM b GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-aware train/val/test split audit: assignment
+    buckets on the content fingerprint (functions.text.content_split), so
+    exact duplicates can never straddle train and test, then rolls up the
+    per-source split sizes. Map-side expression + one small aggregate — no
+    RNG, no extra shuffle beyond the rollup, identical assignment at any
+    scale or partitioning."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select("source", tx.content_split(F.col("text")).alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
     "doc_sample_stratified",
     oracle=f"""
     SELECT source, doc_id FROM (

@@ -37,6 +37,42 @@ sh AS (
 
 
 @register(
+    "dedup_incremental_new_unique",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents
+    ),
+    reg AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    b2 AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+        FROM fps WHERE doc_id % 2 = 1 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM b2
+    WHERE fp NOT IN (SELECT fp FROM reg)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_new_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a prior-batch fingerprint registry
+    (llm.dedup.incremental_exact_dedup): even doc_ids stand in for
+    yesterday's ingested corpus (registry = their distinct fingerprints),
+    odd doc_ids are today's batch. Output is today's genuinely-new
+    documents — within-batch min-id survivors whose content no earlier
+    batch contained. Registry-side state is bounded by distinct content,
+    not corpus size; both shuffles key on the uniform 128-bit fingerprint."""
+    docs = load(spark, "documents", sf_dir)
+    fp = tx.fingerprint(F.col("text"))
+    registry = dd.exact_survivors(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fp
+    ).select("fp")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    new_unique, _updated = dd.incremental_exact_dedup(batch, registry)
+    return new_unique.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_exact_survivors",
     oracle=f"""
     SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
@@ -452,3 +488,126 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_group_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+    pairs AS (
+        {_SIMHASH_PAIRS_SELECT}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    comp(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, c.label FROM comp c JOIN edges e ON c.node = e.a
+    ),
+    grouped AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM comp GROUP BY node
+    ),
+    reps AS (
+        SELECT component, count(*) AS n_members FROM grouped GROUP BY component
+    )
+    SELECT CAST(r.component AS BIGINT) AS component,
+           CAST(r.n_members AS BIGINT) AS n_members,
+           d.source AS rep_source
+    FROM reps r JOIN documents d ON d.doc_id = r.component
+    ORDER BY component
+    """,
+)
+def dedup_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-duplicate groups: each connected
+    component keeps ONE canonical representative (the min-id member — the
+    component label itself, so no extra argmax pass) annotated with the
+    group size and the representative's source. The join back to
+    ``documents`` broadcasts the tiny component table, so the corpus-sized
+    side never shuffles — this is the keep-list a 100 TB dedup pass would
+    write out."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = dd.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
+    )
+    comps = dd.connected_components(pairs, "doc_a", "doc_b")
+    reps = comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        docs.select(F.col("doc_id").alias("component"), "source")
+        .join(F.broadcast(reps), "component")
+        .select(
+            "component", "n_members", F.col("source").alias("rep_source")
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    base AS (
+        SELECT doc_id, s,
+               list_transform(range(16), i ->
+                   list_min(list_transform(s, x ->
+                       (('0x' || substr(md5(x), 1, 8))::BIGINT
+                        + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
+                       % 4294967311))) AS sig
+        FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               md5(sig[4*b+1]::VARCHAR || '|' || sig[4*b+2]::VARCHAR || '|' ||
+                   sig[4*b+3]::VARCHAR || '|' || sig[4*b+4]::VARCHAR) AS k
+        FROM base, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                     4) AS jaccard
+        FROM cand
+        JOIN base sa ON sa.doc_id = cand.doc_a
+        JOIN base sb ON sb.doc_id = cand.doc_b
+    ),
+    best AS (
+        SELECT doc_a AS doc_id, doc_b AS best_match, jaccard,
+               row_number() OVER (PARTITION BY doc_a
+                                  ORDER BY jaccard DESC, doc_b) AS rn
+        FROM verified WHERE jaccard >= 0.5
+    )
+    SELECT doc_id, best_match, jaccard FROM best WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup screen (llm.dedup.minhash_registry_matches):
+    even doc_ids stand in for the already-ingested registry corpus, odd
+    doc_ids for today's batch; each batch document reports its best
+    verified registry match at Jaccard ≥ 0.5. Candidates come from the
+    batch×registry band-key equi-join — daily cost scales with the batch,
+    never the corpus."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.minhash_registry_matches(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        k=16,
+        bands=4,
+        threshold=0.5,
+    ).orderBy("doc_id")

@@ -455,12 +455,21 @@ def test_write_compacted_parquet_bounds_file_count(spark, tmp_path):
 def test_release_intermediates_leaves_no_persistent_rdds(spark):
     """Operators persist internal intermediates (inverted index, banded
     signatures); after materializing results and calling
-    release_intermediates(), executor storage must be empty — a library
-    session running many dedup passes must not accumulate cached blocks."""
+    release_intermediates(), no NEW cached blocks may remain — a library
+    session running many dedup passes must not accumulate storage. The
+    check is delta-based because a shared test session may hold unrelated
+    localCheckpoint RDDs from earlier tests."""
     from financial_data_engineering_spark.llm.caching import (
         release_intermediates,
     )
 
+    def persistent_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    release_intermediates(blocking=True)  # drain leftovers from other tests
+    before = persistent_ids()
     docs = _docs(
         spark,
         [
@@ -473,7 +482,60 @@ def test_release_intermediates_leaves_no_persistent_rdds(spark):
     dd.minhash_near_dup_pairs(docs, n=2, k=8, bands=4).collect()
     dd.ngram_jaccard_pairs(docs, n=2).collect()
     dd.simhash_near_dup_pairs(docs).collect()
+    assert persistent_ids() - before  # the run did persist intermediates
     released = release_intermediates(blocking=True)
     assert released >= 4  # minhash persists 2, ngram 1, simhash 2
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert persistent_ids() <= before
+
+
+def test_minhash_registry_matches_finds_cross_batch_near_dup(spark):
+    """A batch document that is a near-copy of a registry document must
+    report that registry doc as best_match; unrelated docs must not match.
+    Batch-internal duplicates are NOT the registry screen's concern."""
+    registry = _docs(
+        spark,
+        [
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "completely unrelated registry content about other things"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            # near-copy of 2 (one word appended)
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+            (3, "no overlap with anything in the registry at all whatsoever"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["best_match"], r["jaccard"])
+        for r in dd.minhash_registry_matches(
+            batch, registry, n=2, k=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {1}
+    assert got[1][0] == 2
+    assert got[1][1] >= 0.5
+
+
+def test_content_split_is_deterministic_and_leakage_safe(spark):
+    """Identical content must get the identical split label regardless of
+    doc id; fractions must be respected in aggregate over many docs."""
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(400)]
+        + [(1000, "document number 7 body"), (2000, "Document  number 7 body")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", tx.content_split(F.col("text")).alias("split")
+    ).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    # exact dup and normalized dup of doc 7 share its split
+    assert by_id[1000] == by_id[7] == by_id[2000]
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # 80/10/10 within loose tolerance on ~400 distinct contents
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    assert set(counts) == {"train", "val", "test"}

@@ -44,6 +44,15 @@ SHUFFLE_BUDGET = {
     "dedup_component_groups": 2,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
+    # registry anti-join plan: batch survivors agg + anti-join + id
+    # re-attach; registry side is fingerprint-only
+    "dedup_incremental_new_unique": 3,
+    # two banded-signature pipelines (batch + registry) + candidate join
+    # + union verify + best-match window; one more than the self-join LSH
+    "dedup_incremental_minhash": 7,
+    # component fixpoint runs pre-checkpoint; rep rollup + broadcast
+    # attach + presentation sort
+    "dedup_group_representatives": 2,
     "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard": 9,
     "dedup_simhash": 0,
@@ -62,6 +71,8 @@ SHUFFLE_BUDGET = {
     "doc_pack_bins": 2,
     "doc_repetition_flags": 3,
     "doc_sample_stratified": 2,
+    # map-side split expression + rollup agg + presentation sort
+    "doc_split_assign": 2,
     "doc_text_stats": 1,
     "embedding_quantization_stats": 2,
     # broadcast eval index: the 4 exchanges are the two tiny eval-side
