@@ -158,3 +158,96 @@ def kmv_group_sketches(
         )
         .orderBy(group_col)
     )
+
+
+def kmv_intersection(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV set-operation estimator (Beyer et al. SIGMOD'07 §4): estimate
+    the overlap between two groups' DISTINCT key sets from their bottom-k
+    sketches alone — the audit a 100 TB profile job runs to ask "how many
+    customers do segments A and B share?" without an exact distinct-join.
+
+    Method: build each side's bottom-k sketch, take the union sketch
+    (bottom-k of the two sketches' hashes — never the raw data), and count
+    the union-sketch hashes present in BOTH sides (``n_inter``). Then
+    ρ = n_inter/k estimates the Jaccard of the key sets, and
+    ρ · D_union the intersection size, where D_union is the union
+    sketch's (k−1)·2^48 div h_k estimate. When the union sketch is not
+    full the numbers are exact, not estimates (the sketch holds every
+    hash). Integer arithmetic throughout, so a SQL oracle replays it
+    bit-for-bit.
+
+    One distinct-shuffle over the (filtered) keys; everything after is
+    k-row control-plane data.
+    """
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(group_col).isin([group_a, group_b])
+        )
+        .select(
+            F.col(group_col).alias("grp"), kmv_hash(F.col(key_col)).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    bottom = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+        .localCheckpoint()
+    )
+    union_sketch = (
+        bottom.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
+    )
+    a_h = bottom.filter(F.col("grp") == group_a).select("h")
+    b_h = bottom.filter(F.col("grp") == group_b).select("h")
+    inter = union_sketch.join(a_h, "h").join(b_h, "h").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    stats = union_sketch.agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual")
+    )
+    # Combine the one-row aggregates without a join (pad/union/fold — same
+    # trick as kmv_distinct: each column is non-null in exactly one input).
+    combined = (
+        stats.select(
+            "kth", "k_actual", F.lit(None).cast("long").alias("n_inter")
+        )
+        .unionByName(
+            inter.select(
+                F.lit(None).cast("long").alias("kth"),
+                F.lit(None).cast("long").alias("k_actual"),
+                F.col("n_inter").cast("long"),
+            )
+        )
+        .agg(
+            F.max("kth").alias("kth"),
+            F.max("k_actual").alias("k_actual"),
+            F.max("n_inter").alias("n_inter"),
+        )
+    )
+    union_est = (
+        f"CASE WHEN k_actual < {k} THEN k_actual "
+        f"ELSE {(k - 1) * _SCALE} div greatest(kth, 1) END"
+    )
+    return combined.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_inter").cast("bigint").alias("inter_sketch_keys"),
+        F.expr(union_est).cast("bigint").alias("union_estimate"),
+        F.expr(f"(n_inter * ({union_est})) div greatest(k_actual, 1)")
+        .cast("bigint")
+        .alias("inter_estimate"),
+        F.expr("(2 * n_inter * 10000 + k_actual) div (2 * greatest(k_actual, 1))")
+        .cast("bigint")
+        .alias("jaccard_e4"),
+    )

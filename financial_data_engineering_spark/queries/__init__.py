@@ -18,6 +18,7 @@ from financial_data_engineering_spark.queries.registry import (
 # (multimodal ×2, curation's doc_mix_rebalance) come FIRST for driver
 # re-confirmation; the families driver-greened in r4 rotate to the tail.
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
+from financial_data_engineering_spark.queries import audits  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
 from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401

@@ -1,0 +1,161 @@
+"""Corpus-profile audit queries (round-5 additions): sketch-based segment
+overlap and embedding-space cohesion. Registered early — the driver's
+correctness gate checks a bounded window of the registry, and new families
+belong inside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+# KMV constants, duplicated from queries.sketch on purpose: importing that
+# module here would fire its registrations ahead of this module's and
+# scramble the driver-gate window ordering.
+KMV_K = 256
+_SCALE = 1 << 48
+_NUM = (KMV_K - 1) * _SCALE
+
+#: fixed-point scale for embedding components (see overflow note below).
+EMB_SCALE = 1000
+#: embedding dimensionality of the test corpus.
+EMB_DIM = 64
+
+
+@register(
+    "kmv_priority_intersect",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    bottom AS (
+        SELECT grp, h FROM (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashes
+        ) WHERE rn <= {KMV_K}
+    ),
+    u AS (
+        SELECT DISTINCT h FROM bottom ORDER BY h LIMIT {KMV_K}
+    ),
+    tk AS (SELECT max(h) AS kth, count(*) AS k_actual FROM u),
+    i AS (
+        SELECT count(*) AS n_inter FROM u
+        WHERE h IN (SELECT h FROM bottom WHERE grp = '1-URGENT')
+          AND h IN (SELECT h FROM bottom WHERE grp = '2-HIGH')
+    ),
+    est AS (
+        SELECT n_inter, k_actual,
+               CASE WHEN k_actual < {KMV_K} THEN k_actual
+                    ELSE {_NUM} // greatest(kth, 1) END AS ue
+        FROM tk, i
+    )
+    SELECT '1-URGENT' AS group_a,
+           '2-HIGH' AS group_b,
+           CAST(n_inter AS BIGINT) AS inter_sketch_keys,
+           CAST(ue AS BIGINT) AS union_estimate,
+           CAST((n_inter * ue) // greatest(k_actual, 1) AS BIGINT)
+               AS inter_estimate,
+           CAST((2 * n_inter * 10000 + k_actual)
+                // (2 * greatest(k_actual, 1)) AS BIGINT) AS jaccard_e4
+    FROM est
+    """,
+)
+def kmv_priority_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimator (operators.sketch.kmv_intersection):
+    how many customers do the URGENT and HIGH priority segments share,
+    estimated from two bottom-k sketches plus their union sketch — no
+    exact distinct-join over the raw keys. The Jaccard and intersection
+    estimates are integer-exact replays of the Beyer et al. SIGMOD'07
+    construction, so the oracle pins estimator arithmetic, not just
+    row counts."""
+    from financial_data_engineering_spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    return kmv_intersection(
+        load(spark, "orders", sf_dir),
+        "o_orderpriority",
+        "o_custkey",
+        "1-URGENT",
+        "2-HIGH",
+        KMV_K,
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, d,
+               CAST(round(embedding[d + 1] * {EMB_SCALE}) AS BIGINT) AS x
+        FROM '__EMB__', (SELECT unnest(range({EMB_DIM})) AS d)
+    ),
+    per_dim AS (
+        SELECT label, d,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM comp GROUP BY label, d
+    ),
+    vecs AS (SELECT label, count(*) AS n_vecs
+             FROM '__EMB__' GROUP BY label)
+    SELECT CAST(p.label AS BIGINT) AS label,
+           CAST(v.n_vecs AS BIGINT) AS n_vecs,
+           CAST(sum(p.sx * p.sx) AS BIGINT) AS sumvec_sq_norm_e6,
+           CAST(sum(p.sxx) AS BIGINT) AS total_sq_norm_e6
+    FROM per_dim p JOIN vecs v USING (label)
+    GROUP BY p.label, v.n_vecs
+    ORDER BY label
+    """.replace(
+        "'__EMB__'", "embeddings"
+    ),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cohesion audit per label: fixed-point (e3) integer
+    sums per dimension give the squared norm of each label's SUM vector
+    (``sumvec_sq_norm_e6``) next to the summed squared norms of its
+    members (``total_sq_norm_e6``). Their ratio — ||Σv||²/(n·Σ||v||²) — is
+    the classic cohesion statistic (1 for identical vectors, ~0 for
+    isotropic noise), and both numerators are order-independent integer
+    sums, so any engine replays them bit-for-bit.
+
+    Plan: one posexplode (dim × rows, map-side) into two hash aggregates
+    keyed (label, dim) then (label) — partial aggregation makes the first
+    shuffle carry |labels|·dim rows. Headroom: e3 components keep
+    per-dim sums inside int64 up to ~10^12 vectors per label.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("d", "xf")
+    ).select(
+        "label",
+        "d",
+        F.round(F.col("xf").cast("double") * EMB_SCALE).cast("long").alias("x"),
+    )
+    per_dim = comp.groupBy("label", "d").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            (F.sum("n_rows") / EMB_DIM).cast("long").alias("n_vecs"),
+            F.sum(F.col("sx") * F.col("sx")).alias("sumvec_sq_norm_e6"),
+            F.sum("sxx").alias("total_sq_norm_e6"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "sumvec_sq_norm_e6",
+            "total_sq_norm_e6",
+        )
+        .orderBy("label")
+    )

@@ -36,161 +36,6 @@ sh AS (
 """
 
 
-@register(
-    "dedup_incremental_new_unique",
-    oracle=f"""
-    WITH fps AS (
-        SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents
-    ),
-    reg AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
-    b2 AS (
-        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
-        FROM fps WHERE doc_id % 2 = 1 GROUP BY fp
-    )
-    SELECT doc_id, fp FROM b2
-    WHERE fp NOT IN (SELECT fp FROM reg)
-    ORDER BY doc_id
-    """,
-)
-def dedup_incremental_new_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup against a prior-batch fingerprint registry
-    (llm.dedup.incremental_exact_dedup): even doc_ids stand in for
-    yesterday's ingested corpus (registry = their distinct fingerprints),
-    odd doc_ids are today's batch. Output is today's genuinely-new
-    documents — within-batch min-id survivors whose content no earlier
-    batch contained. Registry-side state is bounded by distinct content,
-    not corpus size; both shuffles key on the uniform 128-bit fingerprint."""
-    docs = load(spark, "documents", sf_dir)
-    fp = tx.fingerprint(F.col("text"))
-    registry = dd.exact_survivors(
-        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fp
-    ).select("fp")
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
-    new_unique, _updated = dd.incremental_exact_dedup(batch, registry)
-    return new_unique.select(
-        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
-    ).orderBy("doc_id")
-
-
-@register(
-    "dedup_exact_survivors",
-    oracle=f"""
-    SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
-    FROM (SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents)
-    GROUP BY fp
-    ORDER BY doc_id
-    """,
-)
-def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keep-list: one minimum-id survivor per normalized-text
-    MD5 fingerprint plus the copy count. Single shuffle on the uniform
-    128-bit fingerprint; at 100 TB this is the cheapest dedup pass and runs
-    first to shrink the corpus before the fuzzy passes."""
-    docs = load(spark, "documents", sf_dir)
-    return dd.exact_survivors(docs, "doc_id", tx.fingerprint(F.col("text"))).orderBy(
-        "doc_id"
-    )
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
-    base AS (
-        SELECT doc_id, s,
-               list_transform(range(16), i ->
-                   list_min(list_transform(s, x ->
-                       (('0x' || substr(md5(x), 1, 8))::BIGINT
-                        + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
-                       % 4294967311))) AS sig
-        FROM sh WHERE len(s) > 0
-    ),
-    bands AS (
-        SELECT doc_id, b,
-               md5(sig[4*b+1]::VARCHAR || '|' || sig[4*b+2]::VARCHAR || '|' ||
-                   sig[4*b+3]::VARCHAR || '|' || sig[4*b+4]::VARCHAR) AS k
-        FROM base, (SELECT unnest(range(4)) AS b)
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-        SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
-                     4) AS jaccard
-        FROM cand
-        JOIN base sa ON sa.doc_id = cand.doc_a
-        JOIN base sb ON sb.doc_id = cand.doc_b
-    )
-    SELECT doc_a, doc_b, jaccard FROM verified
-    WHERE jaccard >= 0.5
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by MinHash (k=16, md5 hash family) + LSH
-    banding (4 bands × 4 rows), exact-Jaccard verified at ≥ 0.5. The scale
-    path: candidates come from a shuffle join on uniform band keys — never
-    an all-pairs product — and only candidates pay the exact verification.
-    """
-    docs = load(spark, "documents", sf_dir)
-    return dd.minhash_near_dup_pairs(
-        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5
-    ).orderBy("doc_a", "doc_b")
-
-
-_NGRAM_MAX_DOC_FREQ = 100
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
-    inv0 AS (
-        SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
-    ),
-    inv AS (
-        SELECT doc_id, g FROM inv0
-        QUALIFY count(*) OVER (PARTITION BY g) <= {_NGRAM_MAX_DOC_FREQ}
-    ),
-    sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
-    FROM pairs
-    JOIN sz sa ON sa.doc_id = doc_a
-    JOIN sz sb ON sb.doc_id = doc_b
-    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.3
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ 0.3 via an inverted shingle index
-    (join on shingle, count co-occurrences — no cross join), with the
-    ``max_doc_freq`` stop-shingle guard active: shingles shared by more
-    than {_NGRAM_MAX_DOC_FREQ} documents are cut before the self-join
-    (the join is quadratic in per-shingle doc frequency — a single hot
-    shingle shared by 1M docs would emit 10^12 rows). Jaccard is computed
-    over the guarded shingle sets on both sides, so the oracle replays the
-    identical semantics."""
-    docs = load(spark, "documents", sf_dir)
-    return dd.ngram_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=3,
-        threshold=0.3,
-        max_doc_freq=_NGRAM_MAX_DOC_FREQ,
-    ).orderBy("doc_a", "doc_b")
-
-
-#: Eval split: docs whose md5(doc_id) starts with 0 or 1 (~1/8 of the corpus)
 #: stand in for a held-out benchmark suite. Deterministic and replayable.
 _EVAL_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
 
@@ -405,89 +250,41 @@ _SIMHASH_PAIRS_SELECT = """SELECT doc_a, doc_b,
     WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3"""
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=f"""
-    WITH {_SIMHASH_PAIRS_CTES}
-    {_SIMHASH_PAIRS_SELECT}
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming ≤ 3): fingerprint slices
-    (4 × 16 bits) block candidates by pigeonhole — pairs within 3 bits
-    must agree on a full slice — then an exact hamming count verifies.
-    Integer-domain throughout: the fingerprint is two 32-bit longs, band
-    keys are shift/mask ints, verification is bit_count(xor); buckets
-    above {_SIMHASH_BUCKET_CAP} rows are dropped (skew guard — correlated
-    SimHash bits make low-entropy slices collect quadratic-join buckets)."""
-    docs = load(spark, "documents", sf_dir)
-    return dd.simhash_near_dup_pairs(
-        docs,
-        "doc_id",
-        "text",
-        max_hamming=3,
-        bands=4,
-        max_bucket_size=_SIMHASH_BUCKET_CAP,
-    ).orderBy("doc_a", "doc_b")
-
 
 @register(
-    "dedup_component_groups",
+    "dedup_incremental_new_unique",
     oracle=f"""
-    WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
-    pairs AS (
-        {_SIMHASH_PAIRS_SELECT}
+    WITH fps AS (
+        SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents
     ),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    comp(node, label) AS (
-        SELECT DISTINCT a, a FROM edges
-        UNION
-        SELECT e.b, c.label FROM comp c JOIN edges e ON c.node = e.a
-    ),
-    grouped AS (
-        SELECT node AS doc_id, min(label) AS component
-        FROM comp GROUP BY node
+    reg AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    b2 AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+        FROM fps WHERE doc_id % 2 = 1 GROUP BY fp
     )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(component AS BIGINT) AS component,
-           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size
-    FROM grouped
+    SELECT doc_id, fp FROM b2
+    WHERE fp NOT IN (SELECT fp FROM reg)
     ORDER BY doc_id
     """,
 )
-def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate GROUP resolution: the simhash pair graph collapsed
-    into connected components (min-label propagation, llm/dedup.py
-    connected_components) — A~B and B~C land in one group even when A~C
-    was never emitted, which is what survivor selection actually needs.
-    The oracle replays transitive closure with a recursive CTE, so the
-    iterative Spark fixpoint and SQL reachability must agree exactly.
-    Output: every paired document with its component id (= min doc_id in
-    the component) and the component size."""
+def dedup_incremental_new_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a prior-batch fingerprint registry
+    (llm.dedup.incremental_exact_dedup): even doc_ids stand in for
+    yesterday's ingested corpus (registry = their distinct fingerprints),
+    odd doc_ids are today's batch. Output is today's genuinely-new
+    documents — within-batch min-id survivors whose content no earlier
+    batch contained. Registry-side state is bounded by distinct content,
+    not corpus size; both shuffles key on the uniform 128-bit fingerprint."""
     docs = load(spark, "documents", sf_dir)
-    pairs = dd.simhash_near_dup_pairs(
-        docs,
-        "doc_id",
-        "text",
-        max_hamming=3,
-        bands=4,
-        max_bucket_size=_SIMHASH_BUCKET_CAP,
-    )
-    comps = dd.connected_components(pairs, "doc_a", "doc_b")
-    w = Window.partitionBy("component")
-    return (
-        comps.select(
-            F.col("node").alias("doc_id"),
-            "component",
-            F.count(F.lit(1)).over(w).alias("group_size"),
-        )
-        .orderBy("doc_id")
-    )
+    fp = tx.fingerprint(F.col("text"))
+    registry = dd.exact_survivors(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fp
+    ).select("fp")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    new_unique, _updated = dd.incremental_exact_dedup(batch, registry)
+    return new_unique.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -611,3 +408,207 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.5,
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+    FROM (SELECT doc_id, {tx.sql_fingerprint('text')} AS fp FROM documents)
+    GROUP BY fp
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-list: one minimum-id survivor per normalized-text
+    MD5 fingerprint plus the copy count. Single shuffle on the uniform
+    128-bit fingerprint; at 100 TB this is the cheapest dedup pass and runs
+    first to shrink the corpus before the fuzzy passes."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.exact_survivors(docs, "doc_id", tx.fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    base AS (
+        SELECT doc_id, s,
+               list_transform(range(16), i ->
+                   list_min(list_transform(s, x ->
+                       (('0x' || substr(md5(x), 1, 8))::BIGINT
+                        + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
+                       % 4294967311))) AS sig
+        FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               md5(sig[4*b+1]::VARCHAR || '|' || sig[4*b+2]::VARCHAR || '|' ||
+                   sig[4*b+3]::VARCHAR || '|' || sig[4*b+4]::VARCHAR) AS k
+        FROM base, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                     4) AS jaccard
+        FROM cand
+        JOIN base sa ON sa.doc_id = cand.doc_a
+        JOIN base sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by MinHash (k=16, md5 hash family) + LSH
+    banding (4 bands × 4 rows), exact-Jaccard verified at ≥ 0.5. The scale
+    path: candidates come from a shuffle join on uniform band keys — never
+    an all-pairs product — and only candidates pay the exact verification.
+    """
+    docs = load(spark, "documents", sf_dir)
+    return dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+_NGRAM_MAX_DOC_FREQ = 100
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inv0 AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
+    ),
+    inv AS (
+        SELECT doc_id, g FROM inv0
+        QUALIFY count(*) OVER (PARTITION BY g) <= {_NGRAM_MAX_DOC_FREQ}
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.3 via an inverted shingle index
+    (join on shingle, count co-occurrences — no cross join), with the
+    ``max_doc_freq`` stop-shingle guard active: shingles shared by more
+    than {_NGRAM_MAX_DOC_FREQ} documents are cut before the self-join
+    (the join is quadratic in per-shingle doc frequency — a single hot
+    shingle shared by 1M docs would emit 10^12 rows). Jaccard is computed
+    over the guarded shingle sets on both sides, so the oracle replays the
+    identical semantics."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.3,
+        max_doc_freq=_NGRAM_MAX_DOC_FREQ,
+    ).orderBy("doc_a", "doc_b")
+
+
+#: Eval split: docs whose md5(doc_id) starts with 0 or 1 (~1/8 of the corpus)
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTES}
+    {_SIMHASH_PAIRS_SELECT}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3): fingerprint slices
+    (4 × 16 bits) block candidates by pigeonhole — pairs within 3 bits
+    must agree on a full slice — then an exact hamming count verifies.
+    Integer-domain throughout: the fingerprint is two 32-bit longs, band
+    keys are shift/mask ints, verification is bit_count(xor); buckets
+    above {_SIMHASH_BUCKET_CAP} rows are dropped (skew guard — correlated
+    SimHash bits make low-entropy slices collect quadratic-join buckets)."""
+    docs = load(spark, "documents", sf_dir)
+    return dd.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_component_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+    pairs AS (
+        {_SIMHASH_PAIRS_SELECT}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    comp(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, c.label FROM comp c JOIN edges e ON c.node = e.a
+    ),
+    grouped AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM comp GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size
+    FROM grouped
+    ORDER BY doc_id
+    """,
+)
+def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP resolution: the simhash pair graph collapsed
+    into connected components (min-label propagation, llm/dedup.py
+    connected_components) — A~B and B~C land in one group even when A~C
+    was never emitted, which is what survivor selection actually needs.
+    The oracle replays transitive closure with a recursive CTE, so the
+    iterative Spark fixpoint and SQL reachability must agree exactly.
+    Output: every paired document with its component id (= min doc_id in
+    the component) and the component size."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = dd.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
+    )
+    comps = dd.connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("component")
+    return (
+        comps.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )

@@ -539,3 +539,22 @@ def test_content_split_is_deterministic_and_leakage_safe(spark):
     assert counts["train"] > counts.get("val", 0)
     assert counts["train"] > counts.get("test", 0)
     assert set(counts) == {"train", "val", "test"}
+
+
+def test_kmv_intersection_exact_when_sketch_not_full(spark):
+    """With fewer distinct keys than k, the union sketch holds every hash,
+    so the 'estimates' must be the exact intersection/union counts."""
+    from financial_data_engineering_spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    df = spark.createDataFrame(
+        [("A", i) for i in range(20)] + [("B", i) for i in range(10, 40)],
+        "grp string, key long",
+    )
+    row = kmv_intersection(df, "grp", "key", "A", "B", k=256).collect()[0]
+    # |A|=20, |B|=30, |A∩B|=10, |A∪B|=40
+    assert row["inter_sketch_keys"] == 10
+    assert row["union_estimate"] == 40
+    assert row["inter_estimate"] == 10
+    assert row["jaccard_e4"] == 2500  # 10/40

@@ -44,6 +44,11 @@ SHUFFLE_BUDGET = {
     "dedup_component_groups": 2,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
+    # post-checkpoint sketch membership: the distinct-shuffle ran at
+    # sketch build; joins over k-row sketches + pad/union fold
+    "kmv_priority_intersect": 2,
+    # posexplode (map-side) -> (label, dim) agg -> label agg -> sort
+    "embedding_label_centroids": 3,
     # registry anti-join plan: batch survivors agg + anti-join + id
     # re-attach; registry side is fingerprint-only
     "dedup_incremental_new_unique": 3,
