@@ -1,6 +1,11 @@
 """Structured Streaming extensions: windowed aggregations, sessionization,
 and watermark-bounded dedup over the events stream."""
 
+from financial_data_engineering_spark.streaming.documents import (
+    contamination_screen,
+    near_dup_screen,
+    read_document_stream,
+)
 from financial_data_engineering_spark.streaming.stateful import (
     running_user_stats,
 )
@@ -20,6 +25,9 @@ from financial_data_engineering_spark.streaming.events import (
 
 __all__ = [
     "SESSION_GAP",
+    "contamination_screen",
+    "near_dup_screen",
+    "read_document_stream",
     "WATERMARK",
     "dedup_events",
     "enrich_events",
@@ -32,7 +40,3 @@ __all__ = [
     "sliding_counts",
     "user_sessions",
 ]
-from financial_data_engineering_spark.streaming.documents import (  # noqa: E402,F401
-    contamination_screen,
-    read_document_stream,
-)

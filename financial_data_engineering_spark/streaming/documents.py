@@ -69,3 +69,86 @@ def contamination_screen(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def near_dup_screen(
+    doc_stream: DataFrame,
+    registry_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate screen on arrival: every arriving
+    document computes its band keys STATELESSLY (the same md5-affine
+    signature family and band hashing as llm/dedup's batch operators, so
+    keys join a batch-built registry bit-for-bit) and stream-static joins
+    the broadcast ``registry_bands`` table (id, band, key) — the banded
+    sketch of the already-ingested corpus, e.g. from
+    ``lsh_band_keys(minhash_signatures(shingle_rows(registry)))`` read
+    off parquet.
+
+    Emits (doc_id, registry_id, n_bands) candidate evidence in update
+    mode: n_bands counts the colliding bands per (arrival, registry-doc)
+    pair. This is the cheap LSH prefilter — the LSH contract guarantees
+    every pair the batch verifier (llm.dedup.minhash_registry_matches)
+    would flag collides on ≥ 1 band, so the stream's quarantine list is a
+    superset of the verified matches; exact-Jaccard verification stays in
+    the batch layer. State is one counter per candidate pair, bounded by
+    candidates, not the corpus; the registry side is static broadcast —
+    refresh the parquet and the next trigger sees it, no restart.
+
+    Unified model: on a batch frame the identical code is a plain
+    explode→broadcast-join→count plan, pinned against the batch operator
+    in tests.
+    """
+    from financial_data_engineering_spark.llm.dedup import MINHASH_P, shingles
+
+    rows = k // bands
+    sh = shingles(F.col(text_col), n)
+    docs = doc_stream.select(F.col(id_col), sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+    def _sig(i: int) -> F.Column:
+        # min over the affine family h_i(x) = (a + i*b) mod P, a/b = the
+        # two 32-bit halves of md5(x) — hash-identical to the relational
+        # batch pipeline; HOF cost lands only on the micro-batch.
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x: (
+                    F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+                    + F.lit(i)
+                    * F.conv(F.substring(F.md5(x), 9, 8), 16, 10).cast("long")
+                )
+                % F.lit(MINHASH_P),
+            )
+        )
+
+    sigs = docs.select(
+        id_col, *[_sig(i).alias(f"m{i}") for i in range(k)]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "key")
+    )
+    reg = registry_bands.select(
+        F.col("id").alias("registry_id"), "band", "key"
+    )
+    return (
+        banded.join(F.broadcast(reg), ["band", "key"])
+        .groupBy(id_col, "registry_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

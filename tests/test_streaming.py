@@ -207,3 +207,49 @@ def test_contamination_screen_stream_matches_batch(spark, docs_dir):
     want = _rows(batch, ["doc_id", "n_shared"])
     assert got == want
     assert len(got) > 0  # the sf0.001 corpus contains planted overlap
+
+
+def test_near_dup_screen_stream_superset_of_batch_verifier(spark, docs_dir):
+    """Streaming LSH near-dup screen parity + the LSH contract: the
+    update-mode screen over the streamed batch (odd ids) against a
+    batch-built registry (even ids) must equal the batch run of the SAME
+    function, and every pair the batch verifier flags at threshold must
+    appear among the stream's candidates."""
+    from financial_data_engineering_spark.llm import dedup as dd
+    from financial_data_engineering_spark.tables import load
+
+    docs = load(spark, "documents", SF_SMALL)
+    registry_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    reg_bands = dd.lsh_band_keys(
+        dd.minhash_signatures(
+            dd.shingle_rows(registry_docs, "doc_id", "text", 3), "id", "g", 16
+        ),
+        4,
+        4,
+    )
+
+    stream = st.near_dup_screen(
+        st.read_document_stream(spark, docs_dir).filter(
+            F.col("doc_id") % 2 == 1
+        ),
+        reg_bands,
+    )
+    assert stream.isStreaming
+    st.run_to_memory_sink(stream, "stream_neardup", output_mode="update")
+    got = _rows(
+        spark.sql("SELECT * FROM stream_neardup"),
+        ["doc_id", "registry_id", "n_bands"],
+    )
+
+    batch = st.near_dup_screen(docs.filter(F.col("doc_id") % 2 == 1), reg_bands)
+    assert not batch.isStreaming
+    want = _rows(batch, ["doc_id", "registry_id", "n_bands"])
+    assert got == want
+    assert len(got) > 0
+
+    verified = dd.minhash_registry_matches(
+        docs.filter(F.col("doc_id") % 2 == 1), registry_docs, threshold=0.5
+    ).collect()
+    cand_pairs = {(r[0], r[1]) for r in got}
+    for r in verified:
+        assert (r["doc_id"], r["best_match"]) in cand_pairs
