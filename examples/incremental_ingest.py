@@ -1,0 +1,119 @@
+"""Incremental corpus ingestion — the steady-state daily pipeline
+(extension surface; SURVEY.md §7.4, round-5 registry operators).
+
+Yesterday's corpus is never re-processed. The pipeline keeps two durable
+registry artifacts between runs:
+
+  - the EXACT registry: distinct content fingerprints seen so far;
+  - the NEAR-DUP registry: the banded MinHash key table of ingested docs.
+
+Each day's batch then:
+  1. exact-screens against the fingerprint registry
+     (llm.dedup.incremental_exact_dedup) — within-batch survivors whose
+     content no earlier batch contained;
+  2. near-dup-screens the fresh survivors against the banded registry
+     (llm.dedup.minhash_registry_matches) — edited-not-copied content,
+     each flagged with its best verified registry match;
+  3. admits the clean remainder, appends their fingerprints and band
+     keys to the registries, and writes compacted parquet.
+
+Costs scale with the BATCH, not the corpus: the fingerprint registry join
+keys on uniform md5, the near-dup candidates come from a batch×registry
+band equi-join, and registry updates are appends. The streaming twin of
+step 2 (streaming.near_dup_screen) runs the same band keys stream-static
+against the same registry table on arrival.
+
+Run: python examples/incremental_ingest.py [--sf-dir DIR] [--output DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.functions import text as tx
+from financial_data_engineering_spark.llm import dedup as dd
+from financial_data_engineering_spark.llm.caching import release_intermediates
+from financial_data_engineering_spark.session import get_spark
+from financial_data_engineering_spark.tables import load
+from financial_data_engineering_spark.transform.export import (
+    write_compacted_parquet,
+)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) -> dict:
+    spark = get_spark("incremental-ingest")
+    output_dir = output_dir or tempfile.mkdtemp(prefix="incremental_ingest_")
+    docs = load(spark, "documents", sf_dir)
+
+    # Day 0 (bootstrap): even doc_ids are the already-ingested corpus.
+    day0 = docs.filter(F.col("doc_id") % 2 == 0)
+    fp_registry = dd.exact_survivors(
+        day0, "doc_id", tx.fingerprint(F.col("text"))
+    ).select("fp")
+    band_registry = dd.lsh_band_keys(
+        dd.minhash_signatures(
+            dd.shingle_rows(day0, "doc_id", "text", 3), "id", "g", 16
+        ),
+        bands=4,
+        rows=4,
+    )
+    fp_path = os.path.join(output_dir, "registry_fp")
+    band_path = os.path.join(output_dir, "registry_bands")
+    write_compacted_parquet(fp_registry, fp_path, target_rows_per_file=100_000)
+    write_compacted_parquet(band_registry, band_path, target_rows_per_file=100_000)
+
+    # Day 1: odd doc_ids arrive. Registries are read back from parquet —
+    # the durable state a daily job actually has.
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    n_batch = batch.count()
+    fp_reg = spark.read.parquet(fp_path)
+    band_reg = spark.read.parquet(band_path)
+
+    # 1. exact screen
+    fresh, updated_fp = dd.incremental_exact_dedup(batch, fp_reg)
+
+    # 2. near-dup screen of the fresh survivors
+    flagged = dd.minhash_registry_matches(
+        fresh, day0, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5
+    )
+    admitted = fresh.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    # 3. admit + update registries (append-shaped writes)
+    n_fresh = fresh.count()
+    n_flagged = flagged.count()
+    n_admitted = admitted.count()
+    write_compacted_parquet(
+        admitted, os.path.join(output_dir, "admitted"), target_rows_per_file=100_000
+    )
+    write_compacted_parquet(
+        updated_fp, fp_path + "_v2", target_rows_per_file=100_000
+    )
+    release_intermediates()
+
+    stats = {
+        "batch": n_batch,
+        "fresh_after_exact": n_fresh,
+        "near_dup_flagged": n_flagged,
+        "admitted": n_admitted,
+        "output_dir": output_dir,
+    }
+    print(stats)
+    # session is shared with callers (tests reuse it); no stop() here
+    return stats
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+    main(args.sf_dir, args.output)

@@ -130,3 +130,21 @@ def test_curate_corpus_excludes_eval_and_contaminated(spark, tmp_path):
     ).select(F.col("train_id").alias("doc_id")).distinct()
     assert curated.join(flagged, "doc_id").count() == 0
     assert out["n_curated"] > 0
+
+
+def test_incremental_ingest_round_trip(spark, tmp_path):
+    """The daily ingest shape: registries persist to parquet between
+    'days', the batch screens against them, admitted = fresh minus
+    near-dup-flagged, and the updated fingerprint registry covers both
+    batches' content."""
+    from examples.incremental_ingest import main
+
+    out = main(sf_dir="/root/testdata/sf0.001", output_dir=str(tmp_path))
+    assert out["admitted"] == out["fresh_after_exact"] - out["near_dup_flagged"]
+    assert 0 < out["admitted"] <= out["batch"]
+    admitted = spark.read.parquet(str(tmp_path / "admitted"))
+    assert admitted.count() == out["admitted"]
+    # updated registry holds at least the day-0 fingerprints plus fresh ones
+    v1 = spark.read.parquet(str(tmp_path / "registry_fp")).count()
+    v2 = spark.read.parquet(str(tmp_path / "registry_fp_v2")).count()
+    assert v2 == v1 + out["fresh_after_exact"]
