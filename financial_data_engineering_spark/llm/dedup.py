@@ -144,7 +144,13 @@ def _pair_jaccard(
     """Verify (doc_a, doc_b) pairs with exact Jaccard from the inverted
     index: co-occurrence join restricted to the pairs → |A∩B|;
     |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts. Pairs sharing no
-    shingle have Jaccard 0 and drop out with the inner join."""
+    shingle have Jaccard 0 and drop out with the inner join.
+
+    ``jaccard_e4`` is the exact half-up integer rendering of
+    round(|∩|/|∪|, 4) — ``(2·i·10⁴ + u) div (2·u)`` — identical to the
+    float path in exact arithmetic but immune to the last-ulp /
+    half-boundary divergence float division can produce across engines;
+    the threshold compares in the same integer domain."""
     sz = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(inv.alias("ia"), F.col("doc_a") == F.col("ia.id"))
@@ -155,7 +161,6 @@ def _pair_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         inter.join(sz.alias("za"), F.col("doc_a") == F.col("za.id"))
         .join(sz.alias("zb"), F.col("doc_b") == F.col("zb.id"))
@@ -166,9 +171,15 @@ def _pair_jaccard(
             F.col("za.sz").alias("sz_a"),
             F.col("zb.sz").alias("sz_b"),
         )
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(
+            "jaccard_e4",
+            F.expr(
+                "(2 * inter * 10000 + (sz_a + sz_b - inter))"
+                " div (2 * (sz_a + sz_b - inter))"
+            ),
+        )
+        .filter(F.col("jaccard_e4") >= int(round(threshold * 10000)))
+        .select("doc_a", "doc_b", "jaccard_e4")
     )
 
 
@@ -258,7 +269,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         pairs.join(sz.alias("za"), F.col("doc_a") == F.col("za.id"))
         .join(sz.alias("zb"), F.col("doc_b") == F.col("zb.id"))
@@ -269,9 +279,15 @@ def ngram_jaccard_pairs(
             F.col("za.sz").alias("sz_a"),
             F.col("zb.sz").alias("sz_b"),
         )
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(
+            "jaccard_e4",
+            F.expr(
+                "(2 * inter * 10000 + (sz_a + sz_b - inter))"
+                " div (2 * (sz_a + sz_b - inter))"
+            ),
+        )
+        .filter(F.col("jaccard_e4") >= int(round(threshold * 10000)))
+        .select("doc_a", "doc_b", "jaccard_e4")
     )
 
 
@@ -863,13 +879,15 @@ def minhash_registry_matches(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     verified = _pair_jaccard(cand, inv_b.unionByName(inv_r), threshold)
-    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("jaccard_e4"), F.asc("doc_b")
+    )
     return (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             F.col("doc_a").alias(id_col),
             F.col("doc_b").alias("best_match"),
-            "jaccard",
+            "jaccard_e4",
         )
     )

@@ -373,20 +373,22 @@ def dedup_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     verified AS (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
-                     4) AS jaccard
+               CAST((2 * len(list_intersect(sa.s, sb.s)) * 10000
+                     + (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
+                    // (2 * (len(sa.s) + len(sb.s)
+                             - len(list_intersect(sa.s, sb.s))))
+                    AS BIGINT) AS jaccard_e4
         FROM cand
         JOIN base sa ON sa.doc_id = cand.doc_a
         JOIN base sb ON sb.doc_id = cand.doc_b
     ),
     best AS (
-        SELECT doc_a AS doc_id, doc_b AS best_match, jaccard,
+        SELECT doc_a AS doc_id, doc_b AS best_match, jaccard_e4,
                row_number() OVER (PARTITION BY doc_a
-                                  ORDER BY jaccard DESC, doc_b) AS rn
-        FROM verified WHERE jaccard >= 0.5
+                                  ORDER BY jaccard_e4 DESC, doc_b) AS rn
+        FROM verified WHERE jaccard_e4 >= 5000
     )
-    SELECT doc_id, best_match, jaccard FROM best WHERE rn = 1
+    SELECT doc_id, best_match, jaccard_e4 FROM best WHERE rn = 1
     ORDER BY doc_id
     """,
 )
@@ -456,15 +458,17 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     verified AS (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
-                     4) AS jaccard
+               CAST((2 * len(list_intersect(sa.s, sb.s)) * 10000
+                     + (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
+                    // (2 * (len(sa.s) + len(sb.s)
+                             - len(list_intersect(sa.s, sb.s))))
+                    AS BIGINT) AS jaccard_e4
         FROM cand
         JOIN base sa ON sa.doc_id = cand.doc_a
         JOIN base sb ON sb.doc_id = cand.doc_b
     )
-    SELECT doc_a, doc_b, jaccard FROM verified
-    WHERE jaccard >= 0.5
+    SELECT doc_a, doc_b, jaccard_e4 FROM verified
+    WHERE jaccard_e4 >= 5000
     ORDER BY doc_a, doc_b
     """,
 )
@@ -500,11 +504,13 @@ _NGRAM_MAX_DOC_FREQ = 100
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+           CAST((2 * inter * 10000 + (sa.sz + sb.sz - inter))
+                // (2 * (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_e4
     FROM pairs
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
-    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.3
+    WHERE (2 * inter * 10000 + (sa.sz + sb.sz - inter))
+          // (2 * (sa.sz + sb.sz - inter)) >= 3000
     ORDER BY doc_a, doc_b
     """,
 )

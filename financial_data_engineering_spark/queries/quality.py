@@ -50,12 +50,15 @@ def quality_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_completeness_lineitem",
     oracle="""
     SELECT count(*) AS total_rows,
-           round(CASE WHEN count(*) = 0 THEN 1.0
-                 ELSE count(l_quantity) * 1.0 / count(*) END, 6) AS quantity_ratio,
-           round(CASE WHEN count(*) = 0 THEN 1.0
-                 ELSE count(l_extendedprice) * 1.0 / count(*) END, 6) AS price_ratio,
-           round(CASE WHEN count(*) = 0 THEN 1.0
-                 ELSE count(l_returnflag) * 1.0 / count(*) END, 6) AS returnflag_ratio
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                ELSE (2 * count(l_quantity) * 1000000 + count(*))
+                     // (2 * count(*)) END AS BIGINT) AS quantity_ratio_e6,
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                ELSE (2 * count(l_extendedprice) * 1000000 + count(*))
+                     // (2 * count(*)) END AS BIGINT) AS price_ratio_e6,
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                ELSE (2 * count(l_returnflag) * 1000000 + count(*))
+                     // (2 * count(*)) END AS BIGINT) AS returnflag_ratio_e6
     FROM lineitem
     """,
 )
@@ -64,15 +67,24 @@ def quality_completeness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     computes every per-column non-null ratio (vs. reference's one pandas
     pass per rule, rules.py:40-75)."""
     li = load(spark, "lineitem", sf_dir)
-    total = F.count(F.lit(1))
-    ratio = lambda c: F.round(  # noqa: E731
-        F.when(total == 0, 1.0).otherwise(F.count(F.col(c)) * 1.0 / total), 6
+    agg = li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count("l_quantity").alias("_q"),
+        F.count("l_extendedprice").alias("_p"),
+        F.count("l_returnflag").alias("_r"),
     )
-    return li.agg(
-        total.alias("total_rows"),
-        ratio("l_quantity").alias("quantity_ratio"),
-        ratio("l_extendedprice").alias("price_ratio"),
-        ratio("l_returnflag").alias("returnflag_ratio"),
+    # half-up e6 completeness ratios via integer div — the repo-standard
+    # exact rendering for compared ratio-of-count outputs.
+    ratio = (
+        "CAST(CASE WHEN total_rows = 0 THEN 1000000"
+        " ELSE (2 * {c} * 1000000 + total_rows) div (2 * total_rows)"
+        " END AS BIGINT)"
+    )
+    return agg.select(
+        "total_rows",
+        F.expr(ratio.format(c="_q")).alias("quantity_ratio_e6"),
+        F.expr(ratio.format(c="_p")).alias("price_ratio_e6"),
+        F.expr(ratio.format(c="_r")).alias("returnflag_ratio_e6"),
     )
 
 

@@ -95,16 +95,16 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     df = _docs(spark, [(1, base), (2, near), (3, far)])
     pairs = dd.minhash_near_dup_pairs(df, threshold=0.3).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
-    assert pairs[0]["jaccard"] > 0.3
+    assert pairs[0]["jaccard_e4"] > 3000
 
 
 def test_ngram_jaccard_matches_minhash_on_planted_pair(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     near = base.replace("delta", "delta2", 1)
     df = _docs(spark, [(1, base), (2, near), (3, "unrelated text entirely here")])
-    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in
            dd.minhash_near_dup_pairs(df, threshold=0.3).collect()}
-    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in
              dd.ngram_jaccard_pairs(df, threshold=0.3).collect()}
     # LSH candidates are a subset of exact pairs and agree on the verified value.
     assert set(lsh) <= set(exact)
@@ -508,14 +508,14 @@ def test_minhash_registry_matches_finds_cross_batch_near_dup(spark):
         ],
     )
     got = {
-        r["doc_id"]: (r["best_match"], r["jaccard"])
+        r["doc_id"]: (r["best_match"], r["jaccard_e4"])
         for r in dd.minhash_registry_matches(
             batch, registry, n=2, k=8, bands=4, threshold=0.5
         ).collect()
     }
     assert set(got) == {1}
     assert got[1][0] == 2
-    assert got[1][1] >= 0.5
+    assert got[1][1] >= 5000
 
 
 def test_content_split_is_deterministic_and_leakage_safe(spark):
