@@ -2,7 +2,7 @@
 # the Spark engine (correctness gate + bench added alongside the
 # reference's test/lint/docker targets).
 
-.PHONY: test lint check bench docker-test docker-run demo-quakes demo-economic demo-multi demo-awards demo-filings demo-curate clean
+.PHONY: test lint check bench docker-test docker-run demo-quakes demo-economic demo-multi demo-awards demo-filings demo-curate demo-ingest clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -48,6 +48,9 @@ demo-filings:
 
 demo-curate:
 	python examples/curate_training_corpus.py
+
+demo-ingest:
+	python examples/incremental_ingest.py
 
 clean:
 	find . -type d -name __pycache__ -exec rm -rf {} + 2>/dev/null; true

@@ -159,3 +159,52 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "user_rolling_value_7d",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS rolling_value_e2,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def user_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user activity (RANGE-frame window — the frame
+    class none of the row_number/rank queries exercise): every event
+    carries the sum of its user's value and event count over the
+    preceding 7 calendar days INCLUSIVE of timestamp peers, which is what
+    RANGE (not ROWS) frames guarantee on both engines. Value sums are
+    exact integer cents. One shuffle on user_id; the frame scan is a
+    per-partition sliding aggregate, linear per user, no self-join — the
+    shape that replaces the classic "event × trailing-window self-join"
+    anti-pattern at 100 TB."""
+    ev = load(spark, "events", sf_dir)
+    from pyspark.sql.window import Window
+
+    # unix_micros, not cast-to-seconds: the events table carries
+    # microsecond timestamps, and DuckDB's INTERVAL frame compares at
+    # full precision — second-truncated ordering keys would disagree for
+    # rows within 1 s of the 7-day boundary.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .over(w)
+            .alias("rolling_value_e2"),
+            F.count(F.lit(1)).over(w).alias("rolling_events"),
+        )
+        .orderBy("event_id")
+    )

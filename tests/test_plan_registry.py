@@ -49,6 +49,9 @@ SHUFFLE_BUDGET = {
     "kmv_priority_intersect": 2,
     # posexplode (map-side) -> (label, dim) agg -> label agg -> sort
     "embedding_label_centroids": 3,
+    # one user_id window shuffle + presentation sort; the 7-day frame is
+    # a per-partition sliding aggregate, no self-join
+    "user_rolling_value_7d": 2,
     # registry anti-join plan: batch survivors agg + anti-join + id
     # re-attach; registry side is fingerprint-only
     "dedup_incremental_new_unique": 3,
