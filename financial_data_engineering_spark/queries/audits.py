@@ -208,3 +208,66 @@ def user_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "lineitem_quantity_mad_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, median(CAST(q AS DOUBLE)) AS med
+        FROM q GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT q.l_returnflag, q.q, m.med, abs(q.q - m.med) AS dev
+        FROM q JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+        SELECT l_returnflag, median(dev) AS mad FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           count(*) AS n_rows,
+           any_value(d.med) AS med_qty,
+           any_value(m.mad) AS mad_qty,
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def lineitem_quantity_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit: median absolute deviation of
+    integer quantities per return flag, plus the count of rows beyond the
+    3×MAD fence. Medians over integer-valued data are k or k+0.5 (and
+    deviations k/4 steps) — exactly representable doubles, so both
+    engines agree bit-for-bit without any rounding column. Two grouped
+    exact-median passes plus one broadcast of the tiny per-group stats;
+    at 100 TB swap median() for percentile_approx and keep the plan.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    q = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    med = q.groupBy("l_returnflag").agg(
+        F.median(F.col("q").cast("double")).alias("med")
+    )
+    dev = q.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("q") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.any_value(F.col("med")).alias("med_qty"),
+            F.any_value(F.col("mad")).alias("mad_qty"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -52,6 +52,9 @@ SHUFFLE_BUDGET = {
     # one user_id window shuffle + presentation sort; the 7-day frame is
     # a per-partition sliding aggregate, no self-join
     "user_rolling_value_7d": 2,
+    # two exact-median grouped aggs (sort-based) + final rollup + sort;
+    # per-group stats attach via broadcast
+    "lineitem_quantity_mad_outliers": 5,
     # registry anti-join plan: batch survivors agg + anti-join + id
     # re-attach; registry side is fingerprint-only
     "dedup_incremental_new_unique": 3,
