@@ -12,9 +12,18 @@ from pyspark.sql import functions as F
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
+from financial_data_engineering_spark.queries.similarity_oracles import (
+    _IVF_ORACLE,
+    _LSH_ORACLE,
+    _N_PLANES,
+    _N_QUERIES,
+    _TOP_K,
+)
+
 # KMV constants, duplicated from queries.sketch on purpose: importing that
-# module here would fire its registrations ahead of this module's and
-# scramble the driver-gate window ordering.
+# module (unlike similarity_oracles, which is registration-free) would fire
+# its registrations ahead of this module's and scramble the driver-gate
+# window ordering.
 KMV_K = 256
 _SCALE = 1 << 48
 _NUM = (KMV_K - 1) * _SCALE
@@ -270,4 +279,65 @@ def lineitem_quantity_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("n_outliers"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+_RRF_ORACLE = f"""
+WITH lsh AS ({_LSH_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+u AS (
+    SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS pts FROM lsh
+    UNION ALL
+    SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS pts FROM ivf
+),
+fused AS (
+    SELECT query_id, neighbor_id, CAST(sum(pts) AS BIGINT) AS rrf_e6
+    FROM u GROUP BY query_id, neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+    FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, rrf_e6
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_rrf_fusion", oracle=_RRF_ORACLE)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two ANN retrievers: each (query,
+    neighbor) earns ``10⁶ div (60 + rank)`` points from every retriever
+    list it appears in (LSH buckets and IVF probes — different recall
+    failure modes, which is why fused retrieval beats either alone), and
+    the fused top-k ranks by total points. Integer arithmetic throughout
+    (the RRF constant 60 is Cormack et al.'s standard), so the oracle —
+    composed verbatim from the two retrievers' full SQL replicas —
+    replays fusion exactly. Retriever plans are unchanged; fusion adds
+    one small groupBy over the two k·|queries| lists."""
+    from financial_data_engineering_spark.llm import similarity as sim
+    from pyspark.sql.window import Window
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    lsh = sim.lsh_topk(queries, emb, k=_TOP_K, n_planes=_N_PLANES, dim=64)
+    ivf = sim.ivf_topk(
+        queries, emb, k=_TOP_K, n_centroids=8, nprobe=2, dim=64, n_iters=2
+    )
+    pts = F.expr("1000000 div (60 + rank)")
+    u = lsh.select("query_id", "neighbor_id", pts.alias("pts")).unionByName(
+        ivf.select("query_id", "neighbor_id", pts.alias("pts"))
+    )
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("pts").alias("rrf_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e6"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "neighbor_id", "rrf_e6")
+        .orderBy("query_id", "rank")
     )

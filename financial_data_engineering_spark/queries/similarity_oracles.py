@@ -1,0 +1,248 @@
+"""DuckDB oracle SQL for the similarity queries, as importable
+constants with NO registration side effects — queries/similarity.py
+registers them, and queries/audits.py composes them (RRF fusion) without
+perturbing the driver-gate registration order.
+"""
+
+from __future__ import annotations
+
+from financial_data_engineering_spark.llm import similarity as sim
+
+_N_QUERIES = 5
+_TOP_K = 5
+_N_PLANES = 4
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv, cv), 4) AS cos
+    FROM q JOIN c ON query_id != neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+_LSH_ORACLE = f"""
+WITH planes AS (
+    SELECT p, list_transform(range(64), j ->
+        {sim.sql_hyperplane_component('p::VARCHAR', 'j::VARCHAR')}) AS w
+    FROM (SELECT unnest(range({_N_PLANES})) AS p)
+),
+sigs AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                           THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+    FROM embeddings e, planes pl
+    GROUP BY e.vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM sigs q
+    JOIN sigs c ON q.sig = c.sig AND q.vec_id != c.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+_MULTIPROBE_ORACLE = f"""
+WITH planes AS (
+    SELECT p, list_transform(range(64), j ->
+        {sim.sql_hyperplane_component('p::VARCHAR', 'j::VARCHAR')}) AS w
+    FROM (SELECT unnest(range({_N_PLANES})) AS p)
+),
+dots AS (
+    SELECT e.vec_id, pl.p,
+           list_dot_product(e.embedding::DOUBLE[], pl.w) AS d
+    FROM embeddings e, planes pl
+),
+sigs AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY p) AS sig
+    FROM dots GROUP BY vec_id
+),
+qflip AS (
+    SELECT vec_id, p AS flip_p FROM (
+        SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(abs(d), 9), p) AS rn
+        FROM dots WHERE vec_id < {_N_QUERIES}
+    ) WHERE rn = 1
+),
+qprobes AS (
+    SELECT vec_id, sig FROM sigs WHERE vec_id < {_N_QUERIES}
+    UNION ALL
+    SELECT s.vec_id,
+           substr(s.sig, 1, f.flip_p)
+           || (CASE WHEN substr(s.sig, f.flip_p + 1, 1) = '1'
+                    THEN '0' ELSE '1' END)
+           || substr(s.sig, f.flip_p + 2) AS sig
+    FROM sigs s JOIN qflip f USING (vec_id)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM qprobes q
+    JOIN sigs c ON q.sig = c.sig AND q.vec_id != c.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+_QUANT_ORACLE = """
+WITH ex AS (
+    SELECT vec_id,
+           (embedding::DOUBLE[])[CAST(j AS INT)] AS x
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+), b AS (
+    SELECT vec_id, x,
+           min(x) OVER (PARTITION BY vec_id) AS mn,
+           max(x) OVER (PARTITION BY vec_id) AS mx
+    FROM ex
+), c AS (
+    SELECT vec_id, x, mn, mx,
+           CASE WHEN mx > mn
+                THEN CAST(floor(((x - mn) * 255 / (mx - mn)) + 0.5) AS BIGINT)
+                ELSE 0 END AS code
+    FROM b
+), e AS (
+    SELECT vec_id, code,
+           CAST(floor(abs(x - (mn + (code * (mx - mn)) / 255)) * 1000000
+                      + 0.5) AS BIGINT) AS err_e6
+    FROM c
+), agg AS (
+    SELECT vec_id, count(*) AS n,
+           sum(code) AS code_sum, sum(err_e6) AS err_sum
+    FROM e GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(code_sum AS BIGINT) AS code_sum,
+       CAST((2 * err_sum + n) // (2 * n) AS BIGINT) AS mean_err_e6
+FROM agg
+ORDER BY vec_id
+"""
+
+
+_N_ITERS = 2
+_KM_SCALE = 1_000_000
+
+
+def _kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
+    """DuckDB CTE chain replaying llm.similarity.kmeans_centroids exactly:
+    init = lowest-id vectors relabeled 0..n-1; per iteration, argmax-cosine
+    assignment (cosine rounded to 9 decimals before the argmax so a
+    last-ulp difference can't flip a winner; ties → lowest cid) then exact
+    scaled-integer cluster means (sum of round(x·10^6) longs, one
+    division) — the same order-stable arithmetic the Spark side uses, so
+    centroids are bit-identical."""
+    parts = [
+        f"""cent0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding::DOUBLE[] AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {n_centroids})
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"""assign{it} AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cv), 9)
+                            DESC, c.cid) AS rn
+        FROM embeddings e, cent{it} c
+    ) WHERE rn = 1
+),
+sums{it} AS (
+    SELECT a.cid, j,
+           sum(CAST(round((e.embedding::DOUBLE[])[CAST(j AS INT)]
+                          * {_KM_SCALE}) AS BIGINT)) AS s,
+           count(*) AS cnt
+    FROM assign{it} a JOIN embeddings e USING (vec_id),
+         (SELECT unnest(range(1, {dim + 1})) AS j)
+    GROUP BY a.cid, j
+),
+mean{it} AS (
+    SELECT cid, list(s / ({_KM_SCALE}.0 * cnt) ORDER BY j) AS cv
+    FROM sums{it} GROUP BY cid
+),
+cent{it + 1} AS (
+    SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+    FROM cent{it} c LEFT JOIN mean{it} m USING (cid)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_IVF_ORACLE = f"""
+WITH {_kmeans_ctes(8, _N_ITERS, 64)},
+assign AS (
+    SELECT vec_id, cid, rn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cv), 9)
+                            DESC, c.cid) AS rn
+        FROM embeddings e, cent{_N_ITERS} c
+    )
+),
+corpus_lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1),
+query_probes AS (
+    SELECT vec_id AS query_id, cid FROM assign
+    WHERE rn <= 2 AND vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM query_probes q
+    JOIN corpus_lists c ON q.cid = c.cid AND q.query_id != c.neighbor_id
+    JOIN embeddings qe ON qe.vec_id = q.query_id
+    JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+

@@ -55,6 +55,9 @@ SHUFFLE_BUDGET = {
     # two exact-median grouped aggs (sort-based) + final rollup + sort;
     # per-group stats attach via broadcast
     "lineitem_quantity_mad_outliers": 5,
+    # both retriever plans (bucket joins) + fusion groupBy + rank window;
+    # fusion itself adds one exchange over two k-row lists
+    "ann_rrf_fusion": 4,
     # registry anti-join plan: batch survivors agg + anti-join + id
     # re-attach; registry side is fingerprint-only
     "dedup_incremental_new_unique": 3,
