@@ -5,7 +5,10 @@ Yesterday's corpus is never re-processed. The pipeline keeps two durable
 registry artifacts between runs:
 
   - the EXACT registry: distinct content fingerprints seen so far;
-  - the NEAR-DUP registry: the banded MinHash key table of ingested docs.
+  - the NEAR-DUP registry: the banded MinHash key table AND the shingle
+    inverted index of ingested docs (bands generate candidates, the
+    shingles verify exact Jaccard — neither requires touching the corpus
+    again).
 
 Each day's batch then:
   1. exact-screens against the fingerprint registry
@@ -57,16 +60,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     fp_registry = dd.exact_survivors(
         day0, "doc_id", tx.fingerprint(F.col("text"))
     ).select("fp")
+    inv_registry = dd.shingle_rows(day0, "doc_id", "text", 3)
     band_registry = dd.lsh_band_keys(
-        dd.minhash_signatures(
-            dd.shingle_rows(day0, "doc_id", "text", 3), "id", "g", 16
-        ),
-        bands=4,
-        rows=4,
+        dd.minhash_signatures(inv_registry, "id", "g", 16), bands=4, rows=4
     )
     fp_path = os.path.join(output_dir, "registry_fp")
+    inv_path = os.path.join(output_dir, "registry_inv")
     band_path = os.path.join(output_dir, "registry_bands")
     write_compacted_parquet(fp_registry, fp_path, target_rows_per_file=100_000)
+    write_compacted_parquet(inv_registry, inv_path, target_rows_per_file=100_000)
     write_compacted_parquet(band_registry, band_path, target_rows_per_file=100_000)
 
     # Day 1: odd doc_ids arrive. Registries are read back from parquet —
@@ -74,14 +76,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     n_batch = batch.count()
     fp_reg = spark.read.parquet(fp_path)
+    inv_reg = spark.read.parquet(inv_path)
     band_reg = spark.read.parquet(band_path)
 
     # 1. exact screen
     fresh, updated_fp = dd.incremental_exact_dedup(batch, fp_reg)
 
-    # 2. near-dup screen of the fresh survivors
+    # 2. near-dup screen of the fresh survivors against the PRECOMPUTED
+    # registry artifacts — the day-0 corpus is never re-shingled.
     flagged = dd.minhash_registry_matches(
-        fresh, day0, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5
+        fresh,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        k=16,
+        bands=4,
+        threshold=0.5,
+        registry_inv=inv_reg,
+        registry_bands=band_reg,
     )
     admitted = fresh.join(
         flagged.select("doc_id"), "doc_id", "left_anti"
@@ -96,6 +108,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     )
     write_compacted_parquet(
         updated_fp, fp_path + "_v2", target_rows_per_file=100_000
+    )
+    # near-dup registry update: append the ADMITTED docs' shingles and
+    # band keys so tomorrow's batch screens against today's content too
+    inv_new = dd.shingle_rows(admitted, "doc_id", "text", 3)
+    band_new = dd.lsh_band_keys(
+        dd.minhash_signatures(inv_new, "id", "g", 16), bands=4, rows=4
+    )
+    write_compacted_parquet(
+        inv_reg.unionByName(inv_new), inv_path + "_v2",
+        target_rows_per_file=100_000,
+    )
+    write_compacted_parquet(
+        band_reg.unionByName(band_new), band_path + "_v2",
+        target_rows_per_file=100_000,
     )
     release_intermediates()
 

@@ -203,7 +203,8 @@ def minhash_near_dup_pairs(
     (1/b)^(1/r), so genuinely similar pairs survive and random pairs don't,
     keeping verification tiny relative to |docs|².
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    Returns (doc_a, doc_b, jaccard_e4) with doc_a < doc_b and
+    jaccard_e4 (half-up integer e4 Jaccard) ≥ round(threshold·10⁴).
     """
     rows = k // bands
     # The inverted index feeds the signature pass AND both sides of the
@@ -838,7 +839,7 @@ def incremental_exact_dedup(
 
 def minhash_registry_matches(
     batch: DataFrame,
-    registry_docs: DataFrame,
+    registry_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
@@ -846,6 +847,8 @@ def minhash_registry_matches(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    registry_inv: DataFrame | None = None,
+    registry_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-dup screen: which new documents are fuzzy
     duplicates of an already-ingested corpus — the incremental companion
@@ -859,15 +862,32 @@ def minhash_registry_matches(
     parquet; today's batch is the only side shingled fresh, so daily cost
     scales with the batch, not the corpus.
 
-    Returns (id, best_match, jaccard): the registry document with the
-    highest verified Jaccard ≥ threshold per batch document (ties → lowest
-    registry id). Batch and registry ids must be disjoint.
+    Returns (id, best_match, jaccard_e4): per batch document, the registry
+    document with the highest verified Jaccard (jaccard_e4 = half-up
+    integer e4 scale) at ≥ threshold; ties → lowest registry id. Batch and
+    registry ids must be disjoint.
+
+    Steady-state callers pass ``registry_inv`` (id, g shingle rows) and
+    ``registry_bands`` (id, band, key) read from parquet instead of
+    ``registry_docs`` — then the registry corpus is NEVER re-shingled and
+    the daily cost is the batch's alone (see examples/incremental_ingest).
     """
     rows = k // bands
+    if registry_inv is None or registry_bands is None:
+        if registry_docs is None:
+            raise ValueError(
+                "pass registry_docs, or both registry_inv and registry_bands"
+            )
+        registry_inv = persist_tracked(
+            shingle_rows(registry_docs, id_col, text_col, n)
+        )
+        registry_bands = lsh_band_keys(
+            minhash_signatures(registry_inv, "id", "g", k), bands, rows
+        )
     inv_b = persist_tracked(shingle_rows(batch, id_col, text_col, n))
-    inv_r = persist_tracked(shingle_rows(registry_docs, id_col, text_col, n))
+    inv_r = registry_inv
     bands_b = lsh_band_keys(minhash_signatures(inv_b, "id", "g", k), bands, rows)
-    bands_r = lsh_band_keys(minhash_signatures(inv_r, "id", "g", k), bands, rows)
+    bands_r = registry_bands
     cand = (
         bands_b.alias("a")
         .join(

@@ -328,25 +328,28 @@ class FreshnessRule(Rule):
         # string is rendered JVM-side for the same reason.
         ts = F.col(self.column).cast("timestamp")
         exprs = [
+            # microsecond precision: unix_timestamp() floors sub-second
+            # fractions, which would overstate the age by up to ~1 s and
+            # could flip a pass/fail sitting exactly on the boundary.
             (
-                F.unix_timestamp(F.to_timestamp(F.lit(self.as_of)))
-                - F.max(F.unix_timestamp(ts))
-            ).alias(f"{tag}_age_s"),
+                F.unix_micros(F.to_timestamp(F.lit(self.as_of)))
+                - F.max(F.unix_micros(ts))
+            ).alias(f"{tag}_age_us"),
             F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
                 f"{tag}_newest"
             ),
         ]
 
         def finalize(row: dict[str, Any]) -> RuleResult:
-            age_s = row[f"{tag}_age_s"]
-            if age_s is None:
+            age_us = row[f"{tag}_age_us"]
+            if age_us is None:
                 return RuleResult(
                     rule_name=self.name,
                     passed=False,
                     column=self.column,
                     details={"error": "no non-null timestamps"},
                 )
-            age_hours = age_s / 3600.0
+            age_hours = age_us / 3_600_000_000.0
             return RuleResult(
                 rule_name=self.name,
                 passed=age_hours <= self.max_age_hours,

@@ -20,12 +20,14 @@ from financial_data_engineering_spark.queries.similarity_oracles import (
     _TOP_K,
 )
 
-# KMV constants, duplicated from queries.sketch on purpose: importing that
-# module (unlike similarity_oracles, which is registration-free) would fire
-# its registrations ahead of this module's and scramble the driver-gate
-# window ordering.
+# k matches queries.sketch's sketches; the hash-domain scale derives from
+# the registration-free operators module. queries.sketch itself is NOT
+# imported here — importing a registering query module would fire its
+# registrations ahead of this module's and scramble the gate window.
+from financial_data_engineering_spark.operators.sketch import KMV_HASH_BITS
+
 KMV_K = 256
-_SCALE = 1 << 48
+_SCALE = 1 << KMV_HASH_BITS
 _NUM = (KMV_K - 1) * _SCALE
 
 #: fixed-point scale for embedding components (see overflow note below).
@@ -104,7 +106,8 @@ def kmv_priority_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH comp AS (
         SELECT label, d,
-               CAST(round(embedding[d + 1] * {EMB_SCALE}) AS BIGINT) AS x
+               CAST(round(CAST(embedding[d + 1] AS DOUBLE) * {EMB_SCALE})
+                    AS BIGINT) AS x
         FROM '__EMB__', (SELECT unnest(range({EMB_DIM})) AS d)
     ),
     per_dim AS (

@@ -21,8 +21,8 @@ from financial_data_engineering_spark.tables import load
     "quality_freshness_events",
     oracle="""
     SELECT max(ts) AS newest,
-           CAST((epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(max(ts)))
-                // 3600 AS BIGINT) AS age_hours_floor
+           CAST((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts)))
+                // 3600000000 AS BIGINT) AS age_hours_floor
     FROM events
     """,
 )
@@ -35,14 +35,14 @@ def quality_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, "events", sf_dir)
     compiled = FreshnessRule("ts", 48, "2024-01-31 00:00:00").compile(ev)
-    # compile() emits [age_seconds, newest-formatted-in-session-tz]; both
-    # already UTC-deterministic, so the query only reshapes them.
+    # compile() emits [age_microseconds, newest-formatted-in-session-tz];
+    # both already UTC-deterministic, so the query only reshapes them.
     return (
         ev.agg(*compiled.exprs)
-        .toDF("age_s", "newest_str")
+        .toDF("age_us", "newest_str")
         .select(
             F.to_timestamp("newest_str").alias("newest"),
-            F.expr("age_s div 3600").alias("age_hours_floor"),
+            F.expr("age_us div 3600000000").alias("age_hours_floor"),
         )
     )
 
