@@ -344,3 +344,44 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "rrf_e6")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "event_props_rollup",
+    oracle=r"""
+    WITH k AS (
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(DISTINCT k) AS n_distinct_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM k GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event properties: parse the JSON ``props`` column
+    with a declared schema (``from_json`` — typed extraction inside
+    codegen, the engine path for JSON event payloads; the oracle uses a
+    regex so it needs no JSON extension) and roll up the extracted field
+    per event type. Malformed/missing JSON yields NULL and drops out of
+    the aggregates on both engines. One shuffle on event_type; the
+    distinct-count rewrites to a two-phase expand, both map-side partial.
+    """
+    ev = load(spark, "events", sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

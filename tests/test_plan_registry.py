@@ -58,6 +58,9 @@ SHUFFLE_BUDGET = {
     # both retriever plans (bucket joins) + fusion groupBy + rank window;
     # fusion itself adds one exchange over two k-row lists
     "ann_rrf_fusion": 4,
+    # typed from_json extraction is map-side; distinct-count expand agg
+    # (2 phases) + presentation sort
+    "event_props_rollup": 3,
     # registry anti-join plan: batch survivors agg + anti-join + id
     # re-attach; registry side is fingerprint-only
     "dedup_incremental_new_unique": 3,
