@@ -174,3 +174,69 @@ def test_contamination_matches_naive_shingle_sets(spark, texts, n, min_shared):
         if len(grams(tt) & grams(et)) >= min_shared
     )
     assert got == want
+
+
+@_SETTINGS
+@given(
+    keys_a=st.lists(st.integers(0, 200), min_size=0, max_size=40),
+    keys_b=st.lists(st.integers(0, 200), min_size=0, max_size=40),
+)
+def test_kmv_intersection_exact_under_k(spark, keys_a, keys_b):
+    """With |A ∪ B| < k the union sketch holds every hash, so the
+    estimator must return the EXACT union/intersection/Jaccard — on
+    arbitrary overlapping key sets, not just the hand-picked example."""
+    from financial_data_engineering_spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    rows = [("A", k) for k in keys_a] + [("B", k) for k in keys_b]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = kmv_intersection(df, "grp", "key", "A", "B", k=256).collect()[0]
+    sa, sb = set(keys_a), set(keys_b)
+    union, inter = sa | sb, sa & sb
+    assert got["union_estimate"] == len(union)
+    assert got["inter_sketch_keys"] == len(inter)
+    assert got["inter_estimate"] == len(inter)
+    if union:
+        expect_e4 = (2 * len(inter) * 10000 + len(union)) // (2 * len(union))
+        assert got["jaccard_e4"] == expect_e4
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdef ", min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_content_split_equals_naive_md5_bucketing(spark, texts):
+    """content_split must equal the naive Python md5-bucket computation on
+    arbitrary text (including whitespace-only and empty strings), and be
+    invariant to leading/trailing/internal whitespace runs."""
+    import hashlib
+    import re
+
+    from financial_data_engineering_spark.functions.text import content_split
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", content_split(F.col("text")).alias("split")
+        ).collect()
+    }
+
+    def naive(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        b = int(hashlib.md5(norm.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    for i, t in enumerate(texts):
+        assert got[i] == naive(t), (t, got[i], naive(t))
