@@ -351,7 +351,8 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH k AS (
         SELECT event_type,
-               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+               CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                    AS BIGINT) AS k
         FROM events
     )
     SELECT event_type,
