@@ -7,7 +7,14 @@ from financial_data_engineering_spark.operators.relational import (
     value_counts,
 )
 from financial_data_engineering_spark.operators.asof import asof_join
-from financial_data_engineering_spark.operators.ids import dense_row_ids
+from financial_data_engineering_spark.operators.entity import (
+    blocked_name_match_stats,
+)
+from financial_data_engineering_spark.operators.ids import (
+    dense_row_ids,
+    scalable_ntile,
+)
+from financial_data_engineering_spark.operators.timeseries import locf_daily_fill
 from financial_data_engineering_spark.operators.mixing import (
     mixture_quotas,
     mixture_rebalance,
@@ -25,14 +32,17 @@ __all__ = [
     "anti_join_orphans",
     "argmax_per_group",
     "asof_join",
+    "blocked_name_match_stats",
     "dense_row_ids",
     "duplicate_row_count",
     "interval_overlap_join",
     "kmv_distinct",
     "kmv_group_sketches",
+    "locf_daily_fill",
     "mixture_quotas",
     "mixture_rebalance",
     "point_in_interval_join",
+    "scalable_ntile",
     "topk",
     "union_frames",
     "value_counts",

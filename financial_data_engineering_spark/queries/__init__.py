@@ -9,30 +9,97 @@ from financial_data_engineering_spark.queries.registry import (
     all_queries,
     get,
     register,
+    reorder,
 )
 
-# Import for registration side effects. Registration order is also driver
-# gate order, and the driver checks a bounded window (~50) of the registry.
-# Round-5 rotation: the families whose rows were OUTSIDE the r4 window
-# (relational, dimensional, quality), the three r4 hash-fixed queries
-# (multimodal ×2, curation's doc_mix_rebalance), and every round-5
-# addition (audits module + doc_split_assign + the three incremental
-# dedup queries) sit in positions 1-50 — the window is EXACTLY full, with
-# dedup_incremental_minhash at 50. Everything at 51+ was driver-green in
-# r4. ROUND-6 ROTATION: move sketch/relational_ext/similarity/text/events
-# (and the dedup tail) back to the front so their rows get re-confirmed;
-# the families verified here rotate out.
-from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
+# Import for registration side effects (import order no longer matters —
+# the driver gate window is the explicit GATE_WINDOW list below).
+from financial_data_engineering_spark.queries import analytics_ext  # noqa: E402,F401
 from financial_data_engineering_spark.queries import audits  # noqa: E402,F401
 from financial_data_engineering_spark.queries import curation  # noqa: E402,F401
-from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
-from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
-from financial_data_engineering_spark.queries import relational  # noqa: E402,F401
 from financial_data_engineering_spark.queries import dedup  # noqa: E402,F401
-from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
+from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F401
+from financial_data_engineering_spark.queries import events  # noqa: E402,F401
+from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
+from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
+from financial_data_engineering_spark.queries import relational  # noqa: E402,F401
 from financial_data_engineering_spark.queries import relational_ext  # noqa: E402,F401
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
+from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
-from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 
-__all__ = ["all_oracles", "all_queries", "get", "register"]
+#: The driver verifies a bounded (~50) window from the registry head each
+#: round. Priority for a slot, highest first: (1) queries never
+#: driver-verified with their CURRENT output — new registrations and any
+#: query whose fn/oracle changed since its last driver-green row; (2)
+#: longest-unverified rotations. Everything after position 50 was
+#: driver-green in r4 with unchanged semantics.
+#:
+#: ROUND-6 ROTATION PLAN: the r4-green families left out of this window —
+#: similarity (6), sketch (2), relational_ext (3), text (5), curation
+#: core (9), dedup core (8), user_sessions / events_value_histogram /
+#: user_retention_cohorts — go to the front next round; the families
+#: verified here rotate out.
+GATE_WINDOW = [
+    # r4 hash-red rows, fixed in r5 (CAST ... AS BIGINT oracle typing) +
+    # the sibling whose module changed with them
+    "multimodal_resize_stats",
+    "multimodal_frame_stats",
+    "multimodal_decode_stats",
+    "doc_mix_rebalance",
+    # earlier round-5 additions, never driver-verified
+    "doc_split_assign",
+    "kmv_priority_intersect",
+    "embedding_label_centroids",
+    "user_rolling_value_7d",
+    "lineitem_quantity_mad_outliers",
+    "ann_rrf_fusion",
+    "event_props_rollup",
+    "dedup_incremental_new_unique",
+    "dedup_group_representatives",
+    "dedup_incremental_minhash",
+    # round-5 analytics extensions, never driver-verified
+    "event_transition_counts",
+    "user_value_gapfill",
+    "orders_priority_pivot",
+    "customer_revenue_deciles",
+    "nation_revenue_running_share",
+    "top_parts_per_nation",
+    "part_fuzzy_name_blocks",
+    "nations_full_priority_coverage",
+    # r4-green rows whose oracles were converted to exact integers in r5
+    # (ed06a8e) — the green rows are stale against the new output
+    "hourly_event_rollup",
+    "sliding_event_counts",
+    "event_funnel_pairs",
+    "events_asof_latest_order",
+    "event_rollup_grouping_sets",
+    # last driver-green in r3; outputs since converted to exact integers
+    "pricing_summary",
+    "latest_order_per_customer",
+    "top_customers_by_revenue",
+    "nation_latest_order_revenue",
+    "event_type_counts",
+    "order_distinct_counts",
+    "lineitem_global_stats",
+    "customers_without_orders",
+    "high_value_parties",
+    "revenue_by_region_segment",
+    "order_priority_share",
+    "top_part_nouns",
+    "customer_padded_keys",
+    "date_dimension",
+    "surrogate_keys_nation",
+    "fact_orders_star",
+    "customer_priority_scd2",
+    "lineitem_priority_asof",
+    "quality_freshness_events",
+    "quality_completeness_lineitem",
+    "quality_uniqueness_orders",
+    "quality_range_quantity",
+    "quality_pattern_customer_name",
+]
+
+reorder(GATE_WINDOW)
+
+__all__ = ["all_oracles", "all_queries", "get", "register", "reorder"]

@@ -48,6 +48,27 @@ def get(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
+def reorder(front: list[str]) -> None:
+    """Move ``front`` (in order) to the head of the registry.
+
+    Registry order is driver gate order, and the driver verifies a bounded
+    window from the head — this makes the window an explicit, reviewable
+    list instead of a side effect of module import order. Names not in
+    ``front`` keep their relative order after it.
+    """
+    missing = sorted(set(front) - set(_REGISTRY))
+    if missing:
+        raise KeyError(f"reorder names not registered: {missing}")
+    dupes = sorted({n for n in front if front.count(n) > 1})
+    if dupes:
+        raise ValueError(f"duplicate names in reorder front: {dupes}")
+    head = set(front)
+    ordered = {n: _REGISTRY[n] for n in front}
+    ordered.update({n: s for n, s in _REGISTRY.items() if n not in head})
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in _REGISTRY.items()}
 

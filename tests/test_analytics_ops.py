@@ -1,0 +1,123 @@
+"""Unit + property tests for the round-5 analytics operators:
+scalable_ntile (must equal the engine's single-partition NTILE exactly,
+including remainder buckets), locf_daily_fill (must equal the naive
+spine-join LOCF), and blocked_name_match_stats (counts + the block-size
+guard)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from financial_data_engineering_spark.operators import (
+    blocked_name_match_stats,
+    locf_daily_fill,
+    scalable_ntile,
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    k=st.integers(1, 12),
+)
+def test_scalable_ntile_equals_window_ntile(spark, vals, k):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.bucket
+        for r in scalable_ntile(df, ["v", "id"], k, num_partitions=3).collect()
+    }
+    want = {
+        r.id: r.nt
+        for r in df.withColumn(
+            "nt", F.ntile(k).over(Window.orderBy("v", "id")).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_scalable_ntile_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        scalable_ntile(df, ["v"], 0)
+
+
+@_SETTINGS
+@given(
+    series=st.dictionaries(
+        st.integers(0, 3),  # entity
+        st.dictionaries(
+            st.integers(0, 20), st.integers(-9, 9), min_size=1, max_size=8
+        ),  # day offset -> value
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_locf_fill_matches_naive(spark, series):
+    base = dt.date(2024, 3, 1)
+    rows = [
+        (e, base + dt.timedelta(days=d), v)
+        for e, obs in series.items()
+        for d, v in obs.items()
+    ]
+    df = spark.createDataFrame(rows, "e long, day date, v long")
+    got = sorted(
+        (r.e, r.day, r.v, r.is_gap)
+        for r in locf_daily_fill(df, "e", "day", ["v"]).collect()
+    )
+    want = []
+    for e, obs in series.items():
+        days = sorted(obs)
+        for d in range(days[0], days[-1] + 1):
+            last = max(o for o in days if o <= d)
+            want.append(
+                (e, base + dt.timedelta(days=d), obs[last], int(d not in obs))
+            )
+    assert got == sorted(want)
+
+
+def test_blocked_name_match_counts(spark):
+    # block "x": names a(2 records), ab(1), zzzz(1) — a~ab close (d=1),
+    # zzzz far; block "y": single name, no pairs.
+    rows = [
+        ("x", "a"),
+        ("x", "a"),
+        ("x", "ab"),
+        ("x", "zzzz"),
+        ("y", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "blk string, name string")
+    got = {
+        r.blk: (
+            r.n_records,
+            r.n_names,
+            r.n_exact_pairs,
+            r.n_close_names,
+            r.n_close_pairs,
+        )
+        for r in blocked_name_match_stats(df, "blk", "name", max_dist=2).collect()
+    }
+    assert got == {
+        "x": (4, 3, 1, 1, 2),  # exact: a-a; close names: (a, ab); 2*1 records
+        "y": (1, 1, 0, 0, 0),
+    }
+
+
+def test_blocked_name_match_guard_refuses_fat_block(spark):
+    rows = [("b", f"name{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "blk string, name string")
+    with pytest.raises(ValueError, match="max_block_names"):
+        blocked_name_match_stats(df, "blk", "name", max_block_names=3)

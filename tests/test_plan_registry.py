@@ -100,6 +100,27 @@ SHUFFLE_BUDGET = {
     "event_type_counts": 1,
     "events_value_histogram": 2,
     "events_asof_latest_order": 3,
+    # per-user lag window + (prev,next) agg over |event_types|^2 keys + sort
+    "event_transition_counts": 3,
+    # user-day agg + user lead-window; the calendar fill is a map-side
+    # sequence/explode (no spine join) + presentation sort
+    "user_value_gapfill": 3,
+    # pivot with declared values compiles to the two-level agg + sort
+    "orders_priority_pivot": 3,
+    # custkey agg + dense-ids range repartition (pre-checkpoint) + decile
+    # agg + sort; the ntile itself is arithmetic, no global window
+    "customer_revenue_deciles": 4,
+    # dims broadcast; nation agg + one |nations|-row window/sort stage
+    "nation_revenue_running_share": 2,
+    # supplier/nation broadcast; (nation, part) agg + |nations|-partition
+    # rank window + sort
+    "top_parts_per_nation": 3,
+    # distinct-name collapse is persisted by the block-size guard's
+    # materialization; post-cache plan is tiny aggs + broadcast joins
+    "part_fuzzy_name_blocks": 3,
+    # orders->nation distinct-count agg (expand, 2 phases) + 1-row divisor
+    # agg attached as a broadcast EQUI-join + sort
+    "nations_full_priority_coverage": 5,
     "fact_orders_star": 1,
     "high_value_parties": 1,
     "hourly_event_rollup": 2,
