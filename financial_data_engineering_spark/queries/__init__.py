@@ -37,15 +37,13 @@ from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 #:
 #: ROUND-6 ROTATION PLAN: the r4-green families left out of this window —
 #: similarity (6), sketch (2), relational_ext (3), text (5), curation
-#: core (9), dedup core (8), user_sessions / events_value_histogram /
-#: user_retention_cohorts — go to the front next round; the families
-#: verified here rotate out.
+#: core (9), dedup core (8), multimodal_decode_stats, user_sessions /
+#: events_value_histogram / user_retention_cohorts — go to the front next
+#: round; the families verified here rotate out.
 GATE_WINDOW = [
-    # r4 hash-red rows, fixed in r5 (CAST ... AS BIGINT oracle typing) +
-    # the sibling whose module changed with them
+    # r4 hash-red rows, fixed in r5 (CAST ... AS BIGINT oracle typing)
     "multimodal_resize_stats",
     "multimodal_frame_stats",
-    "multimodal_decode_stats",
     "doc_mix_rebalance",
     # earlier round-5 additions, never driver-verified
     "doc_split_assign",
@@ -67,6 +65,7 @@ GATE_WINDOW = [
     "top_parts_per_nation",
     "part_fuzzy_name_blocks",
     "nations_full_priority_coverage",
+    "bpe_merge_candidates",
     # r4-green rows whose oracles were converted to exact integers in r5
     # (ed06a8e) — the green rows are stale against the new output
     "hourly_event_rollup",

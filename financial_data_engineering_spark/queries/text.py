@@ -235,3 +235,70 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT substring(word, i, 2) AS pair, freq
+        FROM words,
+             LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration: corpus-wide adjacent-symbol-pair
+    frequencies (here char bigrams inside whitespace words), ranked — the
+    top pair is the first merge a byte-pair-encoding tokenizer would
+    learn on this corpus.
+
+    Scale shape: collapse to DISTINCT words first (one shuffle on word),
+    so the quadratic-ish pair explode runs once per VOCABULARY entry
+    weighted by frequency, not once per corpus token — the same
+    distinct-collapse move as the fuzzy-matching operator. The pair
+    explode itself is map-side (``transform`` over a ``sequence`` of
+    offsets, no Python); one more shuffle aggregates |char-pairs| keys
+    (bounded by alphabet², inherently tiny), then TakeOrdered for the
+    top-k. Real BPE iterates this plan on re-segmented symbols; each
+    iteration is the same two-shuffle job.
+    """
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )

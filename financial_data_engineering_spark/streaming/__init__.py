@@ -7,6 +7,7 @@ from financial_data_engineering_spark.streaming.documents import (
     read_document_stream,
 )
 from financial_data_engineering_spark.streaming.stateful import (
+    event_transitions,
     running_user_stats,
 )
 from financial_data_engineering_spark.streaming.events import (
@@ -36,6 +37,7 @@ __all__ = [
     "read_event_stream",
     "run_to_memory_sink",
     "run_to_parquet_sink",
+    "event_transitions",
     "running_user_stats",
     "sliding_counts",
     "user_sessions",

@@ -76,3 +76,73 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_OUTPUT = (
+    "user_id long, prev_type string, next_type string, ts timestamp"
+)
+
+#: last event seen per user: event-time micros + id tiebreak + type.
+TRANSITION_STATE = "last_micros long, last_id long, last_type string"
+
+
+def _emit_transitions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: order this batch's slice by (ts, event_id),
+    chain it after the persisted last event, emit one row per adjacent
+    pair, and persist the new last event."""
+    last_micros, last_id, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    out_prev, out_next, out_ts = [], [], []
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts, eid, etype in zip(
+            batch["ts"], batch["event_id"], batch["event_type"]
+        ):
+            if last_type is not None:
+                out_prev.append(last_type)
+                out_next.append(etype)
+                out_ts.append(ts)
+            last_micros = int(ts.value // 1000)
+            last_id = int(eid)
+            last_type = etype
+        state.update((last_micros, last_id, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_prev),
+            "prev_type": out_prev,
+            "next_type": out_next,
+            "ts": out_ts,
+        }
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transitions as they happen — the streaming twin
+    of ``event_transition_counts`` (queries/analytics_ext.py): each emitted
+    row is one (prev_type → next_type) step in a user's sequence; counting
+    them grouped by the pair reproduces the batch query exactly when
+    events arrive in per-user event-time order (the micro-batch slice is
+    sorted, and state carries the last event across batches).
+
+    Out-of-order arrival ACROSS batches produces the transitions of the
+    arrival order, not event-time order — the inherent limit of emitting
+    eagerly; bound disorder upstream with a watermark + dropped lates if
+    event-time exactness is required. State per user is one (ts, id, type)
+    triple — O(|users|), the minimum any sequence detector can hold."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_transitions,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -76,6 +76,8 @@ SHUFFLE_BUDGET = {
     "dedup_simhash_pairs": 0,
     "dedup_winnowing": 2,
     "doc_bpe_tokens": 1,
+    # vocabulary collapse agg + char-pair agg; top-k is TakeOrdered
+    "bpe_merge_candidates": 2,
     "doc_chunks": 1,
     # post-checkpoint: pid-window + presentation sort; the range
     # repartition ran at build time (frozen by localCheckpoint)

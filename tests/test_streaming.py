@@ -253,3 +253,43 @@ def test_near_dup_screen_stream_superset_of_batch_verifier(spark, docs_dir):
     cand_pairs = {(r[0], r[1]) for r in got}
     for r in verified:
         assert (r["doc_id"], r["best_match"]) in cand_pairs
+
+
+def test_stateful_transitions_match_batch_counts(spark, events_dir, tmp_path):
+    """applyInPandasWithState sequence detection: events split into two
+    time-ordered micro-batches; counting the emitted (prev, next) rows
+    must equal the batch event_transition_counts query (per-user last
+    event carried across the batch boundary in state)."""
+    import os
+
+    import duckdb
+
+    replay_dir = tmp_path / "ordered_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    # File source orders micro-batches by modification time: make the
+    # early half strictly older so state sees events in time order.
+    now = os.path.getmtime(f"{replay_dir}/b.parquet")
+    os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    stream = st.event_transitions(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    got = (
+        _drain(spark, stream, "stream_transitions", mode="append")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    want = q.all_queries()["event_transition_counts"](spark, SF_SMALL)
+    cols = ["prev_type", "next_type", "n_transitions"]
+    assert _rows(got, cols) == _rows(want, cols)
