@@ -302,3 +302,19 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(50)
     )
+
+
+@register("bpe_learned_merges", oracle=None)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten BPE training iterations over the corpus (llm/bpe.py): the
+    learned merge table in order. Genuinely iterative — each round's
+    counts depend on the previous round's merge — so there is no SQL
+    oracle; the driver records a rows-only check and the property suite
+    (tests/test_bpe.py) pins exact parity with a pure-Python reference
+    of Sennrich et al.'s algorithm."""
+    from financial_data_engineering_spark.llm.bpe import (
+        learned_merges_frame,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    return learned_merges_frame(spark, docs, n_merges=10)

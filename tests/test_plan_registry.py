@@ -78,6 +78,9 @@ SHUFFLE_BUDGET = {
     "doc_bpe_tokens": 1,
     # vocabulary collapse agg + char-pair agg; top-k is TakeOrdered
     "bpe_merge_candidates": 2,
+    # iterative trainer: distributed work happens in the checkpointed
+    # merge loop; the returned merge table is a LocalTableScan
+    "bpe_learned_merges": 0,
     "doc_chunks": 1,
     # post-checkpoint: pid-window + presentation sort; the range
     # repartition ran at build time (frozen by localCheckpoint)
