@@ -351,3 +351,85 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "sliding_active_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) - to_hours(off) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM events, (SELECT unnest([0, 1]) AS off)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 2-hour sliding window (1-hour slide) — the
+    active-user engagement metric, with EXACT distinct inside overlapping
+    windows (each event fans out to its two windows before the
+    dedup-aggregate; Spark plans the distinct as the standard two-phase
+    expand). For dashboards at 100 TB swap the exact distinct for the
+    mergeable KMV sketch (operators/sketch.py) — this query is the audit
+    twin that pins the sketch's ground truth."""
+    events = load(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .select(F.col("w.start").alias("window_start"), "n_active_users")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "user_browse_to_buy_runs",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+               AS n_runs
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def user_browse_to_buy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-flavored CEP): per user,
+    count browse-to-buy runs — a view, then any views/clicks, ending in a
+    purchase — as non-overlapping regex matches over the user's ordered
+    event-initial string (event types have distinct initials here; encode
+    a type→symbol map first when they don't).
+
+    One shuffle to assemble each user's sequence (``array_sort`` over
+    collected (ts, id, type) structs — deterministic total order), then
+    the regex is map-side. The collect_list bounds memory by the per-user
+    sequence length — the assumption every CEP engine makes; for
+    unbounded/streaming sequences use streaming.event_transitions and
+    match incrementally."""
+    events = load(spark, "events", sf_dir)
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.size(F.regexp_extract_all("seq", F.lit("v[vc]*p"), F.lit(0)))
+            .cast("long")
+            .alias("n_runs"),
+        )
+        .orderBy("user_id")
+    )

@@ -317,3 +317,48 @@ def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+@register(
+    "priority_fulfillment_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS min_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_days,
+           CAST((2 * sum(date_diff('day', o_orderdate, l_shipdate)) * 100
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_days_e2
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def priority_fulfillment_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency distribution per priority: date arithmetic
+    (datediff) aggregated to min/max/exact-e2 mean. The lineitem-orders
+    join shuffles both sides on orderkey — the canonical co-partitioned
+    fact-to-fact join that the bucketed layout (transform/bucketed.py)
+    turns into a 0-Exchange SMJ when both tables are bucket-written."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.min("days").cast("long").alias("min_days"),
+            F.max("days").cast("long").alias("max_days"),
+            F.expr(
+                "(2 * sum(days) * 100 + count(*)) div (2 * count(*))"
+            ).alias("avg_days_e2"),
+        )
+        .orderBy("o_orderpriority")
+    )

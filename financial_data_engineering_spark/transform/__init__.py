@@ -2,6 +2,9 @@ from financial_data_engineering_spark.transform.base_transformer import (
     BaseTransformer,
     TransformationResult,
 )
+from financial_data_engineering_spark.transform.clustered import (
+    write_clustered_parquet,
+)
 from financial_data_engineering_spark.transform.date_dim import build_date_dimension
 from financial_data_engineering_spark.transform.export import (
     export_jsonl_shards,
@@ -17,4 +20,5 @@ __all__ = [
     "TransformationResult",
     "build_date_dimension",
     "scd2_from_observations",
+    "write_clustered_parquet",
 ]

@@ -159,6 +159,13 @@ SHUFFLE_BUDGET = {
     "revenue_by_region_segment": 2,
     "shipping_priority_revenue": 2,
     "sliding_event_counts": 2,
+    # window fan-out + two-phase distinct expand + presentation sort
+    "sliding_active_users": 3,
+    # one user shuffle to assemble sequences; regex is map-side + sort
+    "user_browse_to_buy_runs": 2,
+    # orderkey shuffle join (0-Exchange under the bucketed layout) +
+    # priority agg; sort folds into the 5-row agg exchange
+    "priority_fulfillment_latency": 3,
     "source_quality_rollup": 2,
     "source_vocab_stats": 3,
     "surrogate_keys_nation": 1,

@@ -127,3 +127,71 @@ class TestSaltedJoin:
         assert salted.count() == plain
         with pytest.raises(ValueError):
             skew.salted_join(skewed, dim, ["k"], how="full")
+
+
+class TestClusteredLayout:
+    """write_clustered_parquet: the footer-level evidence that range
+    clustering makes parquet min/max stats selective — per-file key
+    ranges must not overlap, so a point predicate's stats-eligible file
+    set is exactly one file (vs ~all files unclustered)."""
+
+    def test_file_key_ranges_disjoint_and_sorted(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from financial_data_engineering_spark.transform.clustered import (
+            write_clustered_parquet,
+        )
+
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 997).alias("user_id"),
+            F.col("id").alias("payload"),
+        )
+        out = str(tmp_path / "clustered")
+        write_clustered_parquet(df, out, ["user_id"], num_files=8)
+
+        ranges = []
+        for f in glob.glob(f"{out}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)
+                assert col.path_in_schema == "user_id"
+                assert col.statistics is not None
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+        assert len(ranges) > 1  # actually split across files
+        ranges.sort()
+        for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b  # no overlap between file key ranges
+
+        # point predicate: exactly one file's [min,max] admits the key
+        key = 500
+        eligible = [r for r in ranges if r[0] <= key <= r[1]]
+        assert len(eligible) == 1
+
+    def test_unclustered_baseline_overlaps_everywhere(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 997).alias("user_id"),
+            F.col("id").alias("payload"),
+        )
+        out = str(tmp_path / "plain")
+        df.repartition(8).write.mode("overwrite").parquet(out)
+        ranges = []
+        for f in glob.glob(f"{out}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            if meta.num_rows == 0:
+                continue
+            st = meta.row_group(0).column(0).statistics
+            ranges.append((st.min, st.max))
+        key = 500
+        eligible = [r for r in ranges if r[0] <= key <= r[1]]
+        # round-robin placement: the key is stats-eligible in EVERY file
+        assert len(eligible) == len(ranges) > 1
