@@ -10,6 +10,9 @@ from financial_data_engineering_spark.operators.asof import asof_join
 from financial_data_engineering_spark.operators.entity import (
     blocked_name_match_stats,
 )
+from financial_data_engineering_spark.operators.heavyhitters import (
+    misra_gries_topk,
+)
 from financial_data_engineering_spark.operators.ids import (
     dense_row_ids,
     scalable_ntile,
@@ -39,6 +42,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_group_sketches",
     "locf_daily_fill",
+    "misra_gries_topk",
     "mixture_quotas",
     "mixture_rebalance",
     "point_in_interval_join",

@@ -121,3 +121,31 @@ def test_blocked_name_match_guard_refuses_fat_block(spark):
     df = spark.createDataFrame(rows, "blk string, name string")
     with pytest.raises(ValueError, match="max_block_names"):
         blocked_name_match_stats(df, "blk", "name", max_block_names=3)
+
+
+@_SETTINGS
+@given(
+    items=st.lists(st.integers(0, 15), min_size=1, max_size=60),
+    k=st.integers(1, 8),
+)
+def test_misra_gries_bounds(spark, items, k):
+    from collections import Counter
+
+    from financial_data_engineering_spark.operators import misra_gries_topk
+
+    df = spark.createDataFrame([(i,) for i in items], "item long").repartition(3)
+    got = misra_gries_topk(df, "item", k, top=10_000).collect()
+    true = Counter(str(i) for i in items)
+    n = len(items)
+    errs = {r.err_bound for r in got}
+    assert len(errs) <= 1  # one global error mass
+    err = errs.pop() if errs else 0
+    # summed per-partition error never exceeds the global MG bound
+    assert err <= n  # trivially, and per-partition <= n_p/(k+1) sums to:
+    assert err <= 3 * (n // (k + 1) + 1)
+    for r in got:
+        assert r.est_count <= true[r.item] <= r.est_count + err
+    present = {r.item for r in got}
+    for item, cnt in true.items():
+        if cnt > err:
+            assert item in present
