@@ -148,3 +148,20 @@ def test_incremental_ingest_round_trip(spark, tmp_path):
     v1 = spark.read.parquet(str(tmp_path / "registry_fp")).count()
     v2 = spark.read.parquet(str(tmp_path / "registry_fp_v2")).count()
     assert v2 == v1 + out["fresh_after_exact"]
+
+
+def test_telemetry_monitoring_pipeline(spark, tmp_path):
+    from examples.telemetry_monitoring_pipeline import main
+
+    out = main(output_dir=str(tmp_path))
+    assert out["n_events"] > 0
+    # LOCF output covers at least every observed (user, day)
+    assert out["n_series_rows"] >= out["n_events"] / 100
+    assert out["n_transition_pairs"] > 0
+    assert 0 < out["n_heavy_hitters"] <= 16
+    assert out["heavy_hitter_bound_violations"] == 0
+    # clustered landing zone exists alongside the partitioned series
+    import glob
+
+    assert glob.glob(f"{tmp_path}/events_clustered/*.parquet")
+    assert glob.glob(f"{tmp_path}/daily_series/day=*/")
