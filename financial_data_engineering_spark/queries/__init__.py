@@ -39,7 +39,10 @@ from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 #: similarity (6), sketch (2), relational_ext (3), text (5), curation
 #: core (9), dedup core (8), multimodal_decode_stats, user_sessions /
 #: events_value_histogram / user_retention_cohorts — go to the front next
-#: round; the families verified here rotate out.
+#: round, together with the four unchanged-since-r3 rotations displaced
+#: by never-verified round-5 queries (event_type_counts,
+#: customers_without_orders, top_part_nouns, customer_padded_keys); the
+#: families verified here rotate out.
 GATE_WINDOW = [
     # r4 hash-red rows, fixed in r5 (CAST ... AS BIGINT oracle typing)
     "multimodal_resize_stats",
@@ -66,6 +69,10 @@ GATE_WINDOW = [
     "part_fuzzy_name_blocks",
     "nations_full_priority_coverage",
     "bpe_merge_candidates",
+    "bpe_learned_merges",
+    "sliding_active_users",
+    "priority_fulfillment_latency",
+    "user_browse_to_buy_runs",
     # r4-green rows whose oracles were converted to exact integers in r5
     # (ed06a8e) — the green rows are stale against the new output
     "hourly_event_rollup",
@@ -78,15 +85,11 @@ GATE_WINDOW = [
     "latest_order_per_customer",
     "top_customers_by_revenue",
     "nation_latest_order_revenue",
-    "event_type_counts",
     "order_distinct_counts",
     "lineitem_global_stats",
-    "customers_without_orders",
     "high_value_parties",
     "revenue_by_region_segment",
     "order_priority_share",
-    "top_part_nouns",
-    "customer_padded_keys",
     "date_dimension",
     "surrogate_keys_nation",
     "fact_orders_star",
