@@ -33,9 +33,15 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from financial_data_engineering_spark.operators import misra_gries_topk
+from financial_data_engineering_spark.operators import (
+    misra_gries_topk,
+    pattern_run_counts,
+    transition_counts,
+)
+from financial_data_engineering_spark.queries.events import (
+    BROWSE_TO_BUY_PATTERN,
+)
 from financial_data_engineering_spark.operators.timeseries import locf_daily_fill
 from financial_data_engineering_spark.session import get_spark
 from financial_data_engineering_spark.tables import load
@@ -70,42 +76,19 @@ def main(
     )
     series = locf_daily_fill(daily, "user_id", "day", ["daily_value_e2"])
 
-    # 3a. transition matrix (what usually follows what)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    transitions = (
-        events.select(
-            F.lag("event_type").over(w).alias("prev_type"),
-            F.col("event_type").alias("next_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
+    # 3a. transition matrix (what usually follows what) — the same
+    # operator the oracle-checked event_transition_counts query runs
+    transitions = transition_counts(events)
 
-    # 3b. browse-to-buy runs per user (sequence-pattern CEP)
-    seq = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: F.substring(s["event_type"], 1, 1),
-        ),
-    )
-    runs = (
-        events.groupBy("user_id")
-        .agg(seq.alias("seq"))
-        .select(
-            "user_id",
-            F.size(
-                F.regexp_extract_all("seq", F.lit("v[vc]*p"), F.lit(0))
-            ).alias("n_runs"),
-        )
-    )
+    # 3b. browse-to-buy runs per user (sequence-pattern CEP), sharing
+    # the pattern constant with user_browse_to_buy_runs
+    runs = pattern_run_counts(events, BROWSE_TO_BUY_PATTERN)
 
     # 4. heavy-hitter users (bounded memory) + the est/err audit against
     # exact counts that a monitoring deployment runs on a sample cadence
-    heavy = misra_gries_topk(events, "user_id", HEAVY_K)
+    # top= truncates to a dashboard-sized view; the presence guarantee
+    # holds for the full summary (the misra_gries_topk default)
+    heavy = misra_gries_topk(events, "user_id", HEAVY_K, top=HEAVY_K)
     exact = events.groupBy(
         F.col("user_id").cast("string").alias("item")
     ).agg(F.count(F.lit(1)).alias("true_count"))

@@ -17,6 +17,10 @@ from financial_data_engineering_spark.operators.ids import (
     dense_row_ids,
     scalable_ntile,
 )
+from financial_data_engineering_spark.operators.sequences import (
+    pattern_run_counts,
+    transition_counts,
+)
 from financial_data_engineering_spark.operators.timeseries import locf_daily_fill
 from financial_data_engineering_spark.operators.mixing import (
     mixture_quotas,
@@ -45,9 +49,11 @@ __all__ = [
     "misra_gries_topk",
     "mixture_quotas",
     "mixture_rebalance",
+    "pattern_run_counts",
     "point_in_interval_join",
     "scalable_ntile",
     "topk",
+    "transition_counts",
     "union_frames",
     "value_counts",
 ]

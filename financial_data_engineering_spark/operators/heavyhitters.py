@@ -16,7 +16,8 @@ merge by plain count addition, keeping the guarantee:
     est(item) <= true(item) <= est(item) + err_bound
 
 where ``err_bound`` (the summed subtractions) is itself <= n/(k+1).
-Every item with true count > err_bound is guaranteed present.
+Every non-null item with true count > err_bound is guaranteed present
+in the full merged summary.
 
 Python runs only inside Arrow batches (mapInPandas over pre-projected
 single-column rows), vectorized through pandas ``value_counts`` — no
@@ -67,15 +68,25 @@ def misra_gries_topk(
 ) -> DataFrame:
     """Approximate heavy hitters over ``item_col`` with k counters per
     partition. Returns (item, est_count, err_bound) ordered by estimated
-    count descending (then item), limited to ``top`` rows (default k).
+    count descending (then item).
 
     ``est_count`` never exceeds the true count; the true count never
-    exceeds ``est_count + err_bound``; any item whose true count exceeds
-    ``err_bound`` is guaranteed to appear.
+    exceeds ``est_count + err_bound``; any NON-NULL item whose true count
+    exceeds ``err_bound`` is guaranteed to appear — in the FULL summary,
+    which is what the default returns (at most k × |partitions| rows).
+    Passing ``top`` truncates to the ``top`` highest estimates as a view
+    convenience and forfeits that presence guarantee for items below the
+    cut (truncation cannot be error-accounted after the merge).
+
+    Null items are excluded before summarization (``value_counts`` cannot
+    see them and null is the summary's error-mass marker); count nulls
+    separately if they matter.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    rows = df.select(F.col(item_col).cast("string").alias("item"))
+    rows = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     summaries = rows.mapInPandas(
         _partition_summaries(k), schema=_SUMMARY_SCHEMA
     )
@@ -92,9 +103,13 @@ def misra_gries_topk(
         .agg(F.sum("cnt").alias("err_bound"))
         .withColumn("_k", F.lit("_"))
     )
-    return (
+    out = (
         items.join(F.broadcast(err), "_k")
-        .select("item", "est_count", F.coalesce("err_bound", F.lit(0)).alias("err_bound"))
+        .select(
+            "item",
+            "est_count",
+            F.coalesce("err_bound", F.lit(0)).alias("err_bound"),
+        )
         .orderBy(F.col("est_count").desc(), "item")
-        .limit(top or k)
     )
+    return out.limit(top) if top is not None else out

@@ -1,0 +1,82 @@
+"""Per-entity event-sequence operators: transition pairs and
+symbol-pattern run counting.
+
+Shared by the oracle-checked queries (queries/analytics_ext.py
+``event_transition_counts``, queries/events.py
+``user_browse_to_buy_runs``), their streaming twin
+(streaming/stateful.py ``event_transitions``), and the telemetry example
+— one definition of the ordering tiebreak and the pattern semantics, so
+the batch plan, the oracle, and every reuse stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def transition_counts(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts: (prev_type, next_type,
+    n_transitions), unordered. One shuffle to the per-entity window
+    (``id_col`` tiebreaks equal timestamps), one to the pair aggregate
+    whose cardinality is |types|² — tiny at any scale."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    return (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def pattern_run_counts(
+    events: DataFrame,
+    pattern: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-flavored CEP): per
+    entity, the count of non-overlapping ``pattern`` regex matches over
+    the ordered string of event-type INITIALS (types must have distinct
+    first characters; pre-map to symbols when they don't).
+
+    Output: (entity_col, n_events, n_runs). One shuffle assembles each
+    entity's sequence (``array_sort`` over collected (ts, id, type)
+    structs — a deterministic total order); the regex is map-side.
+    ``collect_list`` bounds memory by the per-entity sequence length —
+    the assumption every CEP engine makes; for unbounded sequences use
+    streaming.event_transitions and match incrementally."""
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, id_col, type_col))
+            ),
+            lambda s: F.substring(s[type_col], 1, 1),
+        ),
+    )
+    return (
+        events.groupBy(entity_col)
+        .agg(seq.alias("seq"))
+        .select(
+            entity_col,
+            F.length("seq").cast("long").alias("n_events"),
+            F.size(
+                F.regexp_extract_all("seq", F.lit(pattern), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+    )

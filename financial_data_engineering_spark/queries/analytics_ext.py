@@ -21,6 +21,7 @@ from financial_data_engineering_spark.operators import (
     blocked_name_match_stats,
     locf_daily_fill,
     scalable_ntile,
+    transition_counts,
 )
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
@@ -45,24 +46,11 @@ from financial_data_engineering_spark.tables import load
 def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's event
     sequence (``lag`` per user, then a global pair count) — the building
-    block of funnel and next-action analyses.
-
-    One shuffle to the per-user window (user_id keys, uniform), one to the
-    (prev, next) aggregate whose cardinality is |event_types|² — tiny at
-    any scale. (event_id tiebreaks equal timestamps for determinism.)
-    """
+    block of funnel and next-action analyses. Plan + tiebreak live in
+    operators/sequences.py (shared with the streaming twin's parity test
+    and the telemetry example)."""
     events = load(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.select(
-            F.lag("event_type").over(w).alias("prev_type"),
-            F.col("event_type").alias("next_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-        .orderBy("prev_type", "next_type")
-    )
+    return transition_counts(events).orderBy("prev_type", "next_type")
 
 
 @register(

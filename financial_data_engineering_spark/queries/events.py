@@ -13,8 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_data_engineering_spark.operators import argmax_per_group, asof_join
+from financial_data_engineering_spark.operators.sequences import (
+    pattern_run_counts,
+)
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
+
+#: a view, then any views/clicks, ending in a purchase (event-type
+#: initials are distinct in this corpus).
+BROWSE_TO_BUY_PATTERN = "v[vc]*p"
 
 
 @register(
@@ -402,34 +409,9 @@ def user_browse_to_buy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern matching (MATCH_RECOGNIZE-flavored CEP): per user,
     count browse-to-buy runs — a view, then any views/clicks, ending in a
     purchase — as non-overlapping regex matches over the user's ordered
-    event-initial string (event types have distinct initials here; encode
-    a type→symbol map first when they don't).
-
-    One shuffle to assemble each user's sequence (``array_sort`` over
-    collected (ts, id, type) structs — deterministic total order), then
-    the regex is map-side. The collect_list bounds memory by the per-user
-    sequence length — the assumption every CEP engine makes; for
-    unbounded/streaming sequences use streaming.event_transitions and
-    match incrementally."""
+    event-initial string. Plan, ordering tiebreak, and pattern semantics
+    live in operators/sequences.py (shared with the telemetry example)."""
     events = load(spark, "events", sf_dir)
-    seq = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: F.substring(s["event_type"], 1, 1),
-        ),
-    )
-    return (
-        events.groupBy("user_id")
-        .agg(seq.alias("seq"))
-        .select(
-            "user_id",
-            F.length("seq").cast("long").alias("n_events"),
-            F.size(F.regexp_extract_all("seq", F.lit("v[vc]*p"), F.lit(0)))
-            .cast("long")
-            .alias("n_runs"),
-        )
-        .orderBy("user_id")
+    return pattern_run_counts(events, BROWSE_TO_BUY_PATTERN).orderBy(
+        "user_id"
     )

@@ -82,7 +82,8 @@ TRANSITION_OUTPUT = (
     "user_id long, prev_type string, next_type string, ts timestamp"
 )
 
-#: last event seen per user: event-time micros + id tiebreak + type.
+#: last event seen per user: event-time micros + id tiebreak (the
+#: cross-batch late-arrival guard) + type.
 TRANSITION_STATE = "last_micros long, last_id long, last_type string"
 
 
@@ -92,26 +93,36 @@ def _emit_transitions(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """State transition: order this batch's slice by (ts, event_id),
-    chain it after the persisted last event, emit one row per adjacent
-    pair, and persist the new last event."""
+    DROP any event at or before the persisted last (ts, id) — a late
+    cross-batch arrival would otherwise fabricate an out-of-order
+    transition — then chain the rest after the last event, emit one row
+    per adjacent pair, and persist the new last event. Tolerates an
+    empty batch iterator (key timeouts deliver one)."""
     last_micros, last_id, last_type = (
         state.get if state.exists else (None, None, None)
     )
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    frames = [pdf for pdf in pdfs if len(pdf)]
     out_prev, out_next, out_ts = [], [], []
-    if len(batch):
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         for ts, eid, etype in zip(
             batch["ts"], batch["event_id"], batch["event_type"]
         ):
+            micros, ident = int(ts.value // 1000), int(eid)
+            if last_type is not None and (micros, ident) <= (
+                last_micros,
+                last_id,
+            ):
+                continue  # late vs state: drop, never emit backwards
             if last_type is not None:
                 out_prev.append(last_type)
                 out_next.append(etype)
                 out_ts.append(ts)
-            last_micros = int(ts.value // 1000)
-            last_id = int(eid)
-            last_type = etype
-        state.update((last_micros, last_id, last_type))
+            last_micros, last_id, last_type = micros, ident, etype
+        if last_type is not None:
+            state.update((last_micros, last_id, last_type))
     yield pd.DataFrame(
         {
             "user_id": [key[0]] * len(out_prev),
@@ -130,11 +141,12 @@ def event_transitions(events: DataFrame) -> DataFrame:
     events arrive in per-user event-time order (the micro-batch slice is
     sorted, and state carries the last event across batches).
 
-    Out-of-order arrival ACROSS batches produces the transitions of the
-    arrival order, not event-time order — the inherent limit of emitting
-    eagerly; bound disorder upstream with a watermark + dropped lates if
-    event-time exactness is required. State per user is one (ts, id, type)
-    triple — O(|users|), the minimum any sequence detector can hold."""
+    Out-of-order arrival ACROSS batches is handled by the state's
+    (ts, id) guard: an event at or before the per-user high-water mark is
+    DROPPED, never emitted as a backwards transition — the same contract
+    as a watermark with dropped lates, enforced per key. State per user
+    is one (ts, id, type) triple — O(|users|), the minimum any sequence
+    detector can hold."""
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")

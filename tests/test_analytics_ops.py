@@ -134,7 +134,9 @@ def test_misra_gries_bounds(spark, items, k):
     from financial_data_engineering_spark.operators import misra_gries_topk
 
     df = spark.createDataFrame([(i,) for i in items], "item long").repartition(3)
-    got = misra_gries_topk(df, "item", k, top=10_000).collect()
+    # default (no top=) returns the FULL merged summary — the form the
+    # presence guarantee below is stated for
+    got = misra_gries_topk(df, "item", k).collect()
     true = Counter(str(i) for i in items)
     n = len(items)
     errs = {r.err_bound for r in got}

@@ -293,3 +293,56 @@ def test_stateful_transitions_match_batch_counts(spark, events_dir, tmp_path):
     want = q.all_queries()["event_transition_counts"](spark, SF_SMALL)
     cols = ["prev_type", "next_type", "n_transitions"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+class _StubState:
+    """Minimal GroupState double for pure-function tests."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+
+
+def test_emit_transitions_drops_late_cross_batch_events():
+    import pandas as pd
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        _emit_transitions,
+    )
+
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    state = _StubState((int(t.value // 1000), 7, "view"))
+    late_then_fresh = pd.DataFrame(
+        {
+            "ts": [t - pd.Timedelta(minutes=5), t + pd.Timedelta(minutes=1)],
+            "event_id": [3, 9],
+            "event_type": ["click", "purchase"],
+        }
+    )
+    (out,) = _emit_transitions((1,), iter([late_then_fresh]), state)
+    # the late click is dropped; only view -> purchase is emitted
+    assert list(zip(out["prev_type"], out["next_type"])) == [
+        ("view", "purchase")
+    ]
+    assert state.get[2] == "purchase"
+
+
+def test_emit_transitions_tolerates_empty_iterator():
+    from financial_data_engineering_spark.streaming.stateful import (
+        _emit_transitions,
+    )
+
+    state = _StubState((0, 0, "view"))
+    (out,) = _emit_transitions((1,), iter([]), state)
+    assert len(out) == 0
+    assert state.get == (0, 0, "view")  # state untouched on empty batch
