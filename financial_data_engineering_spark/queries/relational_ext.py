@@ -362,3 +362,56 @@ def priority_fulfillment_latency(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "lineitem_measure_unpivot",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, measure, CAST(round(value * 100) AS BIGINT)
+                   AS value_e2
+        FROM lineitem
+        UNPIVOT (value FOR measure IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    SELECT l_returnflag,
+           measure,
+           count(*) AS n_values,
+           CAST(sum(value_e2) AS BIGINT) AS total_e2,
+           CAST(max(value_e2) AS BIGINT) AS max_e2
+    FROM long
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long reshape), the inverse of
+    orders_priority_pivot: the four lineitem measures melt into
+    (measure, value) rows via ``stack`` — a map-side Generate, NOT a
+    union of four scans (one pass over the table, the generator
+    quadruples rows after column pruning) — then a grouped rollup.
+    One shuffle for the aggregate; the presentation sort folds into
+    the 20-row result."""
+    li = load(spark, "lineitem", sf_dir)
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity,"
+            " 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount,"
+            " 'l_tax', l_tax) AS (measure, value)"
+        ),
+    ).select(
+        "l_returnflag",
+        "measure",
+        F.round(F.col("value") * 100).cast("long").alias("value_e2"),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("value_e2").alias("total_e2"),
+            F.max("value_e2").alias("max_e2"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

@@ -138,6 +138,8 @@ SHUFFLE_BUDGET = {
     "lineitem_global_stats": 1,
     "lineitem_price_quantiles": 2,
     "lineitem_priority_asof": 4,
+    # map-side stack Generate + grouped rollup + 12-row sort
+    "lineitem_measure_unpivot": 2,
     "multimodal_decode_stats": 2,
     "multimodal_frame_stats": 2,
     "multimodal_resize_stats": 2,
