@@ -558,3 +558,44 @@ def test_kmv_intersection_exact_when_sketch_not_full(spark):
     assert row["union_estimate"] == 40
     assert row["inter_estimate"] == 10
     assert row["jaccard_e4"] == 2500  # 10/40
+
+
+def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
+    """Persisted-index serving must return exactly what the one-shot
+    ivf_topk computes (same centroid seed, scoring, and tie-breaks), and
+    the probed read must touch fewer list partitions than the index has."""
+    from financial_data_engineering_spark.llm.index import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+    from financial_data_engineering_spark.llm.similarity import ivf_topk
+    from financial_data_engineering_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, "embeddings", SF_SMALL)
+    queries = emb.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, n_centroids=8, n_iters=2, dim=64)
+
+    served = ivf_topk_from_index(
+        spark, queries, idx, k=5, nprobe=2, dim=64
+    )
+    direct = ivf_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=2, dim=64, n_iters=2
+    )
+    cols = ["query_id", "rank", "neighbor_id", "cos"]
+    got = sorted(tuple(r[c] for c in cols) for r in served.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in direct.collect())
+    assert got == want
+
+    # partition pruning: the cluster IN (...) filter reaches the scan as
+    # a PartitionFilter (directory-level pruning — inputFiles() reports
+    # the unpruned relation, so assert on the physical plan)
+    import re
+
+    from financial_data_engineering_spark import plans
+
+    full = spark.read.parquet(f"{idx}/lists")
+    pruned = full.filter(F.col("cluster").isin([0, 1]))
+    txt = plans.plan_text(pruned)
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(0,1\)\]", txt)
