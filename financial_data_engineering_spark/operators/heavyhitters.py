@@ -81,6 +81,12 @@ def misra_gries_topk(
     Null items are excluded before summarization (``value_counts`` cannot
     see them and null is the summary's error-mass marker); count nulls
     separately if they matter.
+
+    The summary can come back EMPTY when the error mass dominates every
+    counter (pathologically small k vs. a flat distribution — e.g. two
+    distinct singletons with k=1 tie at the subtracted value and both
+    drop). An empty result means no item's true count exceeds n/(k+1):
+    raise k until the hitters you care about clear that bar.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
