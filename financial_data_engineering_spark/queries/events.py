@@ -415,3 +415,64 @@ def user_browse_to_buy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_run_counts(events, BROWSE_TO_BUY_PATTERN).orderBy(
         "user_id"
     )
+
+
+@register(
+    "event_value_dispersion",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_e2,
+           CAST((2 * (count(*) * sum(CAST(v AS HUGEINT) * v)
+                      - sum(CAST(v AS HUGEINT)) * sum(v))
+                 + count(*) * count(*))
+                // (2 * count(*) * count(*)) AS BIGINT) AS var_e4
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population variance per event type from the MERGEABLE moment
+    triple (n, Σx, Σx²) — the distributed-variance primitive: partial
+    moments combine map-side, so one shuffle of three numbers per group
+    replaces any two-pass mean-then-deviation plan.
+
+    All integer: x is the e2-scaled value, Σx² accumulates in
+    DECIMAL(38,0) (HUGEINT on the oracle side) so the n·Σx² − (Σx)²
+    numerator cannot overflow, and var_e4 = numerator / n² lands by the
+    repo-standard round-half-up div idiom — Spark's decimal ``div`` and
+    DuckDB's HUGEINT ``//`` truncate identically on the non-negative
+    variance numerator."""
+    events = load(spark, "events", sf_dir)
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("sum_e2"),
+        F.sum(
+            F.expr("CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))")
+        ).alias("_ss"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_events",
+            "sum_e2",
+            F.expr(
+                "CAST((2 * (CAST(n_events AS DECIMAL(38,0)) * _ss"
+                " - CAST(sum_e2 AS DECIMAL(19,0))"
+                "   * CAST(sum_e2 AS DECIMAL(19,0)))"
+                " + CAST(n_events AS DECIMAL(38,0)) * n_events)"
+                " div (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)"
+                " AS BIGINT)"
+            ).alias("var_e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -104,6 +104,8 @@ SHUFFLE_BUDGET = {
     "event_rollup_grouping_sets": 2,
     "event_type_counts": 1,
     "events_value_histogram": 2,
+    # mergeable-moment agg (map-side partials) + 5-row sort
+    "event_value_dispersion": 2,
     "events_asof_latest_order": 3,
     # per-user lag window + (prev,next) agg over |event_types|^2 keys + sort
     "event_transition_counts": 3,
