@@ -238,10 +238,10 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY revenue_e2 DESC, n_name
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS cum_revenue_e2,
-           CAST((2 * sum(revenue_e2) OVER (
+           CAST((2 * CAST(sum(revenue_e2) OVER (
                      ORDER BY revenue_e2 DESC, n_name
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) * 1000000 + sum(revenue_e2) OVER ())
+                 ) AS HUGEINT) * 1000000 + sum(revenue_e2) OVER ())
                 // (2 * sum(revenue_e2) OVER ()) AS BIGINT)
                AS cum_share_e6
     FROM nat_rev
@@ -256,15 +256,21 @@ def nation_revenue_running_share(
 
     The unpartitioned windows run over the AGGREGATED frame — |nations|
     rows, a constant — so the one-partition window is control-plane-sized
-    by construction, unlike a raw-data global window. Customer joins
-    broadcast (dimension-sized); one shuffle for the nation aggregate.
+    by construction, unlike a raw-data global window. Customer attaches
+    without a broadcast hint — it grows with SF, so the choice belongs to
+    the size estimator/AQE (auto-broadcast through ~sf10 at two columns,
+    shuffle join beyond); nation stays hinted (constant 25 rows). One
+    shuffle for the nation aggregate. The cumulative numerator is widened
+    to DECIMAL(38,0) before the *1e6 scale-up: cumulative e2 revenue
+    crosses the int64 ceiling near SF 0.2, where non-ANSI Spark would wrap
+    silently while the DuckDB oracle (HUGEINT) stays exact.
     """
     orders = load(spark, "orders", sf_dir)
     customer = load(spark, "customer", sf_dir)
     nation = load(spark, "nation", sf_dir)
     nat_rev = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == customer.c_custkey,
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
@@ -287,7 +293,8 @@ def nation_revenue_running_share(
             "revenue_e2",
             "cum_revenue_e2",
             F.expr(
-                "(2 * cum_revenue_e2 * 1000000 + _total) div (2 * _total)"
+                "CAST((2 * CAST(cum_revenue_e2 AS DECIMAL(38,0)) * 1000000"
+                " + _total) div (2 * _total) AS BIGINT)"
             ).alias("cum_share_e6"),
         )
         .orderBy(F.col("revenue_e2").desc(), "n_name")
@@ -328,8 +335,10 @@ def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the argmax-per-group operator (k=1) the reference's
     latest-per-group pattern uses.
 
-    Supplier and nation attach by broadcast (dimensions); one shuffle for
-    the (nation, part) aggregate, one for the per-nation rank window —
+    Supplier (SF-scaling, two columns — unhinted so the size estimator/
+    AQE picks broadcast while it fits and a shuffle join beyond) and
+    nation (hinted, constant) attach before one shuffle for the
+    (nation, part) aggregate, one for the per-nation rank window —
     whose partition count is |nations|, so the window never concentrates
     raw data.
     """
@@ -338,7 +347,7 @@ def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, "nation", sf_dir)
     part_rev = (
         lineitem.join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             lineitem.l_suppkey == supplier.s_suppkey,
         )
         .groupBy("s_nationkey", "l_partkey")
@@ -459,7 +468,7 @@ def nations_full_priority_coverage(
     nation = load(spark, "nation", sf_dir)
     per_nation = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == customer.c_custkey,
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)

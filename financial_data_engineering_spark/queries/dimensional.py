@@ -87,7 +87,7 @@ def fact_orders_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         surrogate_key(F.col("c_name"), F.col("c_custkey")).alias("customer_sk"),
     )
     return (
-        orders.join(F.broadcast(dim_customer), orders.o_custkey == dim_customer.c_custkey)
+        orders.join(dim_customer, orders.o_custkey == dim_customer.c_custkey)
         .select(
             "o_orderkey",
             date_key(F.col("o_orderdate")).alias("date_key"),

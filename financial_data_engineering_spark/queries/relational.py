@@ -157,15 +157,17 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact→dim joins (C1/C3) + aggregation + top-k (F1).
 
-    Dims (customer, nation) are broadcast — at 100 TB the orders fact never
-    shuffles for these joins; only the post-aggregation top-k is ordered,
-    and that is TakeOrderedAndProject (per-partition heaps, no full sort).
+    Nation is broadcast-hinted (constant 25 rows); customer is left to the
+    size estimator/AQE because it grows with SF — auto-broadcast while it
+    fits, shuffle join beyond, never a stale hint forcing a 100 TB-scale
+    driver collect. Only the post-aggregation top-k is ordered, and that
+    is TakeOrderedAndProject (per-partition heaps, no full sort).
     """
     orders = load(spark, "orders", sf_dir)
     customer = load(spark, "customer", sf_dir)
     nation = load(spark, "nation", sf_dir)
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     agg = joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -213,7 +215,7 @@ def nation_latest_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["o_orderkey"],
     )
     return (
-        latest.join(F.broadcast(customer), latest.o_custkey == customer.c_custkey)
+        latest.join(customer, latest.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -382,7 +384,7 @@ def revenue_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, "region", sf_dir)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

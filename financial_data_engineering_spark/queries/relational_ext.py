@@ -250,7 +250,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -285,10 +285,13 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue from LOCAL supply chains (customer and
     supplier in the same nation) within one region and year. Five joins,
-    one shuffle: every dimension side (customer, supplier, nation,
-    region) broadcasts, lineitem↔orders is the single fact-fact join,
-    and the same-nation predicate rides the supplier broadcast join.
-    Region and date filters prune before anything moves."""
+    one fact-fact shuffle: nation and region broadcast by hint (constant
+    cardinality); customer and supplier are unhinted two-column
+    projections, so the size estimator/AQE broadcasts them while they fit
+    and falls back to a shuffle join at the SF where they no longer do.
+    lineitem↔orders is the single fact-fact join, and the same-nation
+    predicate rides the supplier join. Region and date filters prune
+    before anything moves."""
     cust = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     orders = load(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -300,9 +303,9 @@ def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -391,7 +394,12 @@ def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of four scans (one pass over the table, the generator
     quadruples rows after column pruning) — then a grouped rollup.
     One shuffle for the aggregate; the presentation sort folds into
-    the 20-row result."""
+    the 20-row result.
+
+    NULL measures are filtered explicitly: DuckDB's UNPIVOT drops NULL
+    values while Spark's ``stack`` keeps them, so without the filter the
+    two sides agree only by the accident of lineitem's non-null columns —
+    the filter makes them agree by construction."""
     li = load(spark, "lineitem", sf_dir)
     long = li.select(
         "l_returnflag",
@@ -401,7 +409,7 @@ def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'l_discount', l_discount,"
             " 'l_tax', l_tax) AS (measure, value)"
         ),
-    ).select(
+    ).where(F.col("value").isNotNull()).select(
         "l_returnflag",
         "measure",
         F.round(F.col("value") * 100).cast("long").alias("value_e2"),
