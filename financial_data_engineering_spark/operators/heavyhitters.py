@@ -96,6 +96,16 @@ def misra_gries_topk(
     summaries = rows.mapInPandas(
         _partition_summaries(k), schema=_SUMMARY_SCHEMA
     )
+    return merge_summaries(summaries, top=top)
+
+
+def merge_summaries(summaries: DataFrame, top: int | None = None) -> DataFrame:
+    """Merge (item, cnt) summary rows — NULL-item rows carry error mass —
+    into (item, est_count, err_bound). Plain count addition: the
+    mergeable-summaries property, shared by the batch operator above and
+    the streaming twin's final per-shard snapshots
+    (streaming/stateful.py ``running_heavy_hitters``), so both paths keep
+    est <= true <= est + err_bound by the same arithmetic."""
     # constant-key equi-join attaches the global error mass as a 1-row
     # broadcast hash join (not a nested-loop cross join).
     items = (

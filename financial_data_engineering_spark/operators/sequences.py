@@ -46,6 +46,7 @@ def pattern_run_counts(
     ts_col: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    max_seq_len: int = 1_000_000,
 ) -> DataFrame:
     """Sequence-pattern matching (MATCH_RECOGNIZE-flavored CEP): per
     entity, the count of non-overlapping ``pattern`` regex matches over
@@ -56,8 +57,30 @@ def pattern_run_counts(
     entity's sequence (``array_sort`` over collected (ts, id, type)
     structs — a deterministic total order); the regex is map-side.
     ``collect_list`` bounds memory by the per-entity sequence length —
-    the assumption every CEP engine makes; for unbounded sequences use
-    streaming.event_transitions and match incrementally."""
+    the assumption every CEP engine makes. ``max_seq_len`` enforces that
+    assumption: a degenerate hot entity (a bot account, a null-key
+    bucket) past the bound raises here, at a cheap count aggregate,
+    instead of OOMing an executor mid-collect (the ``max_block_names`` /
+    ``max_bucket_size`` refusal convention). For genuinely unbounded
+    sequences use streaming.event_transitions and match incrementally.
+    """
+    if max_seq_len < 1:
+        raise ValueError(f"max_seq_len must be >= 1, got {max_seq_len}")
+    oversized = (
+        events.groupBy(entity_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > max_seq_len)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        row = oversized[0]
+        raise ValueError(
+            f"entity {row[entity_col]!r} has {row['n_events']} events "
+            f"(max_seq_len={max_seq_len}); refusing the unbounded "
+            "collect_list — raise the bound or match incrementally via "
+            "streaming.event_transitions"
+        )
     seq = F.concat_ws(
         "",
         F.transform(

@@ -35,71 +35,82 @@ from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 #: longest-unverified rotations. Everything after position 50 was
 #: driver-green in r4 with unchanged semantics.
 #:
-#: ROUND-6 ROTATION PLAN: the r4-green families left out of this window —
-#: similarity (6), sketch (2), relational_ext (3), text (5), curation
-#: core (9), dedup core (8), multimodal_decode_stats, user_sessions /
-#: events_value_histogram / user_retention_cohorts — go to the front next
-#: round, together with the four unchanged-since-r3 rotations displaced
-#: by never-verified round-5 queries (event_type_counts,
-#: customers_without_orders, top_part_nouns, customer_padded_keys); the
-#: families verified here rotate out.
+#: ROUND-6 WINDOW (executes the rotation plan written in round 5): the
+#: two queries no driver round has ever checked go first, then the one
+#: new round-6 registration (ann_ivf_from_index), then every family whose
+#: last driver-green row is r4 or older — similarity, sketch, text,
+#: curation core, dedup core, the three event rows, multimodal_decode,
+#: the four displaced relational rotations, and the five relational_ext
+#: rows. After this round every registered query has a driver-green row
+#: from r5 or r6 — the two-round rotation invariant holds registry-wide.
+#: Everything after this window was driver-green in r5 with unchanged
+#: output values (the round-6 broadcast-hint demotions change plans, not
+#: values; the running-share DECIMAL widening changes neither value nor
+#: dtype at any tested SF — all re-verified by the local strict gate).
 GATE_WINDOW = [
-    # r4 hash-red rows, fixed in r5 (CAST ... AS BIGINT oracle typing)
-    "multimodal_resize_stats",
-    "multimodal_frame_stats",
-    "doc_mix_rebalance",
-    # earlier round-5 additions, never driver-verified
-    "doc_split_assign",
-    "kmv_priority_intersect",
-    "embedding_label_centroids",
-    "user_rolling_value_7d",
-    "lineitem_quantity_mad_outliers",
-    "ann_rrf_fusion",
-    "event_props_rollup",
-    "dedup_incremental_new_unique",
-    "dedup_group_representatives",
-    "dedup_incremental_minhash",
-    # round-5 analytics extensions, never driver-verified
-    "event_transition_counts",
-    "user_value_gapfill",
-    "orders_priority_pivot",
-    "customer_revenue_deciles",
-    "nation_revenue_running_share",
-    "top_parts_per_nation",
-    "part_fuzzy_name_blocks",
-    "nations_full_priority_coverage",
-    "bpe_merge_candidates",
-    "bpe_learned_merges",
-    "sliding_active_users",
-    "priority_fulfillment_latency",
-    "user_browse_to_buy_runs",
-    # r4-green rows whose oracles were converted to exact integers in r5
-    # (ed06a8e) — the green rows are stale against the new output
-    "hourly_event_rollup",
-    "sliding_event_counts",
-    "event_funnel_pairs",
-    "events_asof_latest_order",
-    "event_rollup_grouping_sets",
-    # last driver-green in r3; outputs since converted to exact integers
-    "pricing_summary",
-    "latest_order_per_customer",
-    "top_customers_by_revenue",
-    "nation_latest_order_revenue",
-    "order_distinct_counts",
-    "lineitem_global_stats",
-    "high_value_parties",
-    "revenue_by_region_segment",
-    "order_priority_share",
-    "date_dimension",
-    "surrogate_keys_nation",
-    "fact_orders_star",
-    "customer_priority_scd2",
-    "lineitem_priority_asof",
-    "quality_freshness_events",
-    "quality_completeness_lineitem",
-    "quality_uniqueness_orders",
-    "quality_range_quantity",
-    "quality_pattern_customer_name",
+    # never driver-verified (registered after the r5 gate ran)
+    "event_value_dispersion",
+    "lineitem_measure_unpivot",
+    # new round-6 registrations: IVF index build/serve round-trip,
+    # SemDeDup-style clustered semantic dedup, skew-salted join under
+    # oracle, segment vocabulary overlap, and the Q17 correlated-agg shape
+    "ann_ivf_from_index",
+    "dedup_semantic_clusters",
+    "customer_order_stats_salted",
+    "source_vocab_overlap",
+    "small_quantity_order_revenue",
+    # similarity family (last green r4)
+    "knn_brute_force_cosine",
+    "ann_lsh_cosine",
+    "ann_lsh_multiprobe",
+    "embedding_quantization_stats",
+    "ann_ivf_cosine",
+    # sketch family (last green r4)
+    "kmv_distinct_customers",
+    "kmv_priority_union",
+    # text family (last green r4)
+    "doc_text_stats",
+    "doc_lang_id",
+    "source_quality_rollup",
+    "doc_fingerprints",
+    "doc_bpe_tokens",
+    # curation core (last green r4)
+    "doc_sample_stratified",
+    "doc_pack_bins",
+    "source_vocab_stats",
+    "top_bigrams",
+    "doc_repetition_flags",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "pii_scrub_stats",
+    "doc_dense_ids",
+    # dedup core (last green r4)
+    "eval_contamination",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_winnowing",
+    "dedup_exact_survivors",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_component_groups",
+    # event rows left out of r5 (last green r4)
+    "user_sessions",
+    "events_value_histogram",
+    "user_retention_cohorts",
+    # multimodal decode (last green r4)
+    "multimodal_decode_stats",
+    # relational rotations displaced by round-5 registrations (last green r3/r4)
+    "event_type_counts",
+    "customers_without_orders",
+    "top_part_nouns",
+    "customer_padded_keys",
+    # relational_ext rows (last green r4)
+    "order_week_shipments",
+    "lineitem_price_quantiles",
+    "customer_overlapping_orders",
+    "shipping_priority_revenue",
+    "region_local_supplier_volume",
 ]
 
 reorder(GATE_WINDOW)

@@ -13,8 +13,8 @@ from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
 from financial_data_engineering_spark.queries.similarity_oracles import (
-    _IVF_ORACLE,
-    _LSH_ORACLE,
+    IVF_ORACLE,
+    LSH_ORACLE,
     _N_PLANES,
     _N_QUERIES,
     _TOP_K,
@@ -286,8 +286,8 @@ def lineitem_quantity_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _RRF_ORACLE = f"""
-WITH lsh AS ({_LSH_ORACLE}),
-ivf AS ({_IVF_ORACLE}),
+WITH lsh AS ({LSH_ORACLE}),
+ivf AS ({IVF_ORACLE}),
 u AS (
     SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS pts FROM lsh
     UNION ALL

@@ -677,3 +677,93 @@ def doc_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_row_ids(docs, ["source", "doc_id"]).select(
         "doc_id", "seq_id"
     ).orderBy("doc_id")
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), tk AS (SELECT source, tok FROM tok WHERE tok != ''),
+    sizes AS (
+        SELECT source, count(*) AS n_types FROM tk GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a,
+           s.source_b,
+           CAST(sa.n_types AS BIGINT) AS n_types_a,
+           CAST(sb.n_types AS BIGINT) AS n_types_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST((2 * s.n_shared * 1000000
+                 + (sa.n_types + sb.n_types - s.n_shared))
+                // (2 * (sa.n_types + sb.n_types - s.n_shared)) AS BIGINT)
+               AS jaccard_e6
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between corpus segments: for every source pair,
+    the shared distinct-type count and the exact Jaccard similarity of
+    their vocabularies (``jaccard_e6``, half-up integer) — the mixture
+    designer's redundancy matrix (two sources with near-identical
+    vocabularies add diversity on paper only).
+
+    Scale shape: documents collapse to DISTINCT (source, token) FIRST —
+    the quadratic step then runs on vocabulary sizes, not token counts,
+    and the pair join is an equi-join on the token (inverted-index
+    style: a token contributes |sources-containing-it|² pairs, bounded
+    by the segment count squared, never |docs|²). Three shuffles: the
+    distinct collapse, the token-keyed pair count, the per-source size
+    aggregate that attaches by broadcast."""
+    docs = load(spark, "documents", sf_dir)
+    tk = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    from financial_data_engineering_spark.llm.caching import persist_tracked
+
+    tk = persist_tracked(tk)
+    sizes = tk.groupBy("source").agg(F.count(F.lit(1)).alias("n_types"))
+    a = tk.select(F.col("source").alias("source_a"), "tok")
+    b = tk.select(F.col("source").alias("source_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_types").alias("n_types_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_types").alias("n_types_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_types_a",
+            "n_types_b",
+            "n_shared",
+            F.expr(
+                "(2 * n_shared * 1000000 + (n_types_a + n_types_b - n_shared))"
+                " div (2 * (n_types_a + n_types_b - n_shared))"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )

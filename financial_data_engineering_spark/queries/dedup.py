@@ -618,3 +618,121 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SEM_TAU = 0.30
+_SEM_K = 8
+_SEM_ITERS = 2
+
+
+def _semantic_oracle() -> str:
+    from financial_data_engineering_spark.queries.similarity_oracles import (
+        kmeans_ctes,
+    )
+
+    return f"""
+    WITH {kmeans_ctes(_SEM_K, _SEM_ITERS, 64)},
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.cv), 9)
+                                DESC, c.cid) AS rn
+            FROM embeddings e, cent{_SEM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cid, b.vec_id AS b_id
+        FROM assign a
+        JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 4)
+              >= {_SEM_TAU}
+    ),
+    sizes AS (SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid),
+    dups AS (
+        SELECT cid, count(*) AS n_dup_pairs,
+               count(DISTINCT b_id) AS n_dropped
+        FROM pairs GROUP BY cid
+    )
+    SELECT s.cid AS cluster,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(s.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT)
+               AS n_survivors
+    FROM sizes s LEFT JOIN dups d USING (cid)
+    ORDER BY cluster
+    """
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): cluster the
+    embedding corpus with the deterministic k-means coarse quantizer
+    (shared with IVF — same seeded init, same scaled-integer means, so
+    the oracle replays training bit-exactly), then find near-duplicate
+    pairs ONLY within clusters and drop every vector that has a
+    lower-id neighbor at cosine >= tau. Output per cluster: size, dup
+    pairs, dropped count, survivors.
+
+    Scale shape: clustering turns the quadratic all-pairs step into
+    |cluster|^2 per cluster — n_centroids grows with the corpus so
+    cluster size stays bounded (the SemDeDup recipe), and the pair join
+    is an equi-join on cluster id, never a cross join. The per-pair
+    cosine is the unrolled fixed-dim expression (whole-stage codegen,
+    same association as DuckDB's list_cosine_similarity, rounded before
+    the threshold so a last-ulp difference cannot flip a pair)."""
+    from financial_data_engineering_spark.functions.vectors import (
+        cosine_similarity_fixed,
+    )
+    from financial_data_engineering_spark.llm.caching import persist_tracked
+
+    emb = load(spark, "embeddings", sf_dir)
+    cents = sim.kmeans_centroids(
+        emb, n_centroids=_SEM_K, n_iters=_SEM_ITERS, dim=64
+    )
+    assign = persist_tracked(
+        sim.ivf_assignments(emb, cents, dim=64, nprobe=1).select(
+            F.col("id").alias("vec_id"),
+            F.col("v").alias("emb"),
+            "cluster",
+        )
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("emb").alias("va")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("emb").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(cosine_similarity_fixed("va", "vb", 64), 4)
+            >= F.lit(_SEM_TAU)
+        )
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    dups = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("b_id").alias("n_dropped"),
+    )
+    return (
+        sizes.join(dups, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("cluster")
+    )

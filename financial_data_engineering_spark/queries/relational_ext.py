@@ -423,3 +423,111 @@ def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+@register(
+    "customer_order_stats_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e2
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY mktsegment
+    """,
+)
+def customer_order_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the EXPLICIT skew-salted join
+    (operators/skew.py): the orders probe side is salted on its non-key
+    columns, the customer build side replicated once per salt, and the
+    join runs on (custkey, salt) — spreading any hot customer across 16
+    reducers. Output is row-for-row identical to the unsalted join, which
+    is exactly what the oracle checks: the salting must change the
+    shuffle distribution and NOTHING else.
+
+    This is the de-skew path for when AQE's runtime skew splitting can't
+    apply (a sort-merge join whose build side is replicable but not
+    broadcastable); at bench scale the replicated build side still
+    auto-broadcasts, so the plan stays exchange-light while the salted
+    key shape is pinned by tests/test_scale_layout.py."""
+    from financial_data_engineering_spark.operators.skew import salted_join
+
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    customer = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, ["custkey"], n_salts=16)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_e2"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@register(
+    "small_quantity_order_revenue",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           count(*) AS n_small_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e2
+    FROM lineitem l
+    JOIN per_part pp ON l.l_partkey = pp.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * pp.n_items < pp.total_qty
+    GROUP BY 1
+    ORDER BY brand
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-aggregate filter: lineitems whose
+    quantity is below 20% of their part's average, rolled up to revenue
+    per brand. The classic pandas formulation is a per-part loop; here
+    the correlated subquery is a per-part aggregate REJOINED to the fact
+    (one self-aggregation shuffle, co-partitioned with the join on
+    l_partkey — AQE coalesces the pair), and the 20%-of-mean predicate
+    is integer-exact: ``5·qty·n < total`` avoids the float average whose
+    summation order differs across engines. TPC-H quantities are
+    integral by construction; the BIGINT cast is exact."""
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    small = (
+        li.join(per_part, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n_items")
+            < F.col("total_qty")
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+    return (
+        small.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("revenue_e2"),
+        )
+        .orderBy("brand")
+    )

@@ -7,6 +7,8 @@ generation, and ranking are all pinned by the hash comparison.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,9 +17,9 @@ from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 from financial_data_engineering_spark.queries.similarity_oracles import (
     _BRUTE_ORACLE,
-    _IVF_ORACLE,
+    IVF_ORACLE,
     _KM_SCALE,
-    _LSH_ORACLE,
+    LSH_ORACLE,
     _MULTIPROBE_ORACLE,
     _N_ITERS,
     _N_PLANES,
@@ -41,7 +43,7 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
-@register("ann_lsh_cosine", oracle=_LSH_ORACLE)
+@register("ann_lsh_cosine", oracle=LSH_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via 4-bit random-hyperplane LSH: vectors sharing a
     sign-signature bucket are the only candidates scored, turning the
@@ -90,7 +92,7 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_stats(emb).orderBy("vec_id")
 
 
-@register("ann_ivf_cosine", oracle=_IVF_ORACLE)
+@register("ann_ivf_cosine", oracle=IVF_ORACLE)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors are inverted-listed under
     their nearest of 8 k-means coarse centroids (deterministic seeded
@@ -108,5 +110,42 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         dim=64,
         n_iters=_N_ITERS,
+    )
+    return out.orderBy("query_id", "rank")
+
+
+@register("ann_ivf_from_index", oracle=IVF_ORACLE)
+def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index lifecycle round-trip: build the persisted index (k-means
+    + cluster-partitioned inverted lists, llm/index.py) then serve the
+    same query set FROM the index. The serve path reads only the probed
+    cluster partitions — ``cluster IN (...)`` prunes at the partition
+    directory — and its scoring/tie-break path is byte-identical to
+    ``ann_ivf_cosine``'s, so IVF_ORACLE is its oracle verbatim. The build
+    cost is charged to this query on purpose: the production shape is
+    build-once/serve-many, and the gate proves the round-trip preserves
+    every rank bit."""
+    import tempfile
+
+    from financial_data_engineering_spark.llm.index import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "fdes_ivf_index_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    build_ivf_index(
+        emb, path, n_centroids=8, n_iters=_N_ITERS, dim=64
+    )
+    out = ivf_topk_from_index(
+        spark,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        path,
+        k=_TOP_K,
+        nprobe=2,
+        dim=64,
     )
     return out.orderBy("query_id", "rank")

@@ -34,7 +34,7 @@ ORDER BY query_id, rank
 """
 
 
-_LSH_ORACLE = f"""
+LSH_ORACLE = f"""
 WITH planes AS (
     SELECT p, list_transform(range(64), j ->
         {sim.sql_hyperplane_component('p::VARCHAR', 'j::VARCHAR')}) AS w
@@ -160,7 +160,7 @@ _N_ITERS = 2
 _KM_SCALE = 1_000_000
 
 
-def _kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
+def kmeans_ctes(n_centroids: int, n_iters: int, dim: int) -> str:
     """DuckDB CTE chain replaying llm.similarity.kmeans_centroids exactly:
     init = lowest-id vectors relabeled 0..n-1; per iteration, argmax-cosine
     assignment (cosine rounded to 9 decimals before the argmax so a
@@ -209,8 +209,8 @@ cent{it + 1} AS (
     return ",\n".join(parts)
 
 
-_IVF_ORACLE = f"""
-WITH {_kmeans_ctes(8, _N_ITERS, 64)},
+IVF_ORACLE = f"""
+WITH {kmeans_ctes(8, _N_ITERS, 64)},
 assign AS (
     SELECT vec_id, cid, rn FROM (
         SELECT e.vec_id, c.cid,

@@ -8,6 +8,7 @@ from financial_data_engineering_spark.streaming.documents import (
 )
 from financial_data_engineering_spark.streaming.stateful import (
     event_transitions,
+    running_heavy_hitters,
     running_user_stats,
 )
 from financial_data_engineering_spark.streaming.events import (
@@ -38,6 +39,7 @@ __all__ = [
     "run_to_memory_sink",
     "run_to_parquet_sink",
     "event_transitions",
+    "running_heavy_hitters",
     "running_user_stats",
     "sliding_counts",
     "user_sessions",

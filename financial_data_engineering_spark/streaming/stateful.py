@@ -158,3 +158,105 @@ def event_transitions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MG_OUTPUT = "shard int, item string, cnt long, seen long"
+
+#: per-shard Misra-Gries summary: parallel (item, count) arrays, the
+#: accumulated error mass, and the total items folded so far (``seen`` —
+#: monotone per shard, so the latest snapshot is the max-seen emission).
+MG_STATE = "items array<string>, cnts array<long>, err long, seen long"
+
+
+def _fold_heavy_hitters(k: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """State transition: fold this batch's slice into the shard's
+        k-counter Misra-Gries summary — the SAME add/trim/subtract step
+        as the batch operator's per-partition fold
+        (operators/heavyhitters.py ``_partition_summaries``), with the
+        summary persisted across micro-batches instead of across Arrow
+        batches. Emits the shard's full current summary plus the NULL
+        error-mass marker, ``merge_summaries``-ready."""
+        items, cnts, err, seen = (
+            state.get if state.exists else ([], [], 0, 0)
+        )
+        counters = pd.Series(
+            list(cnts), index=list(items), dtype="int64"
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen += len(pdf)
+            batch = pdf["item"].value_counts()
+            counters = counters.add(batch, fill_value=0).astype("int64")
+            if len(counters) > k:
+                m = int(counters.nlargest(k + 1).iloc[-1])
+                counters = counters - m
+                counters = counters[counters > 0]
+                err += m
+        state.update(
+            (
+                [str(i) for i in counters.index],
+                [int(v) for v in counters.values],
+                int(err),
+                int(seen),
+            )
+        )
+        n = len(counters)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * (n + 1),
+                "item": list(counters.index.astype(str)) + [None],
+                "cnt": list(counters.values) + [err],
+                "seen": [seen] * (n + 1),
+            }
+        )
+
+    return fold
+
+
+def running_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the stateful twin of
+    ``operators.heavyhitters.misra_gries_topk``. Items hash-shard across
+    ``n_shards`` state keys; each shard folds its micro-batch slice into
+    a persisted k-counter summary and re-emits the summary (update mode).
+    Because every item lives in exactly ONE shard, merging the latest
+    per-shard snapshots with ``operators.heavyhitters.merge_summaries``
+    yields global estimates with the batch guarantee intact:
+    est <= true <= est + err_bound.
+
+    Scale: state is k counters x n_shards — constant, independent of the
+    stream's key domain (the whole point vs a streaming exact count
+    whose state grows with |distinct|); each micro-batch shuffles only
+    its own rows, once, to their shard. Size n_shards to the cluster's
+    parallelism, not the data: more shards = more parallel folds and a
+    proportionally larger (still tiny) merged summary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import functions as F
+
+    rows = (
+        items.select(F.col(item_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("item"), F.lit(n_shards)).cast("int")
+        )
+    )
+    return rows.groupBy("shard").applyInPandasWithState(
+        _fold_heavy_hitters(k),
+        outputStructType=MG_OUTPUT,
+        stateStructType=MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

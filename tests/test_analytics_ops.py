@@ -159,3 +159,33 @@ def test_misra_gries_bounds(spark, items, k):
     for item, cnt in true.items():
         if cnt > err:
             assert item in present
+
+
+@_SETTINGS
+@given(
+    hot_n=st.integers(5, 12),
+    cold_n=st.integers(0, 3),
+    bound=st.integers(1, 4),
+)
+def test_pattern_run_counts_guard_refuses_hot_entity(
+    spark, hot_n, cold_n, bound
+):
+    """A degenerate hot entity past max_seq_len must raise at the guard
+    aggregate, never reach the collect_list; entities under the bound
+    pass through untouched."""
+    from financial_data_engineering_spark.operators import pattern_run_counts
+
+    rows = [("hot", i, float(i), "browse") for i in range(hot_n)]
+    rows += [("cold", 100 + i, 100.0 + i, "buy") for i in range(cold_n)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts double, event_type string"
+    )
+    assert hot_n > bound
+    with pytest.raises(ValueError, match="max_seq_len"):
+        pattern_run_counts(df, "b+", max_seq_len=bound)
+    # the same frame under a sufficient bound still computes
+    out = {
+        r.user_id: r.n_runs
+        for r in pattern_run_counts(df, "b+", max_seq_len=hot_n).collect()
+    }
+    assert out["hot"] == 1  # one maximal run of consecutive b's

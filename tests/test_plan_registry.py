@@ -34,6 +34,9 @@ from tests.conftest import SF_SMALL
 # change that needs it, with the why in the commit message.
 SHUFFLE_BUDGET = {
     "ann_ivf_cosine": 3,
+    # serve-from-index plan: dedup + rank window + presentation sort; the
+    # index build's own jobs run at build time, outside this plan
+    "ann_ivf_from_index": 3,
     "ann_lsh_cosine": 2,
     "ann_lsh_multiprobe": 2,
     "customer_overlapping_orders": 3,
@@ -72,8 +75,20 @@ SHUFFLE_BUDGET = {
     "dedup_group_representatives": 2,
     "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard": 9,
+    # post-persist within-cluster pair join (cluster equi-join + two aggs
+    # + small left join + sort); the k-means/assignment jobs run at
+    # operator build, outside this plan
+    "dedup_semantic_clusters": 4,
     "dedup_simhash": 0,
     "dedup_simhash_pairs": 0,
+    # salted probe shuffle + segment agg; the replicated build side
+    # auto-broadcasts at bench scale
+    "customer_order_stats_salted": 2,
+    # distinct (source, token) collapse + token-keyed pair count + size
+    # agg (broadcast attach) + presentation sort
+    "source_vocab_overlap": 5,
+    # per-part agg + co-partitioned fact rejoin + brand agg/sort
+    "small_quantity_order_revenue": 3,
     "dedup_winnowing": 2,
     "doc_bpe_tokens": 1,
     # vocabulary collapse agg + char-pair agg; top-k is TakeOrdered

@@ -13,8 +13,9 @@ from financial_data_engineering_spark.queries.registry import reorder
 def test_gate_window_is_registry_head():
     names = list(q.all_queries())
     assert names[: len(q.GATE_WINDOW)] == q.GATE_WINDOW
-    assert len(q.GATE_WINDOW) == 50
-    assert len(set(q.GATE_WINDOW)) == 50
+    # the window is bounded by the ~50 rows the driver checks per round
+    assert len(q.GATE_WINDOW) <= 50
+    assert len(set(q.GATE_WINDOW)) == len(q.GATE_WINDOW)
 
 
 def test_oracles_subset_of_queries():
@@ -29,3 +30,18 @@ def test_reorder_rejects_unknown_and_duplicate_names():
     # restore canonical order (reorder with the declared window is
     # idempotent, so other tests see the normal head)
     reorder(q.GATE_WINDOW)
+
+
+def test_readme_counts_block_matches_registry():
+    """README headline numbers are generated, not typed: the committed
+    COUNTS block must match the live registry (regenerate with
+    python tools/update_readme_counts.py)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/update_readme_counts.py", "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr

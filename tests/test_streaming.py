@@ -346,3 +346,63 @@ def test_emit_transitions_tolerates_empty_iterator():
     (out,) = _emit_transitions((1,), iter([]), state)
     assert len(out) == 0
     assert state.get == (0, 0, "view")  # state untouched on empty batch
+
+
+def test_running_heavy_hitters_keeps_mg_guarantee(spark, events_dir, tmp_path):
+    """Streaming Misra-Gries twin: two micro-batches of the events file;
+    merging the final per-shard snapshots must satisfy the batch
+    operator's guarantee against TRUE counts over both batches —
+    est <= true <= est + err_bound, and every item whose true count
+    exceeds err_bound must be present. (Exact equality with the batch
+    operator is NOT the contract: MG output depends on fold order, the
+    guarantee does not.)"""
+    import shutil as _sh
+
+    from financial_data_engineering_spark.operators.heavyhitters import (
+        merge_summaries,
+    )
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_heavy_hitters,
+    )
+
+    replay_dir = tmp_path / "hh_batches"
+    replay_dir.mkdir()
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+
+    k = 4
+    stream = running_heavy_hitters(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1),
+        "event_type",
+        k=k,
+        n_shards=4,
+    )
+    st.run_to_memory_sink(stream, "hh_updates", output_mode="update")
+    # update-mode memory sink appends every emission; the latest snapshot
+    # per shard is the max-`seen` one (seen is monotone per shard).
+    latest = spark.sql(
+        """SELECT shard, item, cnt FROM (
+               SELECT *, max(seen) OVER (PARTITION BY shard) AS mx
+               FROM hh_updates) WHERE seen = mx"""
+    )
+    got = {
+        r["item"]: (r["est_count"], r["err_bound"])
+        for r in merge_summaries(latest.select("item", "cnt")).collect()
+    }
+
+    from financial_data_engineering_spark.tables import load
+
+    ev = load(spark, "events", SF_SMALL)
+    true = {
+        r["event_type"]: r["n"] * 2  # both batches are the same file
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "merged summary unexpectedly empty"
+    err_bound = next(iter(got.values()))[1]
+    for item, (est, err) in got.items():
+        assert est <= true[item] <= est + err, (item, est, err, true[item])
+    for item, cnt in true.items():
+        if cnt > err_bound:
+            assert item in got, (item, cnt, err_bound)
