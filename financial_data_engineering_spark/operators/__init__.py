@@ -11,7 +11,12 @@ from financial_data_engineering_spark.operators.entity import (
     blocked_name_match_stats,
 )
 from financial_data_engineering_spark.operators.heavyhitters import (
+    merge_summaries,
     misra_gries_topk,
+)
+from financial_data_engineering_spark.operators.quantilesketch import (
+    quantile_sketch,
+    sketch_quantiles,
 )
 from financial_data_engineering_spark.operators.ids import (
     dense_row_ids,
@@ -46,12 +51,15 @@ __all__ = [
     "kmv_distinct",
     "kmv_group_sketches",
     "locf_daily_fill",
+    "merge_summaries",
     "misra_gries_topk",
     "mixture_quotas",
     "mixture_rebalance",
     "pattern_run_counts",
     "point_in_interval_join",
+    "quantile_sketch",
     "scalable_ntile",
+    "sketch_quantiles",
     "topk",
     "transition_counts",
     "union_frames",

@@ -681,14 +681,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: clustering turns the quadratic all-pairs step into
     |cluster|^2 per cluster — n_centroids grows with the corpus so
-    cluster size stays bounded (the SemDeDup recipe), and the pair join
-    is an equi-join on cluster id, never a cross join. The per-pair
-    cosine is the unrolled fixed-dim expression (whole-stage codegen,
-    same association as DuckDB's list_cosine_similarity, rounded before
-    the threshold so a last-ulp difference cannot flip a pair)."""
-    from financial_data_engineering_spark.functions.vectors import (
-        cosine_similarity_fixed,
-    )
+    cluster size stays bounded (the SemDeDup recipe) — and each cluster's
+    similarity tile is ONE numpy GEMM inside ``applyInPandas`` (the
+    blocked-kernel rule from pairwise_cosine_gemm, run per cluster as its
+    docstring prescribes: the expression form compiles a 64-term dot
+    product into the join's generated consume method, which overflows
+    janino's 64 KB limit and silently drops the whole stage to
+    interpreted). The GEMM chunks its left side so tile memory is
+    |chunk|x|cluster|, and the cosine uses the same dot/(|a|*|b|)
+    association and round-to-4 as DuckDB's list_cosine_similarity, so a
+    last-ulp difference cannot flip a pair."""
+    import numpy as np
+    import pandas as pd
+
     from financial_data_engineering_spark.llm.caching import persist_tracked
 
     emb = load(spark, "embeddings", sf_dir)
@@ -702,19 +707,32 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
         )
     )
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("a_id"), F.col("emb").alias("va")
-    )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("b_id"), F.col("emb").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.round(cosine_similarity_fixed("va", "vb", 64), 4)
-            >= F.lit(_SEM_TAU)
+
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype="float64") for v in pdf["emb"].iloc[order]]
         )
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        out_b = []
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            sims = (mat[lo:hi] @ mat.T) / np.outer(safe[lo:hi], safe)
+            sims[norms[lo:hi] == 0.0, :] = 0.0
+            sims[:, norms == 0.0] = 0.0
+            cos = np.round(sims, 4)
+            keep = (cos >= _SEM_TAU) & (ids[lo:hi, None] < ids[None, :])
+            out_b.append(ids[np.nonzero(keep)[1]])
+        b_ids = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        return pd.DataFrame(
+            {"cluster": np.full(len(b_ids), key[0]), "b_id": b_ids}
+        )
+
+    pairs = assign.groupBy("cluster").applyInPandas(
+        tile, schema="cluster long, b_id long"
     )
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")

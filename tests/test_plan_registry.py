@@ -75,10 +75,10 @@ SHUFFLE_BUDGET = {
     "dedup_group_representatives": 2,
     "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard": 9,
-    # post-persist within-cluster pair join (cluster equi-join + two aggs
-    # + small left join + sort); the k-means/assignment jobs run at
-    # operator build, outside this plan
-    "dedup_semantic_clusters": 4,
+    # post-persist per-cluster GEMM tile (one cluster shuffle into
+    # applyInPandas) + pair/size aggs + small left join + sort; the
+    # k-means/assignment jobs run at operator build, outside this plan
+    "dedup_semantic_clusters": 5,
     "dedup_simhash": 0,
     "dedup_simhash_pairs": 0,
     # salted probe shuffle + segment agg; the replicated build side
