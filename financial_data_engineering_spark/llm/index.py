@@ -23,6 +23,7 @@ the same contract that lets the query set broadcast.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +49,6 @@ def build_ivf_index(
     dim: int = 64,
 ) -> None:
     """Train the coarse quantizer and write the IVF index to ``path``."""
-    spark = corpus.sparkSession
     proj = persist_tracked(corpus.select(id_col, vec_col))
     centroids = kmeans_centroids(
         proj,
@@ -58,13 +58,32 @@ def build_ivf_index(
         n_iters=n_iters,
         dim=dim,
     )
-    cent_df = spark.createDataFrame(
-        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
-        "cluster long, centroid array<double>",
+    # Centroids are control-plane (k rows, already on the driver from
+    # training) — write them with pyarrow directly instead of a Spark
+    # job: a createDataFrame-backed local-relation write measures a flat
+    # ~5 s per call on this Spark build (vs 8 rows of actual work), and
+    # a driver-side parquet file reads back through spark.read.parquet
+    # identically.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cent_dir = os.path.join(path, "centroids")
+    # true overwrite semantics: clear any previous build's files (a stale
+    # part file would otherwise read back as extra centroid rows)
+    shutil.rmtree(cent_dir, ignore_errors=True)
+    os.makedirs(cent_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "cluster": pa.array(
+                [int(cid) for cid, _ in centroids], type=pa.int64()
+            ),
+            "centroid": pa.array(
+                [[float(x) for x in vec] for _, vec in centroids],
+                type=pa.list_(pa.float64()),
+            ),
+        }
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
-    )
+    pq.write_table(table, os.path.join(cent_dir, "part-00000.parquet"))
     lists = ivf_assignments(
         proj, centroids, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
     ).select(
@@ -73,9 +92,16 @@ def build_ivf_index(
         l2_norm_fixed("v", dim).alias("cn"),
         "cluster",
     )
-    lists.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "lists")
-    )
+    # Cluster-key repartition before the partitioned write: without it
+    # every input partition writes a sliver into every cluster directory
+    # (up to tasks x n_centroids files — measured 2-4x slower to write AND
+    # to serve, since each probed cluster opens dozens of tiny footers).
+    # n_centroids output tasks is right while a cluster's list fits one
+    # task; at real scale raise the partition count (cluster, salt) so
+    # files stay bounded without reintroducing the sliver explosion.
+    lists.repartition(n_centroids, F.col("cluster")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(os.path.join(path, "lists"))
 
 
 def ivf_topk_from_index(

@@ -7,6 +7,11 @@ from financial_data_engineering_spark.operators.relational import (
     value_counts,
 )
 from financial_data_engineering_spark.operators.asof import asof_join
+from financial_data_engineering_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_screen,
+)
 from financial_data_engineering_spark.operators.entity import (
     blocked_name_match_stats,
 )
@@ -45,6 +50,9 @@ __all__ = [
     "argmax_per_group",
     "asof_join",
     "blocked_name_match_stats",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_screen",
     "dense_row_ids",
     "duplicate_row_count",
     "interval_overlap_join",

@@ -754,3 +754,123 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_BLOOM_M_WORDS = 256
+_BLOOM_K = 5
+_BLOOM_P = 4294967311  # MINHASH_P, spelled out for the oracle f-string
+
+
+def _bloom_oracle() -> str:
+    m_bits = _BLOOM_M_WORDS * 32
+    pos = (
+        "((('0x' || substr(md5(item), 1, 8))::BIGINT"
+        " + (i + 1) * ('0x' || substr(md5(item), 9, 8))::BIGINT)"
+        f" % {_BLOOM_P}) % {m_bits}"
+    )
+    return f"""
+    WITH reg AS (
+        SELECT md5(text) AS item FROM documents WHERE doc_id % 2 = 0
+    ),
+    bat AS (
+        SELECT doc_id, md5(text) AS item FROM documents WHERE doc_id % 2 = 1
+    ),
+    regpos AS (
+        SELECT DISTINCT {pos} AS pos
+        FROM reg, (SELECT unnest(range({_BLOOM_K})) AS i)
+    ),
+    words AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << (pos % 32)) AS bits
+        FROM regpos GROUP BY 1
+    ),
+    batpos AS (
+        SELECT doc_id, item, {pos} AS pos
+        FROM bat, (SELECT unnest(range({_BLOOM_K})) AS i)
+    ),
+    probes AS (
+        SELECT b.doc_id, b.item,
+               min(CASE WHEN ((coalesce(w.bits, 0) >> (b.pos % 32)) & 1) = 1
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM batpos b LEFT JOIN words w ON b.pos // 32 = w.word
+        GROUP BY b.doc_id, b.item
+    ),
+    flagged AS (
+        SELECT p.doc_id,
+               p.all_hit = 1 AS maybe_present,
+               p.item IN (SELECT item FROM reg) AS present
+        FROM probes p
+    )
+    SELECT count(*) AS n_batch,
+           CAST(sum(CASE WHEN NOT maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_definitely_new,
+           CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe_present,
+           CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_present_exact,
+           CAST(sum(CASE WHEN maybe_present AND NOT present THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive
+    FROM flagged
+    """
+
+
+@register("dedup_bloom_screen", oracle=_bloom_oracle())
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter registry screen (operators/bloom.py) over the
+    incremental-dedup split: even doc_ids play the fingerprint registry,
+    odd doc_ids the incoming batch. One summary row: batch size, items
+    the filter proves new (skip the registry join entirely — the filter's
+    no-false-negative guarantee), items flagged maybe-present, the exact
+    present count, and the measured false positives — the audit table
+    for sizing the filter's m/k against the FPR actually paid.
+
+    Scale shape: the registry collapses to a 256-word (8 Kbit) broadcast
+    table built with one word-keyed bit_or shuffle; the batch NEVER
+    shuffles for the screen (k=5 broadcast probes). The exact
+    present/false-positive columns re-join the registry — that is the
+    expensive second tier this screen exists to shrink, computed here
+    because the query's job is to AUDIT the filter; production screening
+    drops those columns and feeds only the maybe-present remainder to
+    incremental_exact_dedup."""
+    from financial_data_engineering_spark.operators.bloom import (
+        bloom_build,
+        bloom_screen,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    reg = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("item")
+    )
+    bat = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("item")
+    )
+    bloom = bloom_build(reg, "item", m_words=_BLOOM_M_WORDS, k_hashes=_BLOOM_K)
+    screened = bloom_screen(
+        bat, bloom, "item", m_words=_BLOOM_M_WORDS, k_hashes=_BLOOM_K
+    )
+    flagged = screened.join(
+        F.broadcast(
+            reg.distinct().withColumn("_in", F.lit(1))
+        ),
+        "item",
+        "left",
+    ).select(
+        "doc_id",
+        "maybe_present",
+        F.col("_in").isNotNull().alias("present"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(~F.col("maybe_present"), 1).otherwise(0)).alias(
+            "n_definitely_new"
+        ),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).alias(
+            "n_maybe_present"
+        ),
+        F.sum(F.when(F.col("present"), 1).otherwise(0)).alias(
+            "n_present_exact"
+        ),
+        F.sum(
+            F.when(F.col("maybe_present") & ~F.col("present"), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )

@@ -1,0 +1,110 @@
+"""Bloom filter operator tests: the no-false-negative guarantee (the
+whole point — a "definitely new" verdict must never be wrong), a sane
+false-positive rate at the designed sizing, merge associativity, and
+input validation."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_screen,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _screen_map(spark, registry_items, batch_items, **kw):
+    reg = spark.createDataFrame([(x,) for x in registry_items], "item string")
+    bat = spark.createDataFrame([(x,) for x in batch_items], "item string")
+    bloom = bloom_build(reg, "item", **kw)
+    out = bloom_screen(bat, bloom, "item", **kw)
+    return {r["item"]: r["maybe_present"] for r in out.collect()}
+
+
+@_SETTINGS
+@given(
+    reg=st.sets(st.text(min_size=1, max_size=8), min_size=1, max_size=40),
+    extra=st.sets(st.text(min_size=1, max_size=8), min_size=0, max_size=40),
+)
+def test_bloom_never_false_negative(spark, reg, extra):
+    got = _screen_map(
+        spark, sorted(reg), sorted(reg | extra), m_words=64, k_hashes=4
+    )
+    for item in reg:
+        assert got[item] is True, f"registry item {item!r} screened as new"
+
+
+def test_bloom_false_positive_rate_near_design(spark):
+    """2048 words x 32 bits, k=5, n=1000 -> theoretical FPR ~= 0.6%;
+    assert the measured rate over 5000 non-members stays well under 5%
+    (an order of magnitude of slack — this guards sizing arithmetic, not
+    the exact constant)."""
+    reg = [f"reg-{i}" for i in range(1000)]
+    probe = [f"probe-{i}" for i in range(5000)]
+    got = _screen_map(spark, reg, probe, m_words=2048, k_hashes=5)
+    fp = sum(1 for v in got.values() if v)
+    assert fp / len(probe) < 0.05, f"{fp} false positives of {len(probe)}"
+    assert fp > 0 or True  # informational; zero is fine
+
+
+def test_bloom_merge_equals_single_build(spark):
+    """Building over A, B separately and merging must give bit-identical
+    words to building over A union B (bit_or is associative)."""
+    a_items = [f"a-{i}" for i in range(100)]
+    b_items = [f"b-{i}" for i in range(100)]
+    df_a = spark.createDataFrame([(x,) for x in a_items], "item string")
+    df_b = spark.createDataFrame([(x,) for x in b_items], "item string")
+    df_ab = df_a.unionByName(df_b)
+    merged = bloom_merge(
+        bloom_build(df_a, "item", m_words=64),
+        bloom_build(df_b, "item", m_words=64),
+    )
+    single = bloom_build(df_ab, "item", m_words=64)
+    as_map = lambda df: {r["word"]: r["bits"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(single)
+
+
+def test_bloom_bits_positive_and_bounded(spark):
+    """32-bit words in a BIGINT: every stored word must be positive and
+    below 2^32 — the cross-engine-safe representation contract."""
+    df = spark.createDataFrame([(f"x{i}",) for i in range(500)], "item string")
+    rows = bloom_build(df, "item", m_words=16, k_hashes=5).collect()
+    assert rows, "empty bloom table"
+    for r in rows:
+        assert 0 <= r["word"] < 16
+        assert 0 < r["bits"] < (1 << 32)
+
+
+def test_bloom_validates_inputs(spark):
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError, match="m_words"):
+        bloom_build(df, "item", m_words=0)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "item", k_hashes=0)
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge()
+
+
+def test_bloom_screen_batch_never_shuffles(spark):
+    """Plan property: the screen is k broadcast hash joins — no exchange
+    introduced on the batch side."""
+    from financial_data_engineering_spark import plans
+
+    reg = spark.createDataFrame([(f"r{i}",) for i in range(50)], "item string")
+    bat = spark.createDataFrame([(f"b{i}",) for i in range(50)], "item string")
+    out = bloom_screen(bat, bloom_build(reg, "item", m_words=64), "item", m_words=64)
+    # the only exchange allowed is the bloom build's word aggregate
+    # (broadcast materialization), never a batch-side shuffle
+    assert plans.shuffle_count(out) <= 1
+    assert plans.nested_loop_join_count(out) == 0
+    assert plans.row_udf_count(out) == 0

@@ -75,6 +75,10 @@ SHUFFLE_BUDGET = {
     "dedup_group_representatives": 2,
     "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard": 9,
+    # registry-distinct broadcast attach + 1-row audit agg; the screen
+    # itself is map-side literal arithmetic (bloom words collected as
+    # control-plane), the bloom build agg runs at operator build
+    "dedup_bloom_screen": 2,
     # post-persist per-cluster GEMM tile (one cluster shuffle into
     # applyInPandas) + pair/size aggs + small left join + sort; the
     # k-means/assignment jobs run at operator build, outside this plan
