@@ -1,9 +1,12 @@
 """Incremental corpus ingestion — the steady-state daily pipeline
-(extension surface; SURVEY.md §7.4, round-5 registry operators).
+(extension surface; SURVEY.md §7.4, round-5/6 registry operators).
 
-Yesterday's corpus is never re-processed. The pipeline keeps two durable
-registry artifacts between runs:
+Yesterday's corpus is never re-processed. The pipeline keeps three
+durable registry artifacts between runs:
 
+  - the BLOOM tier: the exact registry's fingerprints collapsed to a
+    fixed-size bit table (operators/bloom.py) — megabytes at any corpus
+    size, no false negatives;
   - the EXACT registry: distinct content fingerprints seen so far;
   - the NEAR-DUP registry: the banded MinHash key table AND the shingle
     inverted index of ingested docs (bands generate candidates, the
@@ -11,6 +14,9 @@ registry artifacts between runs:
     again).
 
 Each day's batch then:
+  0. bloom-screens map-side: items whose bits aren't all set are
+     PROVABLY new and skip the registry join entirely — only the
+     maybe-present slice pays step 1's anti-join;
   1. exact-screens against the fingerprint registry
      (llm.dedup.incremental_exact_dedup) — within-batch survivors whose
      content no earlier batch contained;
@@ -43,11 +49,19 @@ from pyspark.sql import functions as F
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm import dedup as dd
 from financial_data_engineering_spark.llm.caching import release_intermediates
+from financial_data_engineering_spark.operators.bloom import (
+    bloom_build,
+    bloom_screen,
+)
 from financial_data_engineering_spark.session import get_spark
 from financial_data_engineering_spark.tables import load
 from financial_data_engineering_spark.transform.export import (
     write_compacted_parquet,
 )
+
+
+_BLOOM_M = 256
+_BLOOM_K = 5
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) -> dict:
@@ -67,9 +81,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     fp_path = os.path.join(output_dir, "registry_fp")
     inv_path = os.path.join(output_dir, "registry_inv")
     band_path = os.path.join(output_dir, "registry_bands")
+    bloom_path = os.path.join(output_dir, "registry_bloom")
     write_compacted_parquet(fp_registry, fp_path, target_rows_per_file=100_000)
     write_compacted_parquet(inv_registry, inv_path, target_rows_per_file=100_000)
     write_compacted_parquet(band_registry, band_path, target_rows_per_file=100_000)
+    write_compacted_parquet(
+        bloom_build(fp_registry, "fp", m_words=_BLOOM_M, k_hashes=_BLOOM_K),
+        bloom_path,
+        target_rows_per_file=100_000,
+    )
 
     # Day 1: odd doc_ids arrive. Registries are read back from parquet —
     # the durable state a daily job actually has.
@@ -78,9 +98,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
     fp_reg = spark.read.parquet(fp_path)
     inv_reg = spark.read.parquet(inv_path)
     band_reg = spark.read.parquet(band_path)
+    bloom_reg = spark.read.parquet(bloom_path)
 
-    # 1. exact screen
-    fresh, updated_fp = dd.incremental_exact_dedup(batch, fp_reg)
+    # 0. bloom tier: map-side screen against the bit table. Items whose
+    # bits aren't all set are PROVABLY absent from the registry (no
+    # false negatives), so only the maybe-present slice pays the
+    # registry anti-join below. Same-content duplicates share a
+    # fingerprint — hence identical bits — so they land in the same
+    # slice and within-batch dedup stays complete per slice.
+    batch_fp = batch.withColumn("fp", tx.fingerprint(F.col("text")))
+    screened = bloom_screen(
+        batch_fp, bloom_reg, "fp", m_words=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    provably_new = screened.filter(~F.col("maybe_present")).drop(
+        "maybe_present"
+    )
+    maybe = screened.filter(F.col("maybe_present")).drop("maybe_present")
+    n_bloom_new = provably_new.count()
+
+    # 1. exact screen: the provably-new slice needs only within-batch
+    # dedup (registry=None); the maybe slice pays the registry anti-join
+    fresh_new, _ = dd.incremental_exact_dedup(
+        provably_new, None, fingerprint_col=F.col("fp")
+    )
+    fresh_maybe, _ = dd.incremental_exact_dedup(
+        maybe, fp_reg, fingerprint_col=F.col("fp")
+    )
+    fresh_all = fresh_new.unionByName(fresh_maybe)
+    updated_fp = fp_reg.select("fp").unionByName(fresh_all.select("fp"))
+    fresh = fresh_all.drop("fp")
 
     # 2. near-dup screen of the fresh survivors against the PRECOMPUTED
     # registry artifacts — the day-0 corpus is never re-shingled.
@@ -127,6 +173,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None) 
 
     stats = {
         "batch": n_batch,
+        "bloom_provably_new": n_bloom_new,
         "fresh_after_exact": n_fresh,
         "near_dup_flagged": n_flagged,
         "admitted": n_admitted,

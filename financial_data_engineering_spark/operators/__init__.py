@@ -20,6 +20,8 @@ from financial_data_engineering_spark.operators.heavyhitters import (
     misra_gries_topk,
 )
 from financial_data_engineering_spark.operators.quantilesketch import (
+    grouped_quantile_sketch,
+    grouped_sketch_quantiles,
     quantile_sketch,
     sketch_quantiles,
 )
@@ -54,6 +56,8 @@ __all__ = [
     "bloom_merge",
     "bloom_screen",
     "dense_row_ids",
+    "grouped_quantile_sketch",
+    "grouped_sketch_quantiles",
     "duplicate_row_count",
     "interval_overlap_join",
     "kmv_distinct",

@@ -178,3 +178,84 @@ def sketch_quantiles(summaries: DataFrame, qs: list[float]) -> DataFrame:
         .select("q_e4", "est_value", "err_bound", "n")
         .orderBy("q_e4")
     )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame, key_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group sketch frames: one fold per key via ``applyInPandas``
+    (one key-shuffle, bounded state per group — k·levels rows, never the
+    group's data). Output: (key, value, weight) sample rows plus
+    NULL-value rows carrying that KEY's error mass. Feed to
+    :func:`grouped_sketch_quantiles`."""
+    key_field = next(f for f in df.schema.fields if f.name == key_col)
+    rows = df.select(
+        key_col, F.col(value_col).cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+
+    def fold(key, pdf):
+        sk = _Sketch(k)
+        sk.add_many(pdf["value"].to_numpy())
+        vals, wts = sk.rows()
+        out = pd.DataFrame(
+            {
+                key_col: [key[0]] * (len(vals) + 1),
+                "value": vals + [None],
+                "weight": wts + [sk.err],
+            }
+        )
+        return out
+
+    schema = (
+        f"{key_col} {key_field.dataType.simpleString()}, "
+        "value double, weight long"
+    )
+    return rows.groupBy(key_col).applyInPandas(fold, schema=schema)
+
+
+def grouped_sketch_quantiles(
+    summaries: DataFrame, key_col: str, qs: list[float]
+) -> DataFrame:
+    """Per-key rank queries over grouped sketch frames: one row per
+    (key, q) with the same est-rank-within-err_bound contract as the
+    global :func:`sketch_quantiles`. The cumulative window partitions by
+    key, so parallelism is |keys| and each partition holds one group's
+    summary (k·levels rows) — control-plane per group by construction."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must lie in (0, 1], got {qs}")
+    pts = summaries.filter(F.col("value").isNotNull())
+    err = (
+        summaries.filter(F.col("value").isNull())
+        .groupBy(key_col)
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("err_bound"))
+    )
+    w = Window.partitionBy(key_col).orderBy("value", "weight").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pts.select(
+        key_col,
+        "value",
+        F.sum("weight").over(w).alias("cum_w"),
+        F.sum("weight").over(Window.partitionBy(key_col)).alias("n"),
+    )
+    q_df = pts.sparkSession.createDataFrame(
+        [(int(round(q * 10_000)),) for q in sorted(qs)], "q_e4 long"
+    )
+    hits = (
+        ranked.join(
+            F.broadcast(q_df),
+            F.col("cum_w") * 10_000 >= F.col("q_e4") * F.col("n"),
+        )
+        .groupBy(key_col, "q_e4")
+        .agg(
+            F.min_by("value", F.col("cum_w")).alias("est_value"),
+            F.first("n").alias("n"),
+        )
+    )
+    return (
+        hits.join(err, key_col)
+        .select(key_col, "q_e4", "est_value", "err_bound", "n")
+        .orderBy(key_col, "q_e4")
+    )

@@ -142,6 +142,21 @@ def test_incremental_ingest_round_trip(spark, tmp_path):
     out = main(sf_dir="/root/testdata/sf0.001", output_dir=str(tmp_path))
     assert out["admitted"] == out["fresh_after_exact"] - out["near_dup_flagged"]
     assert 0 < out["admitted"] <= out["batch"]
+    # the bloom tier may only EXEMPT items from the registry join, never
+    # change the outcome: sliced fresh must equal the direct (no-bloom)
+    # incremental screen
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.llm import dedup as dd
+    from financial_data_engineering_spark.tables import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    direct, _ = dd.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        spark.read.parquet(str(tmp_path / "registry_fp")),
+    )
+    assert direct.count() == out["fresh_after_exact"]
+    assert 0 <= out["bloom_provably_new"] <= out["batch"]
     admitted = spark.read.parquet(str(tmp_path / "admitted"))
     assert admitted.count() == out["admitted"]
     # updated registry holds at least the day-0 fingerprints plus fresh ones

@@ -117,3 +117,37 @@ def test_spark_sketch_quantiles_validates_inputs(spark):
         sketch_quantiles(sk, [])
     with pytest.raises(ValueError, match="lie in"):
         sketch_quantiles(sk, [0.0])
+
+
+def test_grouped_sketch_quantiles_per_key_bounds(spark):
+    """Per-key variant: each key's estimates must respect that key's own
+    err_bound against the key's exact ranks."""
+    from financial_data_engineering_spark.operators.quantilesketch import (
+        grouped_quantile_sketch,
+        grouped_sketch_quantiles,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 3 AS string) AS grp",
+        "CAST(pmod(id * 2654435761, 4099) AS double) AS value",
+    )
+    by_key = {}
+    for r in df.collect():
+        by_key.setdefault(r.grp, []).append(r.value)
+    out = grouped_sketch_quantiles(
+        grouped_quantile_sketch(df, "grp", "value", k=32), "grp", [0.5, 0.9]
+    ).collect()
+    assert {(r.grp, r.q_e4) for r in out} == {
+        (g, q) for g in by_key for q in (5000, 9000)
+    }
+    for r in out:
+        vals = sorted(by_key[r.grp])
+        assert r.n == len(vals)
+        target = r.q_e4 * r.n / 10_000
+        lo = sum(1 for v in vals if v < r.est_value)
+        hi = sum(1 for v in vals if v <= r.est_value)
+        assert lo - r.err_bound <= target <= hi + r.err_bound, (
+            r.grp,
+            r.q_e4,
+        )
+        assert r.err_bound < r.n / 2
