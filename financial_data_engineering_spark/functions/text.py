@@ -116,10 +116,69 @@ def quality_from_parts(toks: Column, stops: Column, praw: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite document-quality heuristic in [0,1]: rewards length and
     stopword density, penalizes punctuation density. Deterministic closed
-    form (rounded to 4dp) so it hash-matches the SQL oracle."""
+    form (rounded to 4dp). INTERNAL-USE ONLY for thresholds/features —
+    oracle-compared outputs must use :func:`quality_e4_from_parts`:
+    ``round(double, 4)`` legally differs between engines at decimal
+    half-boundaries (found live at sf0.1 — doc 1507's score sits exactly
+    on 0.83125 and Spark/DuckDB round it apart)."""
     return quality_from_parts(
         token_count(col), stopword_hits(col, "en"), punct_ratio(col)
     )
+
+
+def int_div_half_up(num: Column, den: Column) -> Column:
+    """Exact half-up integer division ``(2*num + den) div (2*den)`` of
+    NONNEGATIVE long columns, without needing named columns for an
+    ``F.expr`` div. floor(a/b) is computed as ``(a - pmod(a, b)) / b`` —
+    all-integer until the final division, whose operands are exact in
+    double because a - pmod(a,b) is a multiple of b and the quotient is
+    small (valid while a < 2^53 ~ 9e15; quality/ratio numerators stay
+    orders of magnitude below that)."""
+    a = 2 * num + den
+    b = 2 * den
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def punct_counts(col: Column) -> tuple[Column, Column]:
+    """(punctuation_chars, total_chars) as exact ints — the integer
+    numerator/denominator behind :func:`punct_ratio`."""
+    stripped = F.regexp_replace(col, PUNCT_CLASS, "")
+    return (
+        (F.length(col) - F.length(stripped)).cast("long"),
+        F.length(col).cast("long"),
+    )
+
+
+def quality_e4_from_parts(
+    toks: Column, stops: Column, punct: Column, chars: Column
+) -> Column:
+    """The quality score as an EXACT half-up e4 integer, computed wholly
+    in integer arithmetic from the integer parts (token count, stopword
+    hits, punct chars, total chars) — the only form safe to hash-compare
+    across engines. Same definition as :func:`quality_score`:
+
+        0.35·min(1, t/20) + 0.35·(1 − min(1, 5p/c)) + 0.30·min(1, 4s/t)
+
+    assembled as a single rational num/den with den = c'·t'
+    (c'=max(c,1), t'=max(t,1); c=0 → the punct term contributes its full
+    0.35, t=0 → the stopword term contributes 0 — matching the float
+    form's empty-input conventions), then rounded half-up. Max numerator
+    ~1e4·c·t, far under the 2^53 div-exactness ceiling for any real
+    document."""
+    t = toks.cast("long")
+    s = stops.cast("long")
+    p = punct.cast("long")
+    c = chars.cast("long")
+    a_term = F.lit(175) * F.least(F.lit(20), t)
+    b_num = F.when(c > 0, F.lit(3500) * (c - F.least(c, 5 * p))).otherwise(
+        F.lit(3500)
+    )
+    b_den = F.when(c > 0, c).otherwise(F.lit(1))
+    c_num = F.when(t > 0, F.lit(3000) * F.least(t, 4 * s)).otherwise(F.lit(0))
+    c_den = F.when(t > 0, t).otherwise(F.lit(1))
+    den = b_den * c_den
+    num = a_term * den + b_num * c_den + c_num * b_den
+    return int_div_half_up(num, den)
 
 
 def fingerprint(col: Column) -> Column:
@@ -180,6 +239,27 @@ def sql_quality_score(col: str) -> str:
         f"+ 0.35 * (1.0 - least(1.0, ({sql_punct_ratio(col)}) * 5.0)) "
         f"+ 0.30 * least(1.0, ({stop_ratio}) * 4.0), 4)"
     )
+
+
+def sql_quality_e4(col: str) -> str:
+    """DuckDB twin of :func:`quality_e4_from_parts` — identical integer
+    rational + half-up division, so the two engines agree by arithmetic,
+    not by double-rounding luck."""
+    t = f"CAST({sql_token_count(col)} AS BIGINT)"
+    s = f"CAST({sql_stopword_hits(col, 'en')} AS BIGINT)"
+    c = f"CAST(length({col}) AS BIGINT)"
+    p = (
+        f"CAST(length({col}) - length(regexp_replace({col},"
+        f" '{PUNCT_CLASS}', '', 'g')) AS BIGINT)"
+    )
+    a_term = f"(175 * least(20, {t}))"
+    b_num = f"(CASE WHEN {c} > 0 THEN 3500 * ({c} - least({c}, 5 * {p})) ELSE 3500 END)"
+    b_den = f"(CASE WHEN {c} > 0 THEN {c} ELSE 1 END)"
+    c_num = f"(CASE WHEN {t} > 0 THEN 3000 * least({t}, 4 * {s}) ELSE 0 END)"
+    c_den = f"(CASE WHEN {t} > 0 THEN {t} ELSE 1 END)"
+    den = f"({b_den} * {c_den})"
+    num = f"({a_term} * {den} + {b_num} * {c_den} + {c_num} * {b_den})"
+    return f"CAST((2 * {num} + {den}) // (2 * {den}) AS BIGINT)"
 
 
 def sql_fingerprint(col: str) -> str:

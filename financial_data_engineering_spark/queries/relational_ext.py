@@ -221,7 +221,9 @@ def customer_overlapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_revenue",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST((2 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 100) // 200 AS BIGINT) AS revenue_e2,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -230,7 +232,7 @@ def customer_overlapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue_e2 DESC, l_orderkey
     LIMIT 10
     """,
 )
@@ -239,7 +241,14 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment. The segment filter prunes customer BEFORE its broadcast, the
     date predicates push into both fact scans, and the only shuffle is
     the post-join aggregation on l_orderkey; the top-10 is
-    TakeOrderedAndProject, not a full sort."""
+    TakeOrderedAndProject, not a full sort.
+
+    Revenue is integer-exact: price and discount are 2-decimal by TPC-H
+    construction, so round(price·100)·(100 − round(disc·100)) is the
+    EXACT e4 revenue per item as a long — summed without float error,
+    then half-up-divided to e2. A ``round(sum(double), 2)`` here depends
+    on summation order at the last ulp, which Spark does not fix across
+    partitions (int64 headroom: per-order e4 sums < 1e13 at any SF)."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = (
         load(spark, "customer", sf_dir)
@@ -248,25 +257,31 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
     li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(rev_e4).alias("_rev_e4"))
+        .select(
+            "l_orderkey",
+            F.expr("(2 * _rev_e4 + 100) div 200").alias("revenue_e2"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
-    return topk(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10)
+    return topk(agg, [F.desc("revenue_e2"), F.asc("l_orderkey")], 10)
 
 
 @register(
     "region_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST((2 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 100) // 200 AS BIGINT) AS revenue_e2,
            count(*) AS n_items
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -279,7 +294,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
-    ORDER BY revenue DESC, nation
+    ORDER BY revenue_e2 DESC, nation
     """,
 )
 def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +306,11 @@ def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     and falls back to a shuffle join at the SF where they no longer do.
     lineitem↔orders is the single fact-fact join, and the same-nation
     predicate rides the supplier join. Region and date filters prune
-    before anything moves."""
+    before anything moves. Revenue is the exact e4-integer sum
+    (2dp price x 2dp discount — see shipping_priority_revenue), half-up
+    to e2: no order-dependent double summation survives to the output.
+    Int64 headroom: per-nation yearly e4 sums reach ~3e18 near SF 1e5 —
+    inside int64, noted for anyone pushing the window wider."""
     cust = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     orders = load(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -313,12 +332,21 @@ def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("_rev_e4"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.desc("revenue"), "nation")
+        .select(
+            "nation",
+            F.expr("(2 * _rev_e4 + 100) div 200").alias("revenue_e2"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue_e2"), "nation")
     )
 
 

@@ -26,16 +26,22 @@ from financial_data_engineering_spark.tables import load
     oracle=f"""
     SELECT doc_id,
            {tx.sql_token_count('text')} AS n_tokens,
-           round({tx.sql_punct_ratio('text')}, 4) AS punct_ratio,
+           CAST((2 * CAST(length(text) - length(regexp_replace(text,
+                     '{tx.PUNCT_CLASS}', '', 'g')) AS BIGINT) * 10000
+                 + greatest(length(text), 1))
+                // (2 * greatest(length(text), 1)) AS BIGINT) AS punct_e4,
            {tx.sql_stopword_hits('text', 'en')} AS en_stopwords,
-           {tx.sql_quality_score('text')} AS quality
+           {tx.sql_quality_e4('text')} AS quality_e4
     FROM documents
     ORDER BY doc_id
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, punctuation ratio, stopword hits, and
-    composite quality score. Map-only: one scan, zero shuffles.
+    composite quality score — every ratio an EXACT half-up e4 integer
+    (``round(double, 4)`` was caught diverging live between engines at
+    sf0.1: one document's quality sits exactly on a .5 boundary of the
+    4th decimal). Map-only: one scan, zero shuffles.
 
     Two-level projection on purpose: the base select computes each
     expensive subtree (split + interpreted higher-order filter, regexes)
@@ -44,20 +50,27 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct trees into the quality column — CollapseProject keeps this
     barrier because the producers are non-cheap and multiply-referenced."""
     docs = load(spark, "documents", sf_dir)
+    punct, chars = tx.punct_counts(F.col("text"))
     base = docs.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
-        tx.punct_ratio(F.col("text")).alias("_praw"),
+        punct.alias("_pcnt"),
+        chars.alias("_ccnt"),
         tx.stopword_hits(F.col("text"), "en").alias("en_stopwords"),
     )
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("_praw"), 4).alias("punct_ratio"),
+        tx.int_div_half_up(
+            F.col("_pcnt") * 10000, F.greatest(F.col("_ccnt"), F.lit(1))
+        ).alias("punct_e4"),
         "en_stopwords",
-        tx.quality_from_parts(
-            F.col("n_tokens"), F.col("en_stopwords"), F.col("_praw")
-        ).alias("quality"),
+        tx.quality_e4_from_parts(
+            F.col("n_tokens"),
+            F.col("en_stopwords"),
+            F.col("_pcnt"),
+            F.col("_ccnt"),
+        ).alias("quality_e4"),
     ).orderBy("doc_id")
 
 
@@ -110,15 +123,15 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT source,
-               {tx.sql_quality_score('text')} AS q,
+               {tx.sql_quality_e4('text')} AS q_e4,
                {tx.sql_token_count('text')} AS t
         FROM documents
     ), agg AS (
         SELECT source,
                count(*) AS n_docs,
-               sum(CAST(round(q * 10000) AS BIGINT)) AS qsum,
+               sum(q_e4) AS qsum,
                sum(CAST(t AS BIGINT)) AS tsum,
-               sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+               sum(CASE WHEN q_e4 >= 5000 THEN 1 ELSE 0 END) AS n_keep
         FROM scored
         GROUP BY source
     )
@@ -145,31 +158,39 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. A final ``round(double, d)`` can legally differ between
     engines at decimal half-boundaries (Spark rounds the shortest decimal
     repr via BigDecimal, DuckDB scales in binary), so no double survives
-    to the output."""
+    to the output — and since round 6 NO double exists anywhere in the
+    pipeline: the per-document score itself is the exact-integer
+    ``quality_e4`` (the float score's round-to-e4 was observed differing
+    by 1 ulp-of-e4 between engines at sf0.1, which survived this rollup
+    only by the luck of the division)."""
     docs = load(spark, "documents", sf_dir)
     # Same two-level projection as doc_text_stats: parts once per row,
     # quality assembled from the refs (token_count would otherwise inline
     # twice — once for q, once for t).
+    punct, chars = tx.punct_counts(F.col("text"))
     base = docs.select(
         "source",
         tx.token_count(F.col("text")).alias("t"),
         tx.stopword_hits(F.col("text"), "en").alias("_stops"),
-        tx.punct_ratio(F.col("text")).alias("_praw"),
+        punct.alias("_pcnt"),
+        chars.alias("_ccnt"),
     )
     return (
         base.select(
             "source",
-            tx.quality_from_parts(
-                F.col("t"), F.col("_stops"), F.col("_praw")
-            ).alias("q"),
+            tx.quality_e4_from_parts(
+                F.col("t"), F.col("_stops"), F.col("_pcnt"), F.col("_ccnt")
+            ).alias("q_e4"),
             "t",
         )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.round(F.col("q") * 10000, 0).cast("long")).alias("_qsum"),
+            F.sum("q_e4").alias("_qsum"),
             F.sum(F.col("t").cast("long")).alias("_tsum"),
-            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+            F.sum(F.when(F.col("q_e4") >= 5000, 1).otherwise(0)).alias(
+                "n_keep"
+            ),
         )
         .select(
             "source",
@@ -213,8 +234,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {tx.sql_token_count('text')} AS ws_tokens,
            {tx.sql_bpe_token_count('text')} AS bpe_tokens,
-           round({tx.sql_bpe_token_count('text')} * 1.0 /
-                 greatest({tx.sql_token_count('text')}, 1), 4) AS fertility
+           CAST((2 * CAST({tx.sql_bpe_token_count('text')} AS BIGINT) * 10000
+                 + greatest({tx.sql_token_count('text')}, 1))
+                // (2 * greatest({tx.sql_token_count('text')}, 1)) AS BIGINT)
+               AS fertility_e4
     FROM documents
     ORDER BY doc_id
     """,
@@ -222,8 +245,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-pre-tokenizer token counts plus their ratio
     ("fertility" — the training-cost multiplier punctuation-heavy text
-    carries). Map-only regexp_extract_all; no shuffle before the
-    presentation sort."""
+    carries), as an exact half-up e4 integer (same round-of-double
+    boundary class that bit doc_text_stats at sf0.1). Map-only
+    regexp_extract_all; no shuffle before the presentation sort."""
     docs = load(spark, "documents", sf_dir)
     ws = tx.token_count(F.col("text"))
     bpe = tx.bpe_token_count(F.col("text"))
@@ -231,9 +255,9 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias(
-            "fertility"
-        ),
+        tx.int_div_half_up(
+            bpe.cast("long") * 10000, F.greatest(ws.cast("long"), F.lit(1))
+        ).alias("fertility_e4"),
     ).orderBy("doc_id")
 
 

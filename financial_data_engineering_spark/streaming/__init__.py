@@ -9,6 +9,7 @@ from financial_data_engineering_spark.streaming.documents import (
 from financial_data_engineering_spark.streaming.stateful import (
     event_transitions,
     running_heavy_hitters,
+    running_quantile_sketch,
     running_user_stats,
 )
 from financial_data_engineering_spark.streaming.events import (
@@ -40,6 +41,7 @@ __all__ = [
     "run_to_parquet_sink",
     "event_transitions",
     "running_heavy_hitters",
+    "running_quantile_sketch",
     "running_user_stats",
     "sliding_counts",
     "user_sessions",

@@ -260,3 +260,103 @@ def running_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QSK_OUTPUT = "shard int, value double, weight long, seen long"
+
+#: per-shard MRL/KLL sketch state: the level buffers, their compaction
+#: parities, the accumulated rank-error mass, and the total values folded
+#: (``seen`` — monotone per shard, so the latest snapshot is max-seen).
+QSK_STATE = (
+    "levels array<array<double>>, parity array<int>, err long, seen long"
+)
+
+
+def _fold_quantile_sketch(k: int):
+    from financial_data_engineering_spark.operators.quantilesketch import (
+        _Sketch,
+    )
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """State transition: rebuild the shard's sketch from state,
+        fold this batch's slice (the SAME compaction step as the batch
+        operator — operators/quantilesketch.py), persist, and emit the
+        current (value, weight) sample plus the NULL error marker,
+        ``sketch_quantiles``-ready."""
+        sk = _Sketch(k)
+        seen = 0
+        if state.exists:
+            levels, parity, err, seen = state.get
+            sk.levels = [list(buf) for buf in levels]
+            sk.parity = list(parity)
+            sk.err = int(err)
+        for pdf in pdfs:
+            col = pdf["value"].dropna()
+            if len(col):
+                seen += len(col)
+                sk.add_many(col.to_numpy())
+        state.update(
+            (
+                [[float(v) for v in buf] for buf in sk.levels],
+                [int(p) for p in sk.parity],
+                int(sk.err),
+                int(seen),
+            )
+        )
+        vals, wts = sk.rows()
+        n = len(vals)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * (n + 1),
+                "value": vals + [None],
+                "weight": wts + [sk.err],
+                "seen": [seen] * (n + 1),
+            }
+        )
+
+    return fold
+
+
+def running_quantile_sketch(
+    values: DataFrame,
+    value_col: str,
+    k: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming quantile sketch — the stateful twin of
+    ``operators.quantilesketch.quantile_sketch``. Values hash-shard
+    across ``n_shards`` state keys (on the VALUE, so the shard split is
+    deterministic under replay); each shard folds its micro-batch slice
+    into a persisted MRL sketch and re-emits the summary (update mode).
+    Sketches merge by concatenation with error addition, so feeding the
+    latest per-shard snapshots to ``operators.quantilesketch
+    .sketch_quantiles`` answers global rank queries with the batch
+    guarantee intact: every estimate's true rank is within the summed
+    err_bound of its target.
+
+    State is k·levels values per shard — bounded and independent of the
+    stream's length; each micro-batch shuffles only its own rows, once,
+    to their shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import functions as F
+
+    rows = (
+        values.select(F.col(value_col).cast("double").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col("value")), F.lit(n_shards)).cast("int"),
+        )
+    )
+    return rows.groupBy("shard").applyInPandasWithState(
+        _fold_quantile_sketch(k),
+        outputStructType=QSK_OUTPUT,
+        stateStructType=QSK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

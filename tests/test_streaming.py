@@ -406,3 +406,57 @@ def test_running_heavy_hitters_keeps_mg_guarantee(spark, events_dir, tmp_path):
     for item, cnt in true.items():
         if cnt > err_bound:
             assert item in got, (item, cnt, err_bound)
+
+
+def test_running_quantile_sketch_keeps_rank_bound(spark, events_dir, tmp_path):
+    """Streaming quantile-sketch twin: two micro-batches of event values;
+    merging the final per-shard snapshots through the batch
+    sketch_quantiles must satisfy the rank guarantee against exact ranks
+    over both batches."""
+    import shutil as _sh
+
+    from financial_data_engineering_spark.operators.quantilesketch import (
+        sketch_quantiles,
+    )
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_quantile_sketch,
+    )
+
+    replay_dir = tmp_path / "qsk_batches"
+    replay_dir.mkdir()
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+
+    stream = running_quantile_sketch(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1),
+        "value",
+        k=32,
+        n_shards=4,
+    )
+    st.run_to_memory_sink(stream, "qsk_updates", output_mode="update")
+    latest = spark.sql(
+        """SELECT value, weight FROM (
+               SELECT *, max(seen) OVER (PARTITION BY shard) AS mx
+               FROM qsk_updates) WHERE seen = mx"""
+    )
+    out = {
+        r.q_e4: (r.est_value, r.err_bound, r.n)
+        for r in sketch_quantiles(latest, [0.25, 0.5, 0.9]).collect()
+    }
+
+    from financial_data_engineering_spark.tables import load
+
+    ev = load(spark, "events", SF_SMALL)
+    vals = sorted(
+        r.value for r in ev.select("value").collect() if r.value is not None
+    ) * 2  # both batches are the same file
+    vals.sort()
+    n = len(vals)
+    assert set(out) == {2500, 5000, 9000}
+    for q_e4, (est, err, n_rep) in out.items():
+        assert n_rep == n
+        target = q_e4 * n / 10_000
+        lo = sum(1 for v in vals if v < est)
+        hi = sum(1 for v in vals if v <= est)
+        assert lo - err <= target <= hi + err, (q_e4, est, err)
+        assert err < n / 2
