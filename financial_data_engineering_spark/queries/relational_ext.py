@@ -559,3 +559,51 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "order_priority_delayed_counts",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def order_priority_delayed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — the correlated EXISTS: orders in one quarter with
+    at least one lineitem shipped more than 90 days after the order date
+    (the reference's commit/receipt columns don't exist in this corpus;
+    the delay predicate stands in), counted per priority.
+
+    EXISTS compiles to a LEFT SEMI join — each order emitted at most
+    once no matter how many delayed items it has, with no distinct step
+    and early probe-side short-circuit. The join is equi on l_orderkey
+    with the delay comparison as the residual condition; the quarter
+    filter prunes orders at the scan, and the one shuffle pair is the
+    co-partitioned orderkey join (0-Exchange under the bucketed layout).
+    """
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    delayed = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return (
+        delayed.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -170,6 +170,9 @@ SHUFFLE_BUDGET = {
     # pre-aggregated bucketed range join: day rollup + per-order agg +
     # sort; the join attaches day summaries by bucket (broadcast at test
     # scale, shuffle-on-uniform-buckets at 100 TB), no NLJ
+    # quarter-pruned orders LEFT SEMI delayed lineitems (co-partitioned
+    # orderkey join pair) + priority agg/sort
+    "order_priority_delayed_counts": 2,
     "order_week_shipments": 3,
     "pii_scrub_stats": 2,
     "pricing_summary": 2,
