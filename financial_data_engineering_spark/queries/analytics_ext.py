@@ -486,3 +486,111 @@ def nations_full_priority_coverage(
         .select("n_name", "n_priorities")
         .orderBy("n_name")
     )
+
+
+@register(
+    "part_brand_vwap",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST((2 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT))
+                 + sum(CAST(l.l_quantity AS BIGINT)))
+                // (2 * sum(CAST(l.l_quantity AS BIGINT))) AS BIGINT)
+               AS vwap_e2
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY brand
+    """,
+)
+def part_brand_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per brand — the VWAP every
+    financial-data stack computes, done integer-exact: price is 2dp by
+    construction, so round(price·100)·qty is an exact e2·unit long per
+    item; the weighted mean is one half-up division of two exact sums.
+    One shuffle for the brand aggregate after the part dimension attaches
+    (unhinted — the size estimator/AQE broadcasts while part fits).
+    Int64 headroom: per-brand e2·qty sums reach ~2e17 near SF 1e5."""
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast("long")
+    px_qty = F.round(F.col("l_extendedprice") * 100).cast("long") * qty
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(px_qty).alias("_pxq"),
+        )
+        .select(
+            "brand",
+            "total_qty",
+            F.expr("(2 * _pxq + total_qty) div (2 * total_qty)").alias(
+                "vwap_e2"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day',
+                   lag(o.o_orderdate) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey),
+                   o.o_orderdate) AS gap_days
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           count(*) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap,
+           CAST(max(gap_days) AS BIGINT) AS max_gap,
+           CAST((2 * sum(CAST(gap_days AS BIGINT)) * 100 + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_gap_e2
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution per market segment: the re-order
+    cadence metric (churn/retention's raw material). One per-customer lag
+    window (orderkey tiebreak for same-day orders), exact integer day
+    arithmetic, then a segment rollup with the half-up e2 mean. Two
+    shuffles: the custkey window and the |segments|-ary aggregate; the
+    customer dimension attaches unhinted (estimator/AQE chooses)."""
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_gap"),
+            F.max("gap_days").cast("long").alias("max_gap"),
+            F.expr(
+                "(2 * sum(CAST(gap_days AS BIGINT)) * 100 + count(*))"
+                " div (2 * count(*))"
+            ).alias("avg_gap_e2"),
+        )
+        .orderBy("segment")
+    )

@@ -173,6 +173,10 @@ SHUFFLE_BUDGET = {
     # quarter-pruned orders LEFT SEMI delayed lineitems (co-partitioned
     # orderkey join pair) + priority agg/sort
     "order_priority_delayed_counts": 2,
+    # part attach (estimator-chosen broadcast) + brand agg/sort
+    "part_brand_vwap": 2,
+    # custkey lag window + segment agg + 5-row sort
+    "customer_order_gaps": 3,
     "order_week_shipments": 3,
     "pii_scrub_stats": 2,
     "pricing_summary": 2,
