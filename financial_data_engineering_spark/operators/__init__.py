@@ -44,6 +44,7 @@ from financial_data_engineering_spark.operators.rangejoin import (
 )
 from financial_data_engineering_spark.operators.sketch import (
     kmv_distinct,
+    kmv_distinct_from_hashes,
     kmv_group_sketches,
 )
 
@@ -61,6 +62,7 @@ __all__ = [
     "duplicate_row_count",
     "interval_overlap_join",
     "kmv_distinct",
+    "kmv_distinct_from_hashes",
     "kmv_group_sketches",
     "locf_daily_fill",
     "merge_summaries",

@@ -55,6 +55,16 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .select(kmv_hash(F.col(col)).alias("h"))
         .distinct()
     )
+    return kmv_distinct_from_hashes(hashes, k)
+
+
+def kmv_distinct_from_hashes(hashes: DataFrame, k: int = 256) -> DataFrame:
+    """The estimator over an already-hashed distinct ``h`` frame — shared
+    by :func:`kmv_distinct` and the streaming twin's merged per-shard
+    snapshots (streaming/stateful.py ``running_kmv_distinct``), so the
+    batch and stream paths are the SAME arithmetic; KMV's
+    order-independence makes the two estimates bit-identical over equal
+    key sets (pinned by test)."""
     bottom_k = (
         hashes.orderBy("h")
         .limit(k)

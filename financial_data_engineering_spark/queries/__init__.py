@@ -49,8 +49,8 @@ from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 #: dtype at any tested SF — all re-verified by the local strict gate).
 #:
 #: ROUND-7 ROTATION PLAN: dedup_bloom_screen,
-#: order_priority_delayed_counts, part_brand_vwap, and
-#: customer_order_gaps (registered after this window filled;
+#: order_priority_delayed_counts, part_brand_vwap, customer_order_gaps,
+#: and user_value_twap (registered after this window filled;
 #: strict-green at sf0.01 AND sf0.1 in the committed local gate logs)
 #: go FIRST, followed by the round-6 registrations and whichever families
 #: this round re-confirmed that are then the oldest greens (relational

@@ -594,3 +594,57 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "user_value_twap",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS v_e2,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST((2 * sum(v_e2 * dur_us) + sum(dur_us))
+                // (2 * sum(dur_us)) AS BIGINT) AS twap_e2
+    FROM seg
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — TWAP, the canonical
+    financial time-series aggregate (each observation holds until the
+    next one; zero-duration segments drop, the open last segment has no
+    weight). Integer-exact end to end: 2dp values scale to e2 longs,
+    durations are exact epoch-microsecond differences, and the weighted
+    mean is one half-up division of two exact sums (per-user numerators
+    stay under ~1e18 for multi-year spans at e2 precision). One shuffle
+    for the per-user lead window; the rollup reuses its partitioning."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    seg = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    )
+    return (
+        seg.filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_us").alias("span_us"),
+            F.expr(
+                "(2 * sum(v_e2 * dur_us) + sum(dur_us))"
+                " div (2 * sum(dur_us))"
+            ).alias("twap_e2"),
+        )
+        .orderBy("user_id")
+    )

@@ -9,6 +9,7 @@ from financial_data_engineering_spark.streaming.documents import (
 from financial_data_engineering_spark.streaming.stateful import (
     event_transitions,
     running_heavy_hitters,
+    running_kmv_distinct,
     running_quantile_sketch,
     running_user_stats,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "run_to_parquet_sink",
     "event_transitions",
     "running_heavy_hitters",
+    "running_kmv_distinct",
     "running_quantile_sketch",
     "running_user_stats",
     "sliding_counts",

@@ -360,3 +360,87 @@ def running_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT = "shard int, h long, seen long"
+
+#: per-shard KMV state: the bottom-k distinct hashes routed to this shard
+#: and the total rows folded (``seen`` — monotone; latest snapshot =
+#: max-seen emission).
+KMV_STATE = "mins array<long>, seen long"
+
+
+def _fold_kmv(k: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """State transition: union this batch's hash slice into the
+        shard's bottom-k DISTINCT set and truncate — the KMV merge rule,
+        associative and order-free, so the per-shard snapshots union to
+        exactly the global bottom-k."""
+        mins, seen = state.get if state.exists else ([], 0)
+        s = set(int(m) for m in mins)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen += len(pdf)
+            s.update(int(h) for h in pdf["h"])
+        mins = sorted(s)[:k]
+        state.update((mins, int(seen)))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(mins),
+                "h": mins,
+                "seen": [seen] * len(mins),
+            }
+        )
+
+    return fold
+
+
+def running_kmv_distinct(
+    items: DataFrame,
+    item_col: str,
+    k: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch — the stateful twin of
+    ``operators.sketch.kmv_distinct``. Keys hash (in Spark, the same
+    md5-prefix family as the batch operator) and shard BY HASH VALUE, so
+    each distinct key lives in exactly one shard's bottom-k state; the
+    union of the latest per-shard snapshots therefore contains the global
+    bottom-k, and feeding it to ``operators.sketch
+    .kmv_distinct_from_hashes`` reproduces the batch estimate
+    BIT-IDENTICALLY over the same key set (KMV is order-independent —
+    unlike the MG/quantile twins, whose guarantees are bounds, this
+    parity is exact equality, pinned by test).
+
+    State is <= k hashes per shard; each micro-batch shuffles only its
+    own rows, once. Note the estimate audits only the sketch: the exact
+    distinct column of the batch operator has no bounded-state streaming
+    equivalent — n_exact from the merged snapshots counts distincts the
+    sketches RETAINED, a lower bound once any shard truncates."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.operators.sketch import kmv_hash
+
+    rows = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(kmv_hash(F.col(item_col)).alias("h"))
+        .withColumn(
+            "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+        )
+    )
+    return rows.groupBy("shard").applyInPandasWithState(
+        _fold_kmv(k),
+        outputStructType=KMV_OUTPUT,
+        stateStructType=KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -177,6 +177,8 @@ SHUFFLE_BUDGET = {
     "part_brand_vwap": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
+    # per-user lead window + rollup reusing its partitioning + sort
+    "user_value_twap": 2,
     "order_week_shipments": 3,
     "pii_scrub_stats": 2,
     "pricing_summary": 2,

@@ -460,3 +460,46 @@ def test_running_quantile_sketch_keeps_rank_bound(spark, events_dir, tmp_path):
         hi = sum(1 for v in vals if v <= est)
         assert lo - err <= target <= hi + err, (q_e4, est, err)
         assert err < n / 2
+
+
+def test_running_kmv_distinct_matches_batch_estimate(spark, events_dir, tmp_path):
+    """Streaming KMV twin: KMV is order-independent, so merging the final
+    per-shard snapshots through the batch estimator must reproduce the
+    batch sketch BIT-IDENTICALLY (not just within bounds) over the same
+    key set — replayed duplicates across micro-batches included."""
+    import shutil as _sh
+
+    from financial_data_engineering_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_distinct_from_hashes,
+    )
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_kmv_distinct,
+    )
+
+    replay_dir = tmp_path / "kmv_batches"
+    replay_dir.mkdir()
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+
+    k = 64
+    stream = running_kmv_distinct(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1),
+        "user_id",
+        k=k,
+        n_shards=4,
+    )
+    st.run_to_memory_sink(stream, "kmv_updates", output_mode="update")
+    latest = spark.sql(
+        """SELECT DISTINCT h FROM (
+               SELECT *, max(seen) OVER (PARTITION BY shard) AS mx
+               FROM kmv_updates) WHERE seen = mx"""
+    )
+    got = kmv_distinct_from_hashes(latest, k=k).collect()[0]
+
+    from financial_data_engineering_spark.tables import load
+
+    ev = load(spark, "events", SF_SMALL)
+    want = kmv_distinct(ev, "user_id", k=k).collect()[0]
+    assert got["kmv_estimate"] == want["kmv_estimate"]
+    assert got["kmv_k"] == want["kmv_k"]
