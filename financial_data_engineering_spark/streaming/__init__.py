@@ -11,6 +11,7 @@ from financial_data_engineering_spark.streaming.stateful import (
     running_heavy_hitters,
     running_kmv_distinct,
     running_quantile_sketch,
+    running_twap,
     running_user_stats,
 )
 from financial_data_engineering_spark.streaming.events import (
@@ -44,6 +45,7 @@ __all__ = [
     "running_heavy_hitters",
     "running_kmv_distinct",
     "running_quantile_sketch",
+    "running_twap",
     "running_user_stats",
     "sliding_counts",
     "user_sessions",

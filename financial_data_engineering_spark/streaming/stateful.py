@@ -444,3 +444,94 @@ def running_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWAP_OUTPUT = (
+    "user_id long, n_segments long, span_us long, twap_e2 long"
+)
+
+#: per-user TWAP state: the last observation (event-time micros + id
+#: tiebreak + e2 value) and the closed-segment accumulators (count,
+#: total duration, value-time area in e2-microseconds).
+TWAP_STATE = (
+    "last_micros long, last_id long, last_v_e2 long, "
+    "n_segments long, span_us long, area_e2us long"
+)
+
+
+def _fold_twap(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: order this batch's slice by (ts, event_id),
+    drop late arrivals at or before the persisted last observation (the
+    event_transitions guard — a late event would otherwise fabricate a
+    negative-duration segment), close one segment per adjacent pair with
+    exact integer microsecond x e2-value area, and emit the user's
+    running TWAP. Zero-duration segments (same-timestamp events) close
+    with zero weight, matching the batch query's dur > 0 filter."""
+    last_micros, last_id, last_v, n_seg, span, area = (
+        state.get if state.exists else (None, None, None, 0, 0, 0)
+    )
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, v_e2 in zip(
+            batch["ts"], batch["event_id"], batch["v_e2"]
+        ):
+            micros, ident = int(ts.value // 1000), int(eid)
+            if last_micros is not None and (micros, ident) <= (
+                last_micros,
+                last_id,
+            ):
+                continue  # late vs state: drop, never go backwards
+            if last_micros is not None and micros > last_micros:
+                dur = micros - last_micros
+                n_seg += 1
+                span += dur
+                area += int(last_v) * dur
+            last_micros, last_id, last_v = micros, ident, int(v_e2)
+        state.update((last_micros, last_id, last_v, n_seg, span, area))
+    twap = (2 * area + span) // (2 * span) if span > 0 else None
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_segments": [n_seg],
+            "span_us": [span],
+            "twap_e2": [twap],
+        }
+    )
+
+
+def running_twap(events: DataFrame) -> DataFrame:
+    """Per-user running time-weighted average value — the streaming twin
+    of ``user_value_twap`` (queries/analytics_ext.py): each micro-batch
+    closes the segments it completes and re-emits the user's lifetime
+    TWAP (update mode), with the last observation carried in state so
+    segments spanning batch boundaries close exactly. Arithmetic is the
+    batch query's: e2 values x exact microsecond durations, one half-up
+    division — equal inputs in event-time order give EQUAL outputs
+    (parity-tested). State per user is one observation + three
+    accumulators; out-of-order arrivals across batches drop at the
+    (ts, id) guard, the same contract as event_transitions."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_twap,
+            outputStructType=TWAP_OUTPUT,
+            stateStructType=TWAP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -151,3 +151,37 @@ def test_grouped_sketch_quantiles_per_key_bounds(spark):
             r.q_e4,
         )
         assert r.err_bound < r.n / 2
+
+
+def test_int_div_half_up_matches_python_exactly(spark):
+    """The engine-safe half-up integer division used by every *_e4 ratio
+    must equal Python's exact integer arithmetic, including the 2^53
+    -adjacent range where a naive double division would misround."""
+    from financial_data_engineering_spark.functions.text import (
+        int_div_half_up,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (0, 1),
+        (1, 2),
+        (1, 3),
+        (2, 3),
+        (9999, 10000),
+        (10000, 10000),
+        (123456789, 7),
+        (3_500_000_000_000, 700_000_001),
+        # near the documented ceiling: num ~ 4.5e15 (a = 2*num + den < 2^53)
+        (4_503_599_627_370_000, 999_999_937),
+        (4_503_599_627_370_000, 3),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r.num, r.den): r.q
+        for r in df.select(
+            "num", "den", int_div_half_up(F.col("num"), F.col("den")).alias("q")
+        ).collect()
+    }
+    for num, den in cases:
+        want = (2 * num + den) // (2 * den)
+        assert got[(num, den)] == want, (num, den, got[(num, den)], want)

@@ -503,3 +503,48 @@ def test_running_kmv_distinct_matches_batch_estimate(spark, events_dir, tmp_path
     want = kmv_distinct(ev, "user_id", k=k).collect()[0]
     assert got["kmv_estimate"] == want["kmv_estimate"]
     assert got["kmv_k"] == want["kmv_k"]
+
+
+def test_running_twap_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming TWAP twin: events split into two time-ordered
+    micro-batches; the final update per user must equal the batch
+    user_value_twap query exactly (the last observation carries across
+    the batch boundary in state, so boundary-spanning segments close
+    with identical integer arithmetic)."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "twap_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_twap,
+    )
+
+    stream = running_twap(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "twap_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_segments, span_us, twap_e2 FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_segments DESC) AS rn
+               FROM twap_updates) WHERE rn = 1 AND span_us > 0"""
+    )
+    want = q.all_queries()["user_value_twap"](spark, SF_SMALL)
+    cols = ["user_id", "n_segments", "span_us", "twap_e2"]
+    assert _rows(got, cols) == _rows(want, cols)
