@@ -14,7 +14,9 @@ Flow:
      (event_transition_counts' plan) and browse-to-buy sequence runs;
   4. heavy-hitter users by event volume in bounded memory
      (operators/heavyhitters.py Misra-Gries) — est/err audited against
-     the exact counts, the check a monitoring path ships with;
+     the exact counts, the check a monitoring path ships with — and
+     value p50/p90/p99 from the self-certifying MRL quantile sketch
+     (operators/quantilesketch.py);
   5. write the daily series partitioned by day for dashboard range reads.
 
 Every step is a lazy DataFrame transform; actions are the final counts,
@@ -37,6 +39,8 @@ from pyspark.sql import functions as F
 from financial_data_engineering_spark.operators import (
     misra_gries_topk,
     pattern_run_counts,
+    quantile_sketch,
+    sketch_quantiles,
     transition_counts,
 )
 from financial_data_engineering_spark.queries.events import (
@@ -50,6 +54,7 @@ from financial_data_engineering_spark.transform.clustered import (
 )
 
 HEAVY_K = 16
+QSKETCH_K = 64
 
 
 def main(
@@ -98,6 +103,17 @@ def main(
         | (F.col("true_count") > F.col("est_count") + F.col("err_bound"))
     ).count()
 
+    # 4b. value-distribution monitoring in bounded memory: the MRL
+    # quantile sketch answers p50/p90/p99 from a summary that never
+    # scales with the stream, and ships its own rank-error bound — the
+    # same audit-or-alert contract as the Misra-Gries summary above
+    qs = sketch_quantiles(
+        quantile_sketch(events, "value", k=QSKETCH_K), [0.5, 0.9, 0.99]
+    ).collect()
+    value_quantiles = {r.q_e4: r.est_value for r in qs}
+    q_err_bound = qs[0].err_bound if qs else 0
+    q_n = qs[0].n if qs else 0
+
     # 5. daily series partitioned by day (dashboards read day ranges)
     series_path = os.path.join(output_dir, "daily_series")
     series.write.mode("overwrite").partitionBy("day").parquet(series_path)
@@ -110,6 +126,9 @@ def main(
         "n_users_with_runs": runs.filter("n_runs > 0").count(),
         "n_heavy_hitters": heavy.count(),
         "heavy_hitter_bound_violations": violations,
+        "value_quantiles_e": value_quantiles,
+        "quantile_err_bound": q_err_bound,
+        "quantile_n": q_n,
         "output_dir": output_dir,
     }
 

@@ -175,6 +175,12 @@ def test_telemetry_monitoring_pipeline(spark, tmp_path):
     assert out["n_transition_pairs"] > 0
     assert 0 < out["n_heavy_hitters"] <= 16
     assert out["heavy_hitter_bound_violations"] == 0
+    # quantile-sketch monitoring: three estimates, ordered, with a
+    # non-trivial self-certified bound
+    q = out["value_quantiles_e"]
+    assert set(q) == {5000, 9000, 9900}
+    assert q[5000] <= q[9000] <= q[9900]
+    assert 0 <= out["quantile_err_bound"] < out["quantile_n"] / 2
     # clustered landing zone exists alongside the partitioned series
     import glob
 
