@@ -12,6 +12,11 @@ from financial_data_engineering_spark.operators.bloom import (
     bloom_merge,
     bloom_screen,
 )
+from financial_data_engineering_spark.operators.countmin import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
 from financial_data_engineering_spark.operators.entity import (
     blocked_name_match_stats,
 )
@@ -56,6 +61,9 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_screen",
+    "count_min_build",
+    "count_min_estimate",
+    "count_min_merge",
     "dense_row_ids",
     "grouped_quantile_sketch",
     "grouped_sketch_quantiles",

@@ -50,7 +50,8 @@ from financial_data_engineering_spark.queries import text  # noqa: E402,F401
 #:
 #: ROUND-7 ROTATION PLAN: dedup_bloom_screen,
 #: order_priority_delayed_counts, part_brand_vwap, customer_order_gaps,
-#: and user_value_twap (registered after this window filled;
+#: user_value_twap, and event_type_cm_audit (registered after this
+#: window filled;
 #: strict-green at sf0.01 AND sf0.1 in the committed local gate logs)
 #: go FIRST, followed by the round-6 registrations and whichever families
 #: this round re-confirmed that are then the oldest greens (relational

@@ -105,3 +105,82 @@ def kmv_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_group_sketches(
         load(spark, "orders", sf_dir), "o_orderpriority", "o_custkey", KMV_K
     )
+
+
+_CM_W = 4
+_CM_D = 2
+_CM_P = 4294967311  # MINHASH_P
+
+
+@register(
+    "event_type_cm_audit",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type AS item,
+               ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS a,
+               ('0x' || substr(md5(event_type), 9, 8))::BIGINT AS b
+        FROM events
+    ),
+    cells AS (
+        SELECT d.i AS row,
+               ((a + (d.i + 1) * b) % {_CM_P}) % {_CM_W} AS col,
+               count(*) AS cnt
+        FROM hashed CROSS JOIN (SELECT unnest(range({_CM_D})) AS i) d
+        GROUP BY 1, 2
+    ),
+    items AS (
+        SELECT item, count(*) AS true_count,
+               any_value(a) AS a, any_value(b) AS b
+        FROM hashed GROUP BY item
+    ),
+    est AS (
+        SELECT it.item, it.true_count, min(c.cnt) AS cm_estimate
+        FROM items it
+        CROSS JOIN (SELECT unnest(range({_CM_D})) AS i) d
+        JOIN cells c
+          ON c.row = d.i
+         AND c.col = ((it.a + (d.i + 1) * it.b) % {_CM_P}) % {_CM_W}
+        GROUP BY 1, 2
+    )
+    SELECT item AS event_type,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - true_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY event_type
+    """,
+)
+def event_type_cm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (operators/countmin.py): event-type
+    frequencies estimated from a deliberately UNDERSIZED counter matrix
+    (width {w} < |types|, depth {d} — collisions by construction) next
+    to exact counts, so the never-undercount guarantee and the actual
+    overestimate paid are both visible. The md5-affine family makes
+    every counter DuckDB-replayable; the probe side is map-side literal
+    arithmetic over the collected (control-plane, w·d-row) table. At
+    scale this is the "never miss a ceiling breach" complement to the
+    Misra-Gries never-overcount summary.""".format(w=_CM_W, d=_CM_D)
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    events = load(spark, "events", sf_dir)
+    cm = count_min_build(events, "event_type", width=_CM_W, depth=_CM_D)
+    exact = events.groupBy(
+        F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        count_min_estimate(exact, cm, "event_type", width=_CM_W, depth=_CM_D)
+        .select(
+            "event_type",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy("event_type")
+    )

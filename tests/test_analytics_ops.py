@@ -189,3 +189,74 @@ def test_pattern_run_counts_guard_refuses_hot_entity(
         for r in pattern_run_counts(df, "b+", max_seq_len=hot_n).collect()
     }
     assert out["hot"] == 1  # one maximal run of consecutive b's
+
+
+@_SETTINGS
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=80,
+    ),
+    width=st.sampled_from([2, 4, 16]),
+    depth=st.integers(1, 3),
+)
+def test_count_min_never_undercounts(spark, items, width, depth):
+    """Count-Min guarantee: every estimate >= the true count (the
+    complement of Misra-Gries' never-overcount)."""
+    from collections import Counter
+
+    from financial_data_engineering_spark.operators import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    cm = count_min_build(df, "item", width=width, depth=depth)
+    probe = spark.createDataFrame(
+        [(x,) for x in sorted(set(items))], "item string"
+    )
+    got = {
+        r["item"]: r["cm_estimate"]
+        for r in count_min_estimate(
+            probe, cm, "item", width=width, depth=depth
+        ).collect()
+    }
+    true = Counter(items)
+    for item, cnt in true.items():
+        assert got[item] >= cnt, (item, got[item], cnt)
+        assert got[item] <= len(items)  # bounded by stream volume
+
+
+def test_count_min_merge_equals_single_build(spark):
+    from financial_data_engineering_spark.operators import (
+        count_min_build,
+        count_min_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(60)], "item string")
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(40)], "item string")
+    merged = count_min_merge(
+        count_min_build(a, "item", width=8),
+        count_min_build(b, "item", width=8),
+    )
+    single = count_min_build(a.unionByName(b), "item", width=8)
+    as_map = lambda df: {(r.row, r.col): r.cnt for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(single)
+
+
+def test_count_min_validates_inputs(spark):
+    from financial_data_engineering_spark.operators import (
+        count_min_build,
+        count_min_merge,
+    )
+
+    df = spark.createDataFrame([("x",)], "item string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width"):
+        count_min_build(df, "item", width=0)
+    with _pytest.raises(ValueError, match="depth"):
+        count_min_build(df, "item", depth=0)
+    with _pytest.raises(ValueError, match="at least one"):
+        count_min_merge()

@@ -122,6 +122,9 @@ SHUFFLE_BUDGET = {
     "event_funnel_pairs": 2,
     "event_rollup_grouping_sets": 2,
     "event_type_counts": 1,
+    # exact per-type agg + map-side literal CM probe + 5-row sort; the
+    # counter-matrix build agg runs at operator build (collect)
+    "event_type_cm_audit": 2,
     "events_value_histogram": 2,
     # mergeable-moment agg (map-side partials) + 5-row sort
     "event_value_dispersion": 2,
