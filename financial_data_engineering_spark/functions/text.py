@@ -128,15 +128,17 @@ def quality_score(col: Column) -> Column:
 
 def int_div_half_up(num: Column, den: Column) -> Column:
     """Exact half-up integer division ``(2*num + den) div (2*den)`` of
-    NONNEGATIVE long columns, without needing named columns for an
-    ``F.expr`` div. floor(a/b) is computed as ``(a - pmod(a, b)) / b`` —
-    all-integer until the final division, whose operands are exact in
-    double because a - pmod(a,b) is a multiple of b and the quotient is
-    small (valid while a < 2^53 ~ 9e15; quality/ratio numerators stay
-    orders of magnitude below that)."""
-    a = 2 * num + den
-    b = 2 * den
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    NONNEGATIVE long columns, wholly in integer arithmetic: operands are
+    widened to DECIMAL(38,0) BEFORE the doubling (so ``2*num + den``
+    cannot overflow int64 either) and the floor division is the SQL
+    ``div`` operator on decimals — exact at any int64 magnitude. The
+    earlier double-division formulation was exact only for numerators
+    under 2^53 ~ 9e15, a ceiling a multi-MB document's e4 quality
+    numerator (~1e4·chars·tokens) can cross — exactly the cross-engine
+    divergence class this helper exists to eliminate."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return F.call_function("div", n * 2 + d, d * 2).cast("long")
 
 
 def punct_counts(col: Column) -> tuple[Column, Column]:
@@ -163,8 +165,9 @@ def quality_e4_from_parts(
     (c'=max(c,1), t'=max(t,1); c=0 → the punct term contributes its full
     0.35, t=0 → the stopword term contributes 0 — matching the float
     form's empty-input conventions), then rounded half-up. Max numerator
-    ~1e4·c·t, far under the 2^53 div-exactness ceiling for any real
-    document."""
+    ~1e4·c·t — within int64 for any document Spark can hold in a string
+    cell, and :func:`int_div_half_up` is exact at any int64 magnitude
+    (decimal widening removed the old 2^53 double-division ceiling)."""
     t = toks.cast("long")
     s = stops.cast("long")
     p = punct.cast("long")

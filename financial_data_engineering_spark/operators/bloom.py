@@ -119,6 +119,17 @@ def bloom_screen(
     item's bits are set (no false negatives; the false-positive rate is
     set by the build sizing).
 
+    NULL items: the probe expressions propagate NULL (md5 of a NULL is
+    NULL), so ``maybe_present`` is COALESCEd to true — a NULL routes to
+    the maybe-present slice, whose registry join is the safe side: a
+    NULL key never equi-joins, so downstream anti-join screens admit the
+    row, matching what the direct (un-screened) incremental path does.
+    The build side excludes NULLs, so a "definitely absent" verdict for
+    NULL would also be sound — but the two slices of a screened pipeline
+    often apply different dedup contracts, and "pay the join" is the
+    conservative one. Callers that must not carry NULL fingerprints
+    should filter (and count) them before the screen.
+
     The bloom table collects to the driver and ships as ONE dense
     array<bigint> literal — a control-plane collect by the same contract
     that bounds the table to ``m_words`` rows (the filter IS megabytes;
@@ -150,6 +161,9 @@ def bloom_screen(
         for i in range(k_hashes)
     ]
     return (
-        out.withColumn("maybe_present", F.expr(" AND ".join(hits)))
+        out.withColumn(
+            "maybe_present",
+            F.coalesce(F.expr(" AND ".join(hits)), F.lit(True)),
+        )
         .drop("_bloom_words", *[f"_p{i}" for i in range(k_hashes)])
     )

@@ -46,7 +46,7 @@ def pattern_run_counts(
     ts_col: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
-    max_seq_len: int = 1_000_000,
+    max_seq_len: int | None = 1_000_000,
 ) -> DataFrame:
     """Sequence-pattern matching (MATCH_RECOGNIZE-flavored CEP): per
     entity, the count of non-overlapping ``pattern`` regex matches over
@@ -61,26 +61,34 @@ def pattern_run_counts(
     assumption: a degenerate hot entity (a bot account, a null-key
     bucket) past the bound raises here, at a cheap count aggregate,
     instead of OOMing an executor mid-collect (the ``max_block_names`` /
-    ``max_bucket_size`` refusal convention). For genuinely unbounded
-    sequences use streaming.event_transitions and match incrementally.
+    ``max_bucket_size`` refusal convention).
+
+    NOTE: the guard is an EAGER extra action — it runs a full count
+    aggregate at call time, before any plan is returned. Pass
+    ``max_seq_len=None`` to skip it and stay lazily composable (when
+    the caller already bounds per-entity cardinality upstream, or the
+    input is a streaming DataFrame, which cannot run the guard's batch
+    collect). For genuinely unbounded sequences use
+    streaming.event_transitions and match incrementally.
     """
-    if max_seq_len < 1:
-        raise ValueError(f"max_seq_len must be >= 1, got {max_seq_len}")
-    oversized = (
-        events.groupBy(entity_col)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("n_events") > max_seq_len)
-        .limit(1)
-        .collect()
-    )
-    if oversized:
-        row = oversized[0]
-        raise ValueError(
-            f"entity {row[entity_col]!r} has {row['n_events']} events "
-            f"(max_seq_len={max_seq_len}); refusing the unbounded "
-            "collect_list — raise the bound or match incrementally via "
-            "streaming.event_transitions"
+    if max_seq_len is not None:
+        if max_seq_len < 1:
+            raise ValueError(f"max_seq_len must be >= 1, got {max_seq_len}")
+        oversized = (
+            events.groupBy(entity_col)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") > max_seq_len)
+            .limit(1)
+            .collect()
         )
+        if oversized:
+            row = oversized[0]
+            raise ValueError(
+                f"entity {row[entity_col]!r} has {row['n_events']} events "
+                f"(max_seq_len={max_seq_len}); refusing the unbounded "
+                "collect_list — raise the bound or match incrementally via "
+                "streaming.event_transitions"
+            )
     seq = F.concat_ws(
         "",
         F.transform(

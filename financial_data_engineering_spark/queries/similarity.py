@@ -133,9 +133,15 @@ def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, "embeddings", sf_dir)
+    # Path is unique per Spark application: two concurrent sessions on
+    # the same SF must not race on one index dir (build's rmtree+rewrite
+    # vs the other session's serve reads).
     path = os.path.join(
         tempfile.gettempdir(),
-        "fdes_ivf_index_" + os.path.basename(sf_dir.rstrip("/")),
+        "fdes_ivf_index_{}_{}".format(
+            os.path.basename(sf_dir.rstrip("/")),
+            spark.sparkContext.applicationId,
+        ),
     )
     build_ivf_index(
         emb, path, n_centroids=8, n_iters=_N_ITERS, dim=64

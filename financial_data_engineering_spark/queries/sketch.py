@@ -153,13 +153,14 @@ _CM_P = 4294967311  # MINHASH_P
 def event_type_cm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch audit (operators/countmin.py): event-type
     frequencies estimated from a deliberately UNDERSIZED counter matrix
-    (width {w} < |types|, depth {d} — collisions by construction) next
-    to exact counts, so the never-undercount guarantee and the actual
-    overestimate paid are both visible. The md5-affine family makes
-    every counter DuckDB-replayable; the probe side is map-side literal
-    arithmetic over the collected (control-plane, w·d-row) table. At
-    scale this is the "never miss a ceiling breach" complement to the
-    Misra-Gries never-overcount summary.""".format(w=_CM_W, d=_CM_D)
+    (width 4 < |types|, depth 2 — the _CM_W/_CM_D constants above;
+    collisions by construction) next to exact counts, so the
+    never-undercount guarantee and the actual overestimate paid are both
+    visible. The md5-affine family makes every counter DuckDB-replayable;
+    the probe side is map-side literal arithmetic over the collected
+    (control-plane, w·d-row) table. At scale this is the "never miss a
+    ceiling breach" complement to the Misra-Gries never-overcount
+    summary."""
     from pyspark.sql import functions as F
 
     from financial_data_engineering_spark.operators.countmin import (

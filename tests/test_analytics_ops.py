@@ -189,6 +189,11 @@ def test_pattern_run_counts_guard_refuses_hot_entity(
         for r in pattern_run_counts(df, "b+", max_seq_len=hot_n).collect()
     }
     assert out["hot"] == 1  # one maximal run of consecutive b's
+    # max_seq_len=None skips the eager guard entirely: the call stays
+    # lazily composable (no job at plan time) and the would-be-refused
+    # hot entity computes normally
+    lazy = pattern_run_counts(df, "b+", max_seq_len=None)
+    assert {r.user_id: r.n_runs for r in lazy.collect()} == out
 
 
 @_SETTINGS

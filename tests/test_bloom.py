@@ -57,6 +57,45 @@ def test_bloom_false_positive_rate_near_design(spark):
     assert fp > 0 or True  # informational; zero is fine
 
 
+def test_bloom_screen_null_items_route_to_maybe(spark):
+    """A NULL item must surface as maybe_present=true (the registry-join
+    slice — the safe side), never as NULL: a NULL verdict would drop the
+    row from BOTH slices of a screened pipeline, silently losing a
+    null-fingerprint document the direct incremental path admits."""
+    reg = spark.createDataFrame([("a",), ("b",)], "item string")
+    bat = spark.createDataFrame(
+        [("a",), (None,), ("definitely-not-in-registry",)], "item string"
+    )
+    out = bloom_screen(
+        bat, bloom_build(reg, "item", m_words=64), "item", m_words=64
+    )
+    assert out.filter(F.col("maybe_present").isNull()).count() == 0
+    rows = {r["item"]: r["maybe_present"] for r in out.collect()}
+    assert rows[None] is True
+    assert rows["a"] is True
+
+
+def test_bloom_fp_rate_within_analytic_bound(spark):
+    """The sizing claim itself: at a deliberately loaded filter
+    (1024 bits, k=5, n=150 members -> analytic FPR (1-e^{-kn/m})^k
+    ~= 3.8%), the measured rate over 10k non-members stays within 2x
+    the analytic bound. md5 is deterministic, so the observed count is
+    a constant — the 2x slack covers the one-digest affine family's
+    intra-item hash correlation vs the independent-hash analysis, not
+    run-to-run noise."""
+    import math
+
+    m_words, k, n = 32, 5, 150
+    m_bits = m_words * 32
+    reg = [f"member-{i}" for i in range(n)]
+    probe = [f"nonmember-{i}" for i in range(10_000)]
+    got = _screen_map(spark, reg, probe, m_words=m_words, k_hashes=k)
+    p_bit = 1.0 - math.exp(-k * n / m_bits)
+    bound = p_bit**k
+    rate = sum(1 for v in got.values() if v) / len(probe)
+    assert rate <= 2.0 * bound, f"measured FPR {rate:.4f} vs bound {bound:.4f}"
+
+
 def test_bloom_merge_equals_single_build(spark):
     """Building over A, B separately and merging must give bit-identical
     words to building over A union B (bit_or is associative)."""

@@ -171,9 +171,17 @@ def test_int_div_half_up_matches_python_exactly(spark):
         (10000, 10000),
         (123456789, 7),
         (3_500_000_000_000, 700_000_001),
-        # near the documented ceiling: num ~ 4.5e15 (a = 2*num + den < 2^53)
+        # near the old double-division ceiling (~2^53), where the
+        # retired formulation could misround
         (4_503_599_627_370_000, 999_999_937),
         (4_503_599_627_370_000, 3),
+        # far past it: full-int64 magnitudes a multi-MB document's e4
+        # quality numerator can reach — the decimal div must stay exact
+        (9_007_199_254_740_993, 2),
+        (4_500_000_000_000_000_000, 900_000_000_000),
+        (9_223_372_036_854_775_807, 9_223_372_036_854_775_807),
+        (9_223_372_036_854_775_800, 7),
+        (2**53 + 1, 2**53 - 1),
     ]
     df = spark.createDataFrame(cases, "num long, den long")
     got = {
