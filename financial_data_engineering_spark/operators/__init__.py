@@ -20,6 +20,12 @@ from financial_data_engineering_spark.operators.countmin import (
 from financial_data_engineering_spark.operators.entity import (
     blocked_name_match_stats,
 )
+from financial_data_engineering_spark.operators.finance import (
+    ewma_band_fold,
+    ewma_band_merge,
+    ewma_band_state,
+    ohlc_bars,
+)
 from financial_data_engineering_spark.operators.heavyhitters import (
     merge_summaries,
     misra_gries_topk,
@@ -65,6 +71,10 @@ __all__ = [
     "count_min_estimate",
     "count_min_merge",
     "dense_row_ids",
+    "ewma_band_fold",
+    "ewma_band_merge",
+    "ewma_band_state",
+    "ohlc_bars",
     "grouped_quantile_sketch",
     "grouped_sketch_quantiles",
     "duplicate_row_count",

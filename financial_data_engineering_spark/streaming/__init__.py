@@ -10,6 +10,7 @@ from financial_data_engineering_spark.streaming.stateful import (
     event_transitions,
     running_heavy_hitters,
     running_kmv_distinct,
+    running_ohlc,
     running_quantile_sketch,
     running_twap,
     running_user_stats,
@@ -44,6 +45,7 @@ __all__ = [
     "event_transitions",
     "running_heavy_hitters",
     "running_kmv_distinct",
+    "running_ohlc",
     "running_quantile_sketch",
     "running_twap",
     "running_user_stats",

@@ -535,3 +535,97 @@ def running_twap(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+OHLC_OUTPUT = (
+    "user_id long, open_e2 long, high_e2 long, low_e2 long, "
+    "close_e2 long, n_events long, sum_e2 long"
+)
+
+#: per-user OHLC state: the (event-time micros, id) keys of the first
+#: and last observations with their e2 values, plus extremes/count/sum.
+#: Every field's merge is associative AND commutative (argmin/argmax by
+#: a total order, min, max, +), so the final state is identical for ANY
+#: arrival order — late data included, with no drop guard needed.
+OHLC_STATE = (
+    "first_micros long, first_id long, open_e2 long, "
+    "high_e2 long, low_e2 long, "
+    "last_micros long, last_id long, close_e2 long, "
+    "n_events long, sum_e2 long"
+)
+
+
+def _fold_ohlc(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: merge each observation into the OHLC state by
+    pure (argmin, argmax, min, max, sum, count) updates — the same
+    integer arithmetic as the batch twin's single grouped aggregate,
+    and order-independent by construction: unlike _fold_twap there is
+    no late-arrival drop, because every update commutes."""
+    if state.exists:
+        (f_us, f_id, opn, hi, lo, l_us, l_id, cls, n, tot) = state.get
+    else:
+        f_us = f_id = opn = hi = lo = l_us = l_id = cls = None
+        n, tot = 0, 0
+    for pdf in pdfs:
+        for ts, eid, v_e2 in zip(pdf["ts"], pdf["event_id"], pdf["v_e2"]):
+            micros, ident, v = int(ts.value // 1000), int(eid), int(v_e2)
+            if n == 0:
+                f_us, f_id, opn = micros, ident, v
+                l_us, l_id, cls = micros, ident, v
+                hi = lo = v
+            else:
+                if (micros, ident) < (f_us, f_id):
+                    f_us, f_id, opn = micros, ident, v
+                if (micros, ident) > (l_us, l_id):
+                    l_us, l_id, cls = micros, ident, v
+                hi = max(hi, v)
+                lo = min(lo, v)
+            n += 1
+            tot += v
+    state.update((f_us, f_id, opn, hi, lo, l_us, l_id, cls, n, tot))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "open_e2": [opn],
+            "high_e2": [hi],
+            "low_e2": [lo],
+            "close_e2": [cls],
+            "n_events": [n],
+            "sum_e2": [tot],
+        }
+    )
+
+
+def running_ohlc(events: DataFrame) -> DataFrame:
+    """Per-user running OHLC of event values — the streaming twin of
+    ``user_value_ohlc`` (queries/finance.py): each micro-batch merges
+    its observations into the per-user bar state and re-emits the
+    lifetime bar (update mode). The state merge is associative and
+    commutative (operators/finance.py ohlc_bars documents the same
+    property for the batch partial aggregation), so equal inputs give
+    EQUAL outputs under ANY arrival order — a strictly stronger parity
+    guarantee than the TWAP twin's in-order replay, parity-tested with
+    an arbitrary (non-chronological) batch split. State per user is ten
+    longs."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_ohlc,
+            outputStructType=OHLC_OUTPUT,
+            stateStructType=OHLC_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

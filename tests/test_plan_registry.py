@@ -178,6 +178,15 @@ SHUFFLE_BUDGET = {
     "order_priority_delayed_counts": 2,
     # part attach (estimator-chosen broadcast) + brand agg/sort
     "part_brand_vwap": 2,
+    # part attach + (brand, month) bar agg + presentation sort — the
+    # single-aggregate OHLC shape (min_by/max_by partials)
+    "part_brand_ohlc_monthly": 2,
+    # one grouped agg (OHLC + sum_e2 via extra_aggs, no second scan) + sort
+    "user_value_ohlc": 2,
+    # brand window (rolling sums) + brand rollup reusing partitioning + sort
+    "part_brand_rolling_band": 2,
+    # brand collect_list agg (fold is map-side HOF) + presentation sort
+    "part_brand_ewma_band": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort

@@ -548,3 +548,51 @@ def test_running_twap_matches_batch_query(spark, events_dir, tmp_path):
     want = q.all_queries()["user_value_twap"](spark, SF_SMALL)
     cols = ["user_id", "n_segments", "span_us", "twap_e2"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_ohlc_matches_batch_any_order(spark, events_dir, tmp_path):
+    """Streaming OHLC twin: events split into two micro-batches by
+    event_id PARITY — deliberately NOT chronological, so each batch
+    interleaves across the full time range — must still converge to the
+    exact batch user_value_ohlc rows: every OHLC state update commutes,
+    so arrival order cannot matter."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "ohlc_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE event_id % 2 = 0) "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE event_id % 2 = 1) "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_ohlc,
+    )
+
+    stream = running_ohlc(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "ohlc_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, open_e2, high_e2, low_e2, close_e2,
+                  n_events, sum_e2 FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM ohlc_updates) WHERE rn = 1"""
+    )
+    want = q.all_queries()["user_value_ohlc"](spark, SF_SMALL)
+    cols = [
+        "user_id", "open_e2", "high_e2", "low_e2",
+        "close_e2", "n_events", "sum_e2",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
