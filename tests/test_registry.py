@@ -13,9 +13,45 @@ from financial_data_engineering_spark.queries.registry import reorder
 def test_gate_window_is_registry_head():
     names = list(q.all_queries())
     assert names[: len(q.GATE_WINDOW)] == q.GATE_WINDOW
-    # the window is bounded by the ~50 rows the driver checks per round
-    assert len(q.GATE_WINDOW) <= 50
+    # the generated window is the FULL registry ordering (the driver
+    # takes its ~50-row check from the head)
+    assert len(q.GATE_WINDOW) == len(names)
     assert len(set(q.GATE_WINDOW)) == len(q.GATE_WINDOW)
+
+
+def test_gate_window_file_matches_correctness_history():
+    """The window ordering is generated, not hand-maintained: the
+    committed gate_window.py must match regeneration from the
+    CORRECTNESS_r*.json history (python tools/gen_gate_window.py)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/gen_gate_window.py", "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_gate_window_never_verified_first():
+    """Every query with no driver-green row in any committed round must
+    precede every verified query — the property that closes the
+    late-registration gap."""
+    sys_path_hack = __import__("sys").path
+    if "." not in sys_path_hack:
+        sys_path_hack.insert(0, ".")
+    from tools.gen_gate_window import last_green_rounds
+
+    greens = last_green_rounds()
+    seen_verified = False
+    for name in q.GATE_WINDOW:
+        if name in greens:
+            seen_verified = True
+        else:
+            assert not seen_verified, (
+                f"never-verified {name} after a verified query"
+            )
 
 
 def test_oracles_subset_of_queries():
