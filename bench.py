@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from financial_data_engineering_spark import queries as q
+from financial_data_engineering_spark.llm.caching import release_intermediates
 from financial_data_engineering_spark.session import get_spark
 
 HEADLINE = [
@@ -107,15 +108,25 @@ def main() -> None:
             return -1.0
         finally:
             # Some operators persist intermediates (e.g. dedup inverted
-            # indexes); drop them so queries are measured independently and
-            # earlier queries' cached blocks don't squeeze later ones.
+            # indexes); release the tracked handles FIRST (also empties
+            # the tracking list, so 110 queries don't accumulate driver
+            # references/executor storage across the suite — one plausible
+            # contributor to late-run slowdown in the r6 driver pass),
+            # then clear whatever else was cached.
+            release_intermediates()
             spark.catalog.clearCache()
         return round(time.perf_counter() - start, 3)
 
     # Prior-round record, loaded BEFORE this run overwrites it: the basis
     # for the regression-aware retry below.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    detail_rel = os.path.join("reports", "bench", "latest.json")
+    # Per-SF detail file: the committed latest.json is the sf0.1
+    # (driver-default) baseline for retry pass 2 and noise_vs_prev; a
+    # smoke run at another SF must not clobber it (it did once in r7 —
+    # restored from git).
+    base = os.path.basename(sf_dir.rstrip("/"))
+    detail_name = "latest.json" if sf == 0.1 else f"latest_{base}.json"
+    detail_rel = os.path.join("reports", "bench", detail_name)
     detail_path = os.path.join(repo_dir, detail_rel)
     prior: dict[str, float] = {}
     try:
@@ -157,12 +168,72 @@ def main() -> None:
             if 0 <= second < t:
                 timings[name] = second
 
+    # Noise estimate vs the committed previous run: the median per-query
+    # ratio against latest.json. Identical code on this shared host
+    # measured a 1.128x median / 1.58x tail same-code run-pair delta in
+    # round 6 (reports/bench/NOTES.md "Host noise floor") — a ratio
+    # inside that envelope is host noise, not a regression. The retry
+    # passes keep better runs, so this skews LOW; it bounds noise from
+    # below, never explains away a real regression.
+    ratios = sorted(
+        t / prior[name]
+        for name, t in timings.items()
+        if t > 0 and prior.get(name, 0) > 0
+    )
+    noise_vs_prev = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
+
+    # ann_ivf_from_index gates the full build+persist+serve round-trip,
+    # which reads as "serving is slower than brute IVF" when serving is
+    # the cheap half. Time the halves separately for the detail record
+    # (not counted in the total — the registered query already is).
+    aux: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from financial_data_engineering_spark.llm.index import (
+            build_ivf_index,
+            ivf_topk_from_index,
+        )
+        from financial_data_engineering_spark.queries.similarity import (
+            _N_ITERS,
+            _N_QUERIES,
+            _TOP_K,
+        )
+        from financial_data_engineering_spark.tables import load as _load
+        from pyspark.sql import functions as F
+
+        emb = _load(spark, "embeddings", sf_dir)
+        ivf_dir = tempfile.mkdtemp(prefix="fdes_bench_ivf_")
+        t0 = time.perf_counter()
+        build_ivf_index(emb, ivf_dir, n_centroids=8, n_iters=_N_ITERS, dim=64)
+        aux["ann_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf_topk_from_index(
+            spark,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            ivf_dir,
+            k=_TOP_K,
+            nprobe=2,
+            dim=64,
+        ).write.format("noop").mode("overwrite").save()
+        aux["ann_ivf_index_serve"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        release_intermediates()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — aux timings must never fail the bench
+        pass
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "aux": aux,
+        "noise_vs_prev": noise_vs_prev,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -187,6 +258,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "noise_vs_prev": noise_vs_prev,
         "queries": slowest,
         "detail": detail_rel,
     }
