@@ -610,7 +610,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_segments,
            CAST(sum(dur_us) AS BIGINT) AS span_us,
-           CAST((2 * sum(v_e2 * dur_us) + sum(dur_us))
+           CAST((2 * sum(CAST(v_e2 AS HUGEINT) * dur_us) + sum(dur_us))
                 // (2 * sum(dur_us)) AS BIGINT) AS twap_e2
     FROM seg
     WHERE dur_us IS NOT NULL AND dur_us > 0
@@ -624,9 +624,18 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     next one; zero-duration segments drop, the open last segment has no
     weight). Integer-exact end to end: 2dp values scale to e2 longs,
     durations are exact epoch-microsecond differences, and the weighted
-    mean is one half-up division of two exact sums (per-user numerators
-    stay under ~1e18 for multi-year spans at e2 precision). One shuffle
-    for the per-user lead window; the rollup reuses its partitioning."""
+    mean is one half-up division of two exact sums. The value-time area
+    accumulates in DECIMAL(38,0) — MEASURED necessity, not caution: the
+    round-7 sf1-scale replica run (reports/gate/
+    r07_local_sf1_strict_spot.log; tools/make_scaled_sf.py stretches
+    per-user histories to ~12 years) overflowed the original int64
+    ``sum(v_e2 * dur_us)`` in ANSI mode, since one multi-year segment
+    at e5 values already reaches ~3e19. The widening starts BEFORE the
+    per-segment multiply (the product itself is what overflows first);
+    DuckDB agrees because its BIGINT sum is int128 (HUGEINT) natively —
+    the oracle now widens its product explicitly too. Output stays
+    BIGINT (a TWAP is value-scale). One shuffle for the per-user lead
+    window; the rollup reuses its partitioning."""
     events = load(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.expr("unix_micros(ts)")
@@ -642,8 +651,9 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_segments"),
             F.sum("dur_us").alias("span_us"),
             F.expr(
-                "(2 * sum(v_e2 * dur_us) + sum(dur_us))"
-                " div (2 * sum(dur_us))"
+                "CAST((2 * sum(CAST(v_e2 AS DECIMAL(38,0)) * dur_us)"
+                " + sum(dur_us))"
+                " div (2 * sum(dur_us)) AS BIGINT)"
             ).alias("twap_e2"),
         )
         .orderBy("user_id")

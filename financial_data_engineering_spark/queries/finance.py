@@ -318,3 +318,199 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "part_brand_max_drawdown",
+    oracle=f"""
+    WITH seq AS ({_LI_SEQ_SQL}),
+    dd AS (
+        SELECT brand, px,
+               max(px) OVER (PARTITION BY brand ORDER BY o
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - px AS drawdown
+        FROM seq
+    )
+    SELECT brand,
+           count(*) AS n_ticks,
+           max(px) AS peak_e2,
+           max(drawdown) AS max_drawdown_e2
+    FROM dd GROUP BY brand ORDER BY brand
+    """,
+)
+def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per brand — the canonical risk metric: the
+    largest peak-to-trough drop of the price series, via a running
+    cummax window (drawdown_i = cummax(px)_i - px_i, all int64; the
+    running peak includes the current tick so a fresh high draws down
+    zero). One brand-partitioned window shuffle whose partitioning the
+    brand rollup reuses, plus the presentation sort — the same
+    two-exchange budget as the rolling band, and the frame is a running
+    aggregate (O(1) per row), not a buffered window."""
+    seq = _li_seq(spark, sf_dir)
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = seq.select(
+        "brand",
+        F.col("px"),
+        (F.max("px").over(w) - F.col("px")).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max("px").alias("peak_e2"),
+            F.max("drawdown").alias("max_drawdown_e2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "user_value_ewma_band",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS o,
+               CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(
+                   list(struct_pack(
+                       n_above := CAST(0 AS BIGINT),
+                       n_below := CAST(0 AS BIGINT),
+                       dev := CAST(0 AS BIGINT),
+                       ewma := px,
+                       n := CAST(1 AS BIGINT)) ORDER BY o),
+                   (acc, x) -> struct_pack(
+                       n_above := acc.n_above + CASE
+                           WHEN x.ewma > acc.ewma + {BAND_K} * acc.dev
+                           THEN 1 ELSE 0 END,
+                       n_below := acc.n_below + CASE
+                           WHEN x.ewma < acc.ewma - {BAND_K} * acc.dev
+                           THEN 1 ELSE 0 END,
+                       dev := (abs(x.ewma - acc.ewma) + 7 * acc.dev + 4)
+                              // 8,
+                       ewma := (x.ewma + 7 * acc.ewma + 4) // 8,
+                       n := acc.n + 1)
+               ) AS st
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id,
+           st.n AS n_events,
+           st.ewma AS ewma_e2,
+           st.dev AS dev_e2,
+           st.n_above AS n_above,
+           st.n_below AS n_below
+    FROM folded ORDER BY user_id
+    """,
+)
+def user_value_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA value band over the events stream — the same
+    integer-exact fixed-point fold as part_brand_ewma_band (and the
+    same DuckDB list_reduce oracle with the documented field-order
+    defense), keyed by user over (ts, event_id) event-time order. This
+    is the batch twin of streaming/stateful.py running_ewma_band, which
+    replays the identical recurrence in state with exact parity.
+
+    Rounding note: the recurrences use SQL ``div`` (truncation toward
+    zero, identical in Spark and DuckDB); for the NONNEGATIVE e2 values
+    of this table that equals half-up rounding. A series with negative
+    values stays cross-engine exact (both engines truncate), only the
+    tie direction below zero changes — the streaming twin emulates the
+    same truncation."""
+    ev = load(spark, "events", sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("o"),
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+    ticks = seq.groupBy("user_id").agg(
+        F.collect_list(F.struct("o", "px")).alias("ticks")
+    )
+    st = ewma_band_fold(
+        F.transform(F.array_sort("ticks"), lambda t: t["px"])
+    )
+    return (
+        ticks.select("user_id", F.explode(F.array(st)).alias("st"))
+        .select(
+            "user_id",
+            F.col("st.n").alias("n_events"),
+            F.col("st.ewma").alias("ewma_e2"),
+            F.col("st.dev").alias("dev_e2"),
+            F.col("st.n_above").alias("n_above"),
+            F.col("st.n_below").alias("n_below"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "user_value_max_drawdown",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS o,
+               CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+    ),
+    dd AS (
+        SELECT user_id, px,
+               max(px) OVER (PARTITION BY user_id ORDER BY o
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - px AS drawdown
+        FROM seq
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           max(px) AS peak_e2,
+           max(drawdown) AS max_drawdown_e2
+    FROM dd GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of event values — the events-table
+    sibling of part_brand_max_drawdown, and the batch twin of
+    streaming/stateful.py running_drawdown: the metric is computable
+    with O(1) state (running peak + running max drawdown), which is why
+    the streaming twin carries exactly two longs. Same single
+    brand-window shape: one user-partitioned cummax window whose
+    partitioning the rollup reuses, plus the presentation sort."""
+    ev = load(spark, "events", sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("o"),
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = seq.select(
+        "user_id",
+        F.col("px"),
+        (F.max("px").over(w) - F.col("px")).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("px").alias("peak_e2"),
+            F.max("drawdown").alias("max_drawdown_e2"),
+        )
+        .orderBy("user_id")
+    )

@@ -10,6 +10,8 @@ from financial_data_engineering_spark.streaming.stateful import (
     event_transitions,
     running_heavy_hitters,
     running_kmv_distinct,
+    running_drawdown,
+    running_ewma_band,
     running_ohlc,
     running_quantile_sketch,
     running_twap,
@@ -45,6 +47,8 @@ __all__ = [
     "event_transitions",
     "running_heavy_hitters",
     "running_kmv_distinct",
+    "running_drawdown",
+    "running_ewma_band",
     "running_ohlc",
     "running_quantile_sketch",
     "running_twap",

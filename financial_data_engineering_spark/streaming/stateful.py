@@ -629,3 +629,198 @@ def running_ohlc(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUTPUT = (
+    "user_id long, n_events long, ewma_e2 long, dev_e2 long, "
+    "n_above long, n_below long"
+)
+
+#: per-user EWMA band state: the (event-time micros, id) high-water mark
+#: for the ordered-replay guard, plus the two fixed-point accumulators
+#: and the breach counters. Two longs of real state (ewma, dev) — the
+#: "unbounded per-key history" answer the batch fold's docstring names.
+EWMA_STATE = (
+    "last_micros long, last_id long, ewma_e2 long, dev_e2 long, "
+    "n_events long, n_above long, n_below long"
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """SQL ``div``: truncation toward zero — what Spark's div and
+    DuckDB's // both do, and what Python's floor // does NOT do for
+    negative numerators. The twins must round identically."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _fold_ewma_band(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: order this batch's slice by (ts, event_id),
+    drop late arrivals at or before the persisted high-water mark (the
+    recurrence is order-DEPENDENT, so the ordered-replay contract is
+    the TWAP twin's, not the commutative OHLC one), then advance the
+    integer fixed-point recurrences exactly as the batch fold does:
+    breach counters read the old (ewma, dev), then both advance with
+    truncating division (operators/finance.py constants)."""
+    from financial_data_engineering_spark.operators.finance import (
+        BAND_K,
+        EWMA_ALPHA_DEN,
+        EWMA_ALPHA_NUM,
+    )
+
+    rest = EWMA_ALPHA_DEN - EWMA_ALPHA_NUM
+    half = EWMA_ALPHA_DEN // 2
+    if state.exists:
+        last_us, last_id, ewma, dev, n, na, nb = state.get
+    else:
+        last_us = last_id = ewma = dev = None
+        n = na = nb = 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, px in zip(batch["ts"], batch["event_id"], batch["px"]):
+            micros, ident, x = int(ts.value // 1000), int(eid), int(px)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # late vs state: drop, never replay backwards
+            if n == 0:
+                ewma, dev = x, 0
+            else:
+                na += 1 if x > ewma + BAND_K * dev else 0
+                nb += 1 if x < ewma - BAND_K * dev else 0
+                new_ewma = _tdiv(
+                    EWMA_ALPHA_NUM * x + rest * ewma + half, EWMA_ALPHA_DEN
+                )
+                new_dev = _tdiv(
+                    abs(x - ewma) + rest * dev + half, EWMA_ALPHA_DEN
+                )
+                ewma, dev = new_ewma, new_dev
+            n += 1
+            last_us, last_id = micros, ident
+    state.update((last_us, last_id, ewma, dev, n, na, nb))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma_e2": [ewma],
+            "dev_e2": [dev],
+            "n_above": [na],
+            "n_below": [nb],
+        }
+    )
+
+
+def running_ewma_band(events: DataFrame) -> DataFrame:
+    """Per-user running EWMA value band — the streaming twin of
+    ``user_value_ewma_band`` (queries/finance.py): each micro-batch
+    replays its events in (ts, event_id) order through the identical
+    integer fixed-point recurrence and re-emits the user's lifetime
+    (ewma, dev, breach counters) in update mode. Equal inputs delivered
+    in event-time order across any batch split give EQUAL outputs
+    (parity-tested); out-of-order arrivals across batches drop at the
+    high-water-mark guard, the event_transitions/running_twap
+    contract."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("px"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_ewma_band,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+DRAWDOWN_OUTPUT = (
+    "user_id long, n_events long, peak_e2 long, max_drawdown_e2 long"
+)
+
+#: per-user drawdown state: the (ts, id) high-water mark for ordered
+#: replay plus peak and max-drawdown — the O(1)-state property that
+#: makes drawdown streamable at all (the full cummax series never
+#: needs to exist).
+DRAWDOWN_STATE = (
+    "last_micros long, last_id long, peak_e2 long, "
+    "max_drawdown_e2 long, n_events long"
+)
+
+
+def _fold_drawdown(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay this batch's slice in (ts, event_id)
+    order past the high-water mark; each observation lifts the running
+    peak, then measures its own drawdown against it — identical
+    arithmetic to the batch cummax window, two integer updates per
+    event."""
+    if state.exists:
+        last_us, last_id, peak, max_dd, n = state.get
+    else:
+        last_us = last_id = peak = None
+        max_dd, n = 0, 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, px in zip(batch["ts"], batch["event_id"], batch["px"]):
+            micros, ident, x = int(ts.value // 1000), int(eid), int(px)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # late vs state: drop (cummax is order-dependent)
+            peak = x if peak is None else max(peak, x)
+            max_dd = max(max_dd, peak - x)
+            n += 1
+            last_us, last_id = micros, ident
+    state.update((last_us, last_id, peak, max_dd, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "peak_e2": [peak],
+            "max_drawdown_e2": [max_dd if n else None],
+        }
+    )
+
+
+def running_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user running maximum drawdown — the streaming twin of
+    ``user_value_max_drawdown`` (queries/finance.py). Drawdown needs
+    only (peak, max_dd) to advance, so the state is two longs plus the
+    replay high-water mark; equal inputs in event-time order across any
+    batch split give EQUAL outputs (parity-tested). Late arrivals drop
+    at the (ts, id) guard — a late trough BELOW the then-peak would
+    otherwise be measured against a peak it never traded under."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("px"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_drawdown,
+            outputStructType=DRAWDOWN_OUTPUT,
+            stateStructType=DRAWDOWN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -187,6 +187,12 @@ SHUFFLE_BUDGET = {
     "part_brand_rolling_band": 2,
     # brand collect_list agg (fold is map-side HOF) + presentation sort
     "part_brand_ewma_band": 2,
+    # brand cummax window + brand rollup reusing partitioning + sort
+    "part_brand_max_drawdown": 2,
+    # user collect_list agg (same fold) + presentation sort
+    "user_value_ewma_band": 2,
+    # user cummax window + rollup reusing partitioning + sort
+    "user_value_max_drawdown": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort

@@ -596,3 +596,91 @@ def test_running_ohlc_matches_batch_any_order(spark, events_dir, tmp_path):
         "close_e2", "n_events", "sum_e2",
     ]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_ewma_band_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming EWMA band twin: events split into two time-ordered
+    micro-batches must converge to the exact batch user_value_ewma_band
+    rows — the fixed-point recurrence crosses the batch boundary in
+    state (two longs) with identical truncating-division arithmetic."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "ewma_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_ewma_band,
+    )
+
+    stream = running_ewma_band(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "ewma_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_events, ewma_e2, dev_e2, n_above, n_below
+           FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM ewma_updates) WHERE rn = 1"""
+    )
+    want = q.all_queries()["user_value_ewma_band"](spark, SF_SMALL)
+    cols = ["user_id", "n_events", "ewma_e2", "dev_e2", "n_above", "n_below"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_drawdown_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming drawdown twin: time-ordered two-batch replay must equal
+    the batch cummax-window query exactly — the running (peak, max_dd)
+    pair crosses the boundary in state."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "dd_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_drawdown,
+    )
+
+    stream = running_drawdown(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "dd_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_events, peak_e2, max_drawdown_e2 FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM dd_updates) WHERE rn = 1"""
+    )
+    want = q.all_queries()["user_value_max_drawdown"](spark, SF_SMALL)
+    cols = ["user_id", "n_events", "peak_e2", "max_drawdown_e2"]
+    assert _rows(got, cols) == _rows(want, cols)
