@@ -186,3 +186,22 @@ def test_telemetry_monitoring_pipeline(spark, tmp_path):
 
     assert glob.glob(f"{tmp_path}/events_clustered/*.parquet")
     assert glob.glob(f"{tmp_path}/daily_series/day=*/")
+
+
+def test_market_bars_pipeline(spark, tmp_path):
+    from examples.market_bars_pipeline import main
+
+    out = main(output_dir=str(tmp_path))
+    assert out["n_ticks"] > 0
+    assert out["n_bars"] > 0
+    # OHLC invariant: low <= open, close <= high on every bar
+    assert out["bars_ohlc_violations"] == 0
+    # VWAP is a qty-weighted mean of prices, so 0 < vwap <= brand peak
+    assert out["n_brands"] == 25
+    assert out["vwap_out_of_band"] == 0
+    assert out["negative_drawdowns"] == 0
+    import glob
+
+    assert glob.glob(f"{tmp_path}/ticks_clustered/*.parquet")
+    assert glob.glob(f"{tmp_path}/bars_monthly/bar_month=*/")
+    assert glob.glob(f"{tmp_path}/brand_report/*.parquet")
