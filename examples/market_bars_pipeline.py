@@ -65,10 +65,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
     )
     ticks = spark.read.parquet(ticks_path)
 
-    # 2. monthly OHLC bars, partitioned by month for range reads
+    # 2. monthly OHLC bars, partitioned by month for range reads (the
+    # month formats to string on the |bars| side only)
     bars = ohlc_bars(
-        ticks, ["brand", "bar_month"], "o", "px", size_col="qty"
-    )
+        ticks, ["brand", "bar_m"], "o", "px", size_col="qty"
+    ).withColumn("bar_month", F.date_format("bar_m", "yyyy-MM")).drop("bar_m")
     bars_path = os.path.join(output_dir, "bars_monthly")
     bars.write.mode("overwrite").partitionBy("bar_month").parquet(bars_path)
     bars = spark.read.parquet(bars_path)
@@ -77,7 +78,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
     rolling = get("part_brand_rolling_band").fn(spark, sf_dir)
     ewma = (
         ticks.groupBy("brand")
-        .agg(F.collect_list(F.struct("o", "px")).alias("t"))
+        # flat sort elements (order fields + px): struct comparison cost
+        # is per-level, see queries/finance.py _ewma_select
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o.us"), F.col("o.okey"), F.col("o.lineno"), "px"
+                )
+            ).alias("t")
+        )
         .select(
             "brand",
             F.explode(

@@ -1,22 +1,27 @@
 """Financial bar/band queries: OHLC bars, rolling Bollinger-style band
-breaches, and the EWMA fixed-point band — the market-data depth on top
-of round 6's VWAP/TWAP/gap aggregates (analytics_ext.py).
+breaches, EWMA fixed-point bands, and maximum drawdown — the market-data
+depth on top of round 6's VWAP/TWAP/gap aggregates (analytics_ext.py).
 
 The reference's argmax-per-group shape (reference
-examples/multi_source_pipeline.py:114) is the kernel of all three:
+examples/multi_source_pipeline.py:114) is the kernel of all of these:
 open/close are argmin/argmax over an event-time total order, and the
-band queries compare each tick against statistics of its own past.
-Everything follows the registry's integer-exactness rule — prices enter
-as e2 longs, every derived quantity is int64 arithmetic (squared-
+band/drawdown queries compare each tick against statistics of its own
+past. Everything follows the registry's integer-exactness rule — prices
+enter as e2 longs, every derived quantity is int64 arithmetic (squared-
 inequality forms instead of sqrt, half-up fixed-point division instead
 of float EWMA), so DuckDB replays every bit.
 
-Event-time total order: ticks are ordered by a fixed-width string key
-``lpad(epoch_us, 20) || lpad(orderkey, 12) || lpad(linenumber, 2)``
-(micros and keys are nonnegative, so zero-padded decimal strings order
-exactly like the integers; (orderkey, linenumber) is unique, so the
-order is total and open/close are deterministic). Both engines build
-the identical string.
+Event-time total order: ticks order by the NATIVE integer triple
+(epoch_us(shipdate), orderkey, linenumber) — (orderkey, linenumber) is
+unique, so the order is total and open/close deterministic. Spark takes
+the triple as a struct (min_by/max_by and array_sort order structs
+field-by-field); DuckDB takes it as aggregate/window ORDER BY clauses
+(its arg_min has no composite form, but first/last and list() accept
+ORDER BY). Round-7 measurement: the first cut packed the triple into a
+zero-padded 34-char string, and building + comparing those strings cost
+~2.5x the whole aggregate (2.4-3.1 s vs 0.9-1.0 s at sf0.1 for the OHLC
+query) — per-row string construction on the 100 TB side of a plan is a
+scan tax; native ints stay in codegen.
 """
 
 from __future__ import annotations
@@ -39,34 +44,116 @@ from financial_data_engineering_spark.tables import load
 ROLL_N = 20
 ROLL_MIN = 5
 
+#: Shared tick view of lineitem x part: the event-time order triple as
+#: native integers, the month as a truncated DATE (formatted to string
+#: only on the |bars|-row output side — round-7 measurement: date_format
+#: on the 600k-row input side cost ~12% of the OHLC aggregate).
 _LI_SEQ_SQL = """
         SELECT p.p_brand AS brand,
-               strftime(l.l_shipdate, '%Y-%m') AS bar_month,
-               lpad(CAST(epoch_us(l.l_shipdate) AS VARCHAR), 20, '0')
-                 || lpad(CAST(l.l_orderkey AS VARCHAR), 12, '0')
-                 || lpad(CAST(l.l_linenumber AS VARCHAR), 2, '0') AS o,
+               date_trunc('month', l.l_shipdate) AS bar_m,
+               epoch_us(l.l_shipdate) AS us,
+               l.l_orderkey AS okey,
+               l.l_linenumber AS lineno,
                CAST(round(l.l_extendedprice * 100) AS BIGINT) AS px,
                CAST(l.l_quantity AS BIGINT) AS qty
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
 """
 
+_EV_SEQ_SQL = """
+        SELECT user_id,
+               epoch_us(ts) AS us,
+               event_id AS eid,
+               CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+"""
+
 
 def _li_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(brand, bar_month, o, px, qty) tick view of lineitem — the Spark
-    twin of _LI_SEQ_SQL."""
+    """(brand, bar_m, o=struct(us, okey, lineno), px, qty) tick view of
+    lineitem — the Spark twin of _LI_SEQ_SQL with the order triple
+    pre-packed as a struct column for min_by/array_sort/window use."""
     li = load(spark, "lineitem", sf_dir)
     part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
     return li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("p_brand").alias("brand"),
-        F.date_format("l_shipdate", "yyyy-MM").alias("bar_month"),
-        F.concat(
-            F.lpad(F.unix_micros("l_shipdate").cast("string"), 20, "0"),
-            F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
-            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        F.trunc("l_shipdate", "month").alias("bar_m"),
+        F.struct(
+            F.unix_micros("l_shipdate").alias("us"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("lineno"),
         ).alias("o"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("px"),
         F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+def _ev_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, o=struct(us, eid), px) view of events."""
+    ev = load(spark, "events", sf_dir)
+    return ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+        ).alias("o"),
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+
+
+_EWMA_REDUCE_SQL = """
+               list_reduce(
+                   list(struct_pack(
+                       n_above := CAST(0 AS BIGINT),
+                       n_below := CAST(0 AS BIGINT),
+                       dev := CAST(0 AS BIGINT),
+                       ewma := px,
+                       n := CAST(1 AS BIGINT)) ORDER BY {order}),
+                   (acc, x) -> struct_pack(
+                       n_above := acc.n_above + CASE
+                           WHEN x.ewma > acc.ewma + {k} * acc.dev
+                           THEN 1 ELSE 0 END,
+                       n_below := acc.n_below + CASE
+                           WHEN x.ewma < acc.ewma - {k} * acc.dev
+                           THEN 1 ELSE 0 END,
+                       dev := (abs(x.ewma - acc.ewma) + 7 * acc.dev + 4)
+                              // 8,
+                       ewma := (x.ewma + 7 * acc.ewma + 4) // 8,
+                       n := acc.n + 1)
+               )
+"""
+
+
+def _ewma_select(df: DataFrame, key: str, n_alias: str) -> DataFrame:
+    """Fold each group's time-sorted px array and expand the final state
+    struct. The collected elements are FLAT structs (order fields + px,
+    compared field-by-field by array_sort) — round-7 measurement at
+    sf0.1: sorting 24k-element arrays of flat structs runs 1.7 s where
+    nested (o-struct, px) elements take 6.5 s and the original string
+    keys 3.4 s; struct comparison cost is per-level, so keep sort
+    elements one level deep. The explode wrapper keeps Catalyst's
+    CollapseProject from inlining the fold once per output column (5x
+    the work; a Generator is a projection barrier)."""
+    ord_fields = df.schema["o"].dataType.fieldNames()
+    flat = F.struct(
+        *[F.col(f"o.{f}").alias(f) for f in ord_fields],
+        F.col("px").alias("px"),
+    )
+    ticks = df.groupBy(key).agg(F.collect_list(flat).alias("ticks"))
+    st = ewma_band_fold(
+        F.transform(F.array_sort("ticks"), lambda t: t["px"])
+    )
+    return (
+        ticks.select(key, F.explode(F.array(st)).alias("st"))
+        .select(
+            key,
+            F.col("st.n").alias(n_alias),
+            F.col("st.ewma").alias("ewma_e2"),
+            F.col("st.dev").alias("dev_e2"),
+            F.col("st.n_above").alias("n_above"),
+            F.col("st.n_below").alias("n_below"),
+        )
+        .orderBy(key)
     )
 
 
@@ -74,54 +161,61 @@ def _li_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_brand_ohlc_monthly",
     oracle=f"""
     WITH seq AS ({_LI_SEQ_SQL})
-    SELECT brand, bar_month,
-           arg_min(px, o) AS open_e2,
+    SELECT brand,
+           strftime(bar_m, '%Y-%m') AS bar_month,
+           first(px ORDER BY us, okey, lineno) AS open_e2,
            max(px) AS high_e2,
            min(px) AS low_e2,
-           arg_max(px, o) AS close_e2,
+           last(px ORDER BY us, okey, lineno) AS close_e2,
            count(*) AS n_trades,
            CAST(sum(qty) AS BIGINT) AS volume
     FROM seq
-    GROUP BY brand, bar_month
+    GROUP BY brand, bar_m
     ORDER BY brand, bar_month
     """,
 )
 def part_brand_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly OHLC bars per brand — the canonical market-data rollup,
     as ONE grouped aggregate (operators/finance.py ohlc_bars): min_by/
-    max_by carry (order-key, price) pairs through map-side partial
+    max_by carry (order-struct, price) pairs through map-side partial
     aggregation, so 100 TB of ticks shuffles only |brands x months| bar
     rows — no window, no self-join, and the O(1) bar state is the same
     associative merge the streaming twin folds in state. Single data
     shuffle (the bar groupBy; part attaches unhinted — estimator/AQE
-    broadcasts while it fits) plus the presentation sort."""
+    broadcasts while it fits) plus the presentation sort. The month
+    formats to string on the |bars| side only; the order key is the
+    native integer triple (module docstring: the string-key first cut
+    cost ~2.5x)."""
     bars = ohlc_bars(
         _li_seq(spark, sf_dir),
-        ["brand", "bar_month"],
+        ["brand", "bar_m"],
         "o",
         "px",
         size_col="qty",
     )
-    return bars.orderBy("brand", "bar_month")
+    return bars.select(
+        "brand",
+        F.date_format("bar_m", "yyyy-MM").alias("bar_month"),
+        "open_e2",
+        "high_e2",
+        "low_e2",
+        "close_e2",
+        "n_trades",
+        "volume",
+    ).orderBy("brand", "bar_month")
 
 
 @register(
     "user_value_ohlc",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id,
-               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS o,
-               CAST(round(value * 100) AS BIGINT) AS v
-        FROM events
-    )
+    oracle=f"""
+    WITH seq AS ({_EV_SEQ_SQL})
     SELECT user_id,
-           arg_min(v, o) AS open_e2,
-           max(v) AS high_e2,
-           min(v) AS low_e2,
-           arg_max(v, o) AS close_e2,
+           first(px ORDER BY us, eid) AS open_e2,
+           max(px) AS high_e2,
+           min(px) AS low_e2,
+           last(px ORDER BY us, eid) AS close_e2,
            count(*) AS n_events,
-           CAST(sum(v) AS BIGINT) AS sum_e2
+           CAST(sum(px) AS BIGINT) AS sum_e2
     FROM seq GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -130,25 +224,17 @@ def user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/stateful.py running_ohlc, which must reproduce these rows
     exactly from ANY arrival order (the OHLC state merge is associative
     and commutative, a stronger guarantee than the TWAP twin's ordered
-    replay). ONE grouped aggregate over (ts, event_id)-keyed values —
-    sum_e2 rides the same agg via extra_aggs, never a second scan+join;
-    values may be negative (only the ORDER key needs nonnegativity)."""
-    ev = load(spark, "events", sf_dir)
-    seq = ev.select(
-        "user_id",
-        F.concat(
-            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ).alias("o"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
+    replay). ONE grouped aggregate over (ts, event_id)-struct-keyed
+    values — sum_e2 rides the same agg via extra_aggs, never a second
+    scan+join; values may be negative (the order key is the timestamp
+    triple, not the value)."""
     return (
         ohlc_bars(
-            seq,
+            _ev_seq(spark, sf_dir),
             ["user_id"],
             "o",
-            "v",
-            extra_aggs=[F.sum("v").alias("sum_e2")],
+            "px",
+            extra_aggs=[F.sum("px").alias("sum_e2")],
         )
         .withColumnRenamed("n_trades", "n_events")
         .orderBy("user_id")
@@ -165,7 +251,7 @@ def user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(px) OVER w AS s,
                sum(px * px) OVER w AS ss
         FROM seq
-        WINDOW w AS (PARTITION BY brand ORDER BY o
+        WINDOW w AS (PARTITION BY brand ORDER BY us, okey, lineno
                      ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING)
     ),
     flags AS (
@@ -206,7 +292,7 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _li_seq(spark, sf_dir)
     w = (
         Window.partitionBy("brand")
-        .orderBy("o")
+        .orderBy("o.us", "o.okey", "o.lineno")
         .rowsBetween(-ROLL_N, -1)
     )
     px = F.col("px")
@@ -245,25 +331,8 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS ({_LI_SEQ_SQL}),
     folded AS (
         SELECT brand,
-               list_reduce(
-                   list(struct_pack(
-                       n_above := CAST(0 AS BIGINT),
-                       n_below := CAST(0 AS BIGINT),
-                       dev := CAST(0 AS BIGINT),
-                       ewma := px,
-                       n := CAST(1 AS BIGINT)) ORDER BY o),
-                   (acc, x) -> struct_pack(
-                       n_above := acc.n_above + CASE
-                           WHEN x.ewma > acc.ewma + {BAND_K} * acc.dev
-                           THEN 1 ELSE 0 END,
-                       n_below := acc.n_below + CASE
-                           WHEN x.ewma < acc.ewma - {BAND_K} * acc.dev
-                           THEN 1 ELSE 0 END,
-                       dev := (abs(x.ewma - acc.ewma) + 7 * acc.dev + 4)
-                              // 8,
-                       ewma := (x.ewma + 7 * acc.ewma + 4) // 8,
-                       n := acc.n + 1)
-               ) AS st
+               {_EWMA_REDUCE_SQL.format(order="us, okey, lineno", k=BAND_K)}
+               AS st
         FROM seq GROUP BY brand
     )
     SELECT brand,
@@ -287,7 +356,7 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds independently after one shuffle); per-key memory is the tick
     array, the same per-entity bound every sequence operator documents
     (pattern_run_counts), with streaming the answer for unbounded keys
-    (the state is two longs).
+    (the state is two longs; streaming/stateful.py running_ewma_band).
 
     ORACLE HAZARD, pinned here and in ewma_band_state's docstring:
     DuckDB 1.0.0's 2-arg list_reduce evaluates the result struct's
@@ -296,28 +365,8 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NEW value. Both twins therefore order fields so that no field
     reads a slot written before it within a step (breach counters, then
     dev, then ewma, then n), which is correct under BOTH in-place and
-    functional evaluation. The explode-wrapped expansion below keeps
-    Catalyst's CollapseProject from inlining the fold once per output
-    column (5x the work; a Generator is a projection barrier)."""
-    seq = _li_seq(spark, sf_dir)
-    ticks = seq.groupBy("brand").agg(
-        F.collect_list(F.struct("o", "px")).alias("ticks")
-    )
-    st = ewma_band_fold(
-        F.transform(F.array_sort("ticks"), lambda t: t["px"])
-    )
-    return (
-        ticks.select("brand", F.explode(F.array(st)).alias("st"))
-        .select(
-            "brand",
-            F.col("st.n").alias("n_ticks"),
-            F.col("st.ewma").alias("ewma_e2"),
-            F.col("st.dev").alias("dev_e2"),
-            F.col("st.n_above").alias("n_above"),
-            F.col("st.n_below").alias("n_below"),
-        )
-        .orderBy("brand")
-    )
+    functional evaluation."""
+    return _ewma_select(_li_seq(spark, sf_dir), "brand", "n_ticks")
 
 
 @register(
@@ -326,7 +375,8 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS ({_LI_SEQ_SQL}),
     dd AS (
         SELECT brand, px,
-               max(px) OVER (PARTITION BY brand ORDER BY o
+               max(px) OVER (PARTITION BY brand
+                             ORDER BY us, okey, lineno
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) - px AS drawdown
         FROM seq
@@ -350,7 +400,7 @@ def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _li_seq(spark, sf_dir)
     w = (
         Window.partitionBy("brand")
-        .orderBy("o")
+        .orderBy("o.us", "o.okey", "o.lineno")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dd = seq.select(
@@ -372,34 +422,11 @@ def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_value_ewma_band",
     oracle=f"""
-    WITH seq AS (
-        SELECT user_id,
-               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS o,
-               CAST(round(value * 100) AS BIGINT) AS px
-        FROM events
-    ),
+    WITH seq AS ({_EV_SEQ_SQL}),
     folded AS (
         SELECT user_id,
-               list_reduce(
-                   list(struct_pack(
-                       n_above := CAST(0 AS BIGINT),
-                       n_below := CAST(0 AS BIGINT),
-                       dev := CAST(0 AS BIGINT),
-                       ewma := px,
-                       n := CAST(1 AS BIGINT)) ORDER BY o),
-                   (acc, x) -> struct_pack(
-                       n_above := acc.n_above + CASE
-                           WHEN x.ewma > acc.ewma + {BAND_K} * acc.dev
-                           THEN 1 ELSE 0 END,
-                       n_below := acc.n_below + CASE
-                           WHEN x.ewma < acc.ewma - {BAND_K} * acc.dev
-                           THEN 1 ELSE 0 END,
-                       dev := (abs(x.ewma - acc.ewma) + 7 * acc.dev + 4)
-                              // 8,
-                       ewma := (x.ewma + 7 * acc.ewma + 4) // 8,
-                       n := acc.n + 1)
-               ) AS st
+               {_EWMA_REDUCE_SQL.format(order="us, eid", k=BAND_K)}
+               AS st
         FROM seq GROUP BY user_id
     )
     SELECT user_id,
@@ -425,48 +452,16 @@ def user_value_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     values stays cross-engine exact (both engines truncate), only the
     tie direction below zero changes — the streaming twin emulates the
     same truncation."""
-    ev = load(spark, "events", sf_dir)
-    seq = ev.select(
-        "user_id",
-        F.concat(
-            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ).alias("o"),
-        F.round(F.col("value") * 100).cast("long").alias("px"),
-    )
-    ticks = seq.groupBy("user_id").agg(
-        F.collect_list(F.struct("o", "px")).alias("ticks")
-    )
-    st = ewma_band_fold(
-        F.transform(F.array_sort("ticks"), lambda t: t["px"])
-    )
-    return (
-        ticks.select("user_id", F.explode(F.array(st)).alias("st"))
-        .select(
-            "user_id",
-            F.col("st.n").alias("n_events"),
-            F.col("st.ewma").alias("ewma_e2"),
-            F.col("st.dev").alias("dev_e2"),
-            F.col("st.n_above").alias("n_above"),
-            F.col("st.n_below").alias("n_below"),
-        )
-        .orderBy("user_id")
-    )
+    return _ewma_select(_ev_seq(spark, sf_dir), "user_id", "n_events")
 
 
 @register(
     "user_value_max_drawdown",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id,
-               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS o,
-               CAST(round(value * 100) AS BIGINT) AS px
-        FROM events
-    ),
+    oracle=f"""
+    WITH seq AS ({_EV_SEQ_SQL}),
     dd AS (
         SELECT user_id, px,
-               max(px) OVER (PARTITION BY user_id ORDER BY o
+               max(px) OVER (PARTITION BY user_id ORDER BY us, eid
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) - px AS drawdown
         FROM seq
@@ -483,21 +478,13 @@ def user_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of part_brand_max_drawdown, and the batch twin of
     streaming/stateful.py running_drawdown: the metric is computable
     with O(1) state (running peak + running max drawdown), which is why
-    the streaming twin carries exactly two longs. Same single
-    brand-window shape: one user-partitioned cummax window whose
-    partitioning the rollup reuses, plus the presentation sort."""
-    ev = load(spark, "events", sf_dir)
-    seq = ev.select(
-        "user_id",
-        F.concat(
-            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ).alias("o"),
-        F.round(F.col("value") * 100).cast("long").alias("px"),
-    )
+    the streaming twin carries exactly two longs. Same single-window
+    shape: one user-partitioned cummax window whose partitioning the
+    rollup reuses, plus the presentation sort."""
+    seq = _ev_seq(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("o")
+        .orderBy("o.us", "o.eid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dd = seq.select(
