@@ -874,3 +874,85 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("maybe_present") & ~F.col("present"), 1).otherwise(0)
         ).alias("n_false_positive"),
     )
+
+
+_SPAN_L = 8  # tokens per span — the "long repeated substring" threshold
+_SPAN_TOP = 100
+
+
+@register(
+    "cross_doc_repeated_spans",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {_SPAN_L} + 2),
+                      i -> array_to_string(
+                          a[CAST(i AS INT):CAST(i + {_SPAN_L} - 1 AS INT)],
+                          ' '))) AS span
+        FROM arrs WHERE len(a) >= {_SPAN_L}
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM spans
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT {_SPAN_TOP}
+    """,
+)
+def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated EXACT spans: every 8-token window that
+    appears verbatim in two or more distinct documents, with its doc
+    and occurrence counts — substring-LEVEL duplication (boilerplate,
+    licenses, templated paragraphs) that document-level dedup
+    (fingerprints, MinHash) cannot see because the containing documents
+    differ. This is the span-granular complement the
+    training-data-dedup literature calls for (long repeated substrings
+    inflate memorization); winnowing (dedup_winnowing) approximates the
+    same signal with sampled hashes, this query is the exact form.
+
+    Plan shape: one map-side explode of |tokens| span rows per document
+    (the positioned-n-gram construction doc_repetition_flags uses, L=8)
+    into ONE shuffle keyed on the span string, then count-distinct docs
+    per span — the inverted-index shape. No pairwise step exists at any
+    scale: a span repeated a million times is one group with counter
+    state, not 10^12 pairs. The top-100 presentation limit rides a
+    total order (span is the group key, hence unique)."""
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tx._tokens(F.col("text")).alias("a")
+    )
+    idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
+    span_arr = F.when(
+        F.size("a") >= _SPAN_L,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at("a", (i + j).cast("int"))
+                    for j in range(_SPAN_L)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toked.select(
+        "doc_id", F.explode(span_arr).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span"
+        )
+        .limit(_SPAN_TOP)
+    )

@@ -47,6 +47,8 @@ SHUFFLE_BUDGET = {
     "dedup_component_groups": 2,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
+    # span explode (map-side) -> one span-keyed agg -> TakeOrdered
+    "cross_doc_repeated_spans": 2,
     # post-checkpoint sketch membership: the distinct-shuffle ran at
     # sketch build; joins over k-row sketches + pad/union fold
     "kmv_priority_intersect": 2,
