@@ -956,3 +956,146 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SPAN_TOP)
     )
+
+
+
+_COVER_FLAG_E4 = 5000  # flag docs with >= 50% of tokens inside repeated spans
+_COVER_E4 = (
+    f"(2 * n_covered * 10000 + n_tokens) // (2 * n_tokens)"
+)
+
+
+@register(
+    "doc_boilerplate_coverage",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {_SPAN_L} + 2),
+                      i -> struct_pack(
+                          pos := i,
+                          span := array_to_string(
+                              a[CAST(i AS INT):CAST(i + {_SPAN_L} - 1 AS INT)],
+                              ' ')))) AS s
+        FROM arrs WHERE len(a) >= {_SPAN_L}
+    ),
+    flat AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM occ),
+    rep AS (
+        SELECT span FROM flat GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT f.doc_id, count(DISTINCT f.pos + u.idx) AS n_covered
+        FROM flat f
+        JOIN rep r USING (span)
+        CROSS JOIN (SELECT unnest(range({_SPAN_L})) AS idx) u
+        GROUP BY f.doc_id
+    ),
+    per_doc AS (
+        SELECT a.source, len(a.a) AS n_tokens,
+               coalesce(c.n_covered, 0) AS n_covered
+        FROM arrs a LEFT JOIN cov c ON a.doc_id = c.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_repeats,
+           CAST(sum(CASE WHEN {_COVER_E4} >= {_COVER_FLAG_E4}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(max({_COVER_E4}) AS BIGINT) AS max_coverage_e4,
+           CAST(sum(n_covered) AS BIGINT) AS covered_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate coverage audit: for each document, the
+    fraction of its tokens lying inside at least one cross-document
+    repeated 8-token span (cross_doc_repeated_spans' signal turned into
+    the per-document FILTERING statistic — the Gopher/RefinedWeb-style
+    "duplicated n-gram coverage" quality dimension). A document half
+    covered by spans that also appear elsewhere is templated
+    boilerplate even when its fingerprint and MinHash signature are
+    unique. Exact integer end-to-end: covered-token counts are distinct
+    position counts, coverage is the half-up e4 ratio.
+
+    Plan shape, all inverted-index moves: positioned spans explode
+    map-side; repeated spans come from one span-keyed aggregate; the
+    occurrence-by-repeated-span join shuffles on the span string (never
+    doc x doc); covered positions fan out map-side (sequence explode, 8
+    rows per occurrence — bounded by L) into a distinct-count per doc;
+    the source rollup is |sources|-ary. A span repeated a million times
+    is counter state and one join key, not a pairwise blowup."""
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", tx._tokens(F.col("text")).alias("a")
+    )
+    idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
+    occ_arr = F.when(
+        F.size("a") >= _SPAN_L,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("a", (i + j).cast("int"))
+                        for j in range(_SPAN_L)
+                    ],
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
+    flat = toked.select(
+        "doc_id", F.explode(occ_arr).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
+    rep = (
+        flat.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    cov = (
+        flat.join(rep, "span")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_L - 1))
+            ).alias("tok_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok_idx").alias("n_covered"))
+    )
+    per_doc = (
+        toked.select("doc_id", "source", F.size("a").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+        )
+    )
+    cover_e4 = F.expr(
+        "(2 * n_covered * 10000 + n_tokens) div (2 * n_tokens)"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_covered") > 0).cast("long")).alias(
+                "n_docs_with_repeats"
+            ),
+            F.sum(
+                (cover_e4 >= _COVER_FLAG_E4).cast("long")
+            ).alias("n_flagged"),
+            F.max(cover_e4).alias("max_coverage_e4"),
+            F.sum("n_covered").alias("covered_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

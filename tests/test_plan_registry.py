@@ -49,6 +49,9 @@ SHUFFLE_BUDGET = {
     "dedup_exact_survivors": 2,
     # span explode (map-side) -> one span-keyed agg -> TakeOrdered
     "cross_doc_repeated_spans": 2,
+    # repeated-span agg + span join + per-doc distinct-count + doc join
+    # + source rollup/sort — all inverted-index keyed, never doc x doc
+    "doc_boilerplate_coverage": 6,
     # post-checkpoint sketch membership: the distinct-shuffle ran at
     # sketch build; joins over k-row sketches + pad/union fold
     "kmv_priority_intersect": 2,
