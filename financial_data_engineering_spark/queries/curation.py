@@ -388,7 +388,13 @@ def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n, gram) then (doc_id) — so everything clusters on doc_id and
     scales per-document with no corpus-wide state."""
     docs = load(spark, "documents", sf_dir)
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("a"))
+    # Pre-explode repartition: the compressed documents file is one input
+    # partition, so the positioned bi+tri-gram fan-out (|tokens| x 2 rows
+    # per doc) would otherwise run in a single task (measured 15.7 s at
+    # the sf1 replica). Spread the doc rows before the explosion.
+    toked = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", tokens(F.col("text")).alias("a"))
 
     def gram(n: int) -> F.Column:
         idx = F.sequence(F.lit(1), F.size("a") - (n - 1))

@@ -924,8 +924,16 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, not 10^12 pairs. The top-100 presentation limit rides a
     total order (span is the group key, hence unique)."""
     docs = load(spark, "documents", sf_dir)
-    toked = docs.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", tx._tokens(F.col("text")).alias("a")
+    # Pre-explode repartition: a compressed documents file is tiny (text
+    # repeats compress away), so the scan yields ONE input partition —
+    # and the |tokens|-row span fan-out would run in one task. Spreading
+    # the 50k doc rows first costs a trivial shuffle and unlocks full
+    # parallelism for the explosive stage (the general rule: repartition
+    # BEFORE a fan-out whose output dwarfs its compressed input).
+    toked = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tx._tokens(F.col("text")).alias("a"))
     )
     idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
     span_arr = F.when(
@@ -1031,8 +1039,12 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source rollup is |sources|-ary. A span repeated a million times
     is counter state and one join key, not a pairwise blowup."""
     docs = load(spark, "documents", sf_dir)
-    toked = docs.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", "source", tx._tokens(F.col("text")).alias("a")
+    # Pre-explode repartition: same single-compressed-file fan-out issue
+    # as cross_doc_repeated_spans (see the comment there).
+    toked = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", tx._tokens(F.col("text")).alias("a"))
     )
     idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
     occ_arr = F.when(
