@@ -501,3 +501,81 @@ def user_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "user_value_rolling_band",
+    oracle=f"""
+    WITH seq AS ({_EV_SEQ_SQL}),
+    stats AS (
+        SELECT user_id, px,
+               count(px) OVER w AS n,
+               sum(px) OVER w AS s,
+               sum(px * px) OVER w AS ss
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, eid
+                     ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING)
+    ),
+    flags AS (
+        SELECT user_id,
+               CASE WHEN n >= {ROLL_MIN} THEN 1 ELSE 0 END AS eval,
+               CASE WHEN n >= {ROLL_MIN} AND n * px - s > 0
+                     AND (n * px - s) * (n * px - s)
+                         > {BAND_K * BAND_K} * (n * ss - s * s)
+                    THEN 1 ELSE 0 END AS above,
+               CASE WHEN n >= {ROLL_MIN} AND n * px - s < 0
+                     AND (n * px - s) * (n * px - s)
+                         > {BAND_K * BAND_K} * (n * ss - s * s)
+                    THEN 1 ELSE 0 END AS below
+        FROM stats
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(eval) AS BIGINT) AS n_eval,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(sum(below) AS BIGINT) AS n_below
+    FROM flags GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling value-band breach counter — the events-table
+    sibling of part_brand_rolling_band (identical all-int64 squared
+    inequality), and the batch twin of streaming/stateful.py
+    running_rolling_band, whose state is the last ROLL_N (ts, id, px)
+    observations per user — the window IS the state, so streaming this
+    metric needs exactly 20 tuples per key. One user-partitioned window
+    shuffle reused by the rollup, plus the presentation sort."""
+    seq = _ev_seq(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("o.us", "o.eid")
+        .rowsBetween(-ROLL_N, -1)
+    )
+    px = F.col("px")
+    stats = seq.select(
+        "user_id",
+        px,
+        F.count(px).over(w).alias("n"),
+        F.sum(px).over(w).alias("s"),
+        F.sum(px * px).over(w).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    eligible = n >= ROLL_MIN
+    diff = n * px - s
+    breach = diff * diff > F.lit(BAND_K * BAND_K) * (n * ss - s * s)
+    flags = stats.select(
+        "user_id",
+        eligible.cast("long").alias("eval"),
+        (eligible & (diff > 0) & breach).cast("long").alias("above"),
+        (eligible & (diff < 0) & breach).cast("long").alias("below"),
+    )
+    return (
+        flags.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("eval").alias("n_eval"),
+            F.sum("above").alias("n_above"),
+            F.sum("below").alias("n_below"),
+        )
+        .orderBy("user_id")
+    )

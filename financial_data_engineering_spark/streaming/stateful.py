@@ -824,3 +824,108 @@ def running_drawdown(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ROLLBAND_OUTPUT = (
+    "user_id long, n_events long, n_eval long, n_above long, n_below long"
+)
+
+#: per-user rolling-band state: the last ROLL_N observations (parallel
+#: (micros, id, px) arrays — the ROWS window IS the state, so streaming
+#: this metric needs exactly ROLL_N tuples per key) plus the counters.
+ROLLBAND_STATE = (
+    "w_us array<long>, w_id array<long>, w_px array<long>, "
+    "n_events long, n_eval long, n_above long, n_below long"
+)
+
+
+def _fold_rolling_band(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay this batch's slice in (ts, event_id)
+    order past the high-water mark (the window's tail), evaluating each
+    observation against the previous <= ROLL_N with the batch query's
+    exact integer squared-inequality, then sliding the window. Python
+    ints make the arithmetic arbitrary-precision, which is fine: the
+    batch side is proven in-int64 by its headroom bound, so both
+    compute the same values."""
+    from financial_data_engineering_spark.operators.finance import BAND_K
+    from financial_data_engineering_spark.queries.finance import (
+        ROLL_MIN,
+        ROLL_N,
+    )
+
+    if state.exists:
+        w_us, w_id, w_px, n_ev, n_eval, na, nb = state.get
+        w_us, w_id, w_px = list(w_us), list(w_id), list(w_px)
+    else:
+        w_us, w_id, w_px = [], [], []
+        n_ev = n_eval = na = nb = 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, px in zip(batch["ts"], batch["event_id"], batch["px"]):
+            micros, ident, x = int(ts.value // 1000), int(eid), int(px)
+            if w_us and (micros, ident) <= (w_us[-1], w_id[-1]):
+                continue  # late vs state: the window is order-dependent
+            n = len(w_px)
+            if n >= ROLL_MIN:
+                n_eval += 1
+                s = sum(w_px)
+                ss = sum(v * v for v in w_px)
+                diff = n * x - s
+                if diff * diff > BAND_K * BAND_K * (n * ss - s * s):
+                    if diff > 0:
+                        na += 1
+                    elif diff < 0:
+                        nb += 1
+            w_us.append(micros)
+            w_id.append(ident)
+            w_px.append(x)
+            if len(w_px) > ROLL_N:
+                w_us.pop(0)
+                w_id.pop(0)
+                w_px.pop(0)
+            n_ev += 1
+    state.update((w_us, w_id, w_px, n_ev, n_eval, na, nb))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_ev],
+            "n_eval": [n_eval],
+            "n_above": [na],
+            "n_below": [nb],
+        }
+    )
+
+
+def running_rolling_band(events: DataFrame) -> DataFrame:
+    """Per-user running rolling-band breach counters — the streaming
+    twin of ``user_value_rolling_band`` (queries/finance.py). The ROWS
+    window is the state: exactly the last ROLL_N (ts, id, px) tuples
+    per user cross each batch boundary, so boundary-spanning windows
+    evaluate with identical integer arithmetic (parity-tested).
+    Out-of-order arrivals across batches drop at the window-tail guard,
+    the ordered-replay contract of the TWAP/EWMA twins."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("px"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_rolling_band,
+            outputStructType=ROLLBAND_OUTPUT,
+            stateStructType=ROLLBAND_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

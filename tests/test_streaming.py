@@ -684,3 +684,47 @@ def test_running_drawdown_matches_batch_query(spark, events_dir, tmp_path):
     want = q.all_queries()["user_value_max_drawdown"](spark, SF_SMALL)
     cols = ["user_id", "n_events", "peak_e2", "max_drawdown_e2"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_rolling_band_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming rolling-band twin: time-ordered two-batch replay must
+    equal the batch windowed query exactly — the last ROLL_N
+    observations cross the boundary in state, so windows spanning the
+    split evaluate identically."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "rb_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_rolling_band,
+    )
+
+    stream = running_rolling_band(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "rb_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_events, n_eval, n_above, n_below FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM rb_updates) WHERE rn = 1"""
+    )
+    want = q.all_queries()["user_value_rolling_band"](spark, SF_SMALL)
+    cols = ["user_id", "n_events", "n_eval", "n_above", "n_below"]
+    assert _rows(got, cols) == _rows(want, cols)
