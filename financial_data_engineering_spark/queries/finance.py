@@ -11,13 +11,20 @@ enter as e2 longs, every derived quantity is int64 arithmetic (squared-
 inequality forms instead of sqrt, half-up fixed-point division instead
 of float EWMA), so DuckDB replays every bit.
 
-Event-time total order: ticks order by the NATIVE integer triple
-(epoch_us(shipdate), orderkey, linenumber) — (orderkey, linenumber) is
-unique, so the order is total and open/close deterministic. Spark takes
-the triple as a struct (min_by/max_by and array_sort order structs
-field-by-field); DuckDB takes it as aggregate/window ORDER BY clauses
-(its arg_min has no composite form, but first/last and list() accept
-ORDER BY). Round-7 measurement: the first cut packed the triple into a
+Event-time order: ticks order by the NATIVE integer quadruple
+(epoch_us(shipdate), orderkey, linenumber, px). The px tiebreak is
+LOAD-BEARING: the synthetic lineitem does NOT keep (orderkey,
+linenumber) unique (118k duplicated groups at sf0.1, 3 of them within
+one brand with differing prices — found live as a one-tick n_up/n_down
+flip in the returns oracle), so the timestamp triple alone is not a
+total order. With px appended, rows that still tie are identical in
+every field these queries read (brand, time, price; volume only enters
+order-independent sums), so any residual order is interchangeable —
+determinism by value-equivalence rather than by key uniqueness. Spark
+takes the quadruple as a struct (min_by/max_by and array_sort order
+structs field-by-field); DuckDB takes it as aggregate/window ORDER BY
+clauses (its arg_min has no composite form, but first/last and list()
+accept ORDER BY). Round-7 measurement: the first cut packed the triple into a
 zero-padded 34-char string, and building + comparing those strings cost
 ~2.5x the whole aggregate (2.4-3.1 s vs 0.9-1.0 s at sf0.1 for the OHLC
 query) — per-row string construction on the 100 TB side of a plan is a
@@ -82,6 +89,11 @@ def _li_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("l_shipdate").alias("us"),
             F.col("l_orderkey").alias("okey"),
             F.col("l_linenumber").cast("long").alias("lineno"),
+            # px tiebreak — see module docstring (the triple alone is
+            # NOT unique in this data)
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("tb"),
         ).alias("o"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("px"),
         F.col("l_quantity").cast("long").alias("qty"),
@@ -163,10 +175,10 @@ def _ewma_select(df: DataFrame, key: str, n_alias: str) -> DataFrame:
     WITH seq AS ({_LI_SEQ_SQL})
     SELECT brand,
            strftime(bar_m, '%Y-%m') AS bar_month,
-           first(px ORDER BY us, okey, lineno) AS open_e2,
+           first(px ORDER BY us, okey, lineno, px) AS open_e2,
            max(px) AS high_e2,
            min(px) AS low_e2,
-           last(px ORDER BY us, okey, lineno) AS close_e2,
+           last(px ORDER BY us, okey, lineno, px) AS close_e2,
            count(*) AS n_trades,
            CAST(sum(qty) AS BIGINT) AS volume
     FROM seq
@@ -251,7 +263,7 @@ def user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(px) OVER w AS s,
                sum(px * px) OVER w AS ss
         FROM seq
-        WINDOW w AS (PARTITION BY brand ORDER BY us, okey, lineno
+        WINDOW w AS (PARTITION BY brand ORDER BY us, okey, lineno, px
                      ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING)
     ),
     flags AS (
@@ -292,7 +304,7 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _li_seq(spark, sf_dir)
     w = (
         Window.partitionBy("brand")
-        .orderBy("o.us", "o.okey", "o.lineno")
+        .orderBy("o.us", "o.okey", "o.lineno", "o.tb")
         .rowsBetween(-ROLL_N, -1)
     )
     px = F.col("px")
@@ -331,7 +343,7 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS ({_LI_SEQ_SQL}),
     folded AS (
         SELECT brand,
-               {_EWMA_REDUCE_SQL.format(order="us, okey, lineno", k=BAND_K)}
+               {_EWMA_REDUCE_SQL.format(order="us, okey, lineno, px", k=BAND_K)}
                AS st
         FROM seq GROUP BY brand
     )
@@ -376,7 +388,7 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd AS (
         SELECT brand, px,
                max(px) OVER (PARTITION BY brand
-                             ORDER BY us, okey, lineno
+                             ORDER BY us, okey, lineno, px
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) - px AS drawdown
         FROM seq
@@ -400,7 +412,7 @@ def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _li_seq(spark, sf_dir)
     w = (
         Window.partitionBy("brand")
-        .orderBy("o.us", "o.okey", "o.lineno")
+        .orderBy("o.us", "o.okey", "o.lineno", "o.tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dd = seq.select(
@@ -578,4 +590,68 @@ def user_value_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("below").alias("n_below"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "part_brand_return_stats",
+    oracle=f"""
+    WITH seq AS ({_LI_SEQ_SQL}),
+    rets AS (
+        SELECT brand,
+               CAST((2 * (px - lag(px) OVER w) * 10000
+                     + lag(px) OVER w)
+                    // (2 * lag(px) OVER w) AS BIGINT) AS r_e4
+        FROM seq
+        WINDOW w AS (PARTITION BY brand ORDER BY us, okey, lineno, px)
+    )
+    SELECT brand,
+           count(*) AS n_returns,
+           CAST(min(r_e4) AS BIGINT) AS min_r_e4,
+           CAST(max(r_e4) AS BIGINT) AS max_r_e4,
+           CAST((2 * sum(r_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_r_e4,
+           CAST(sum(CASE WHEN r_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+           CAST(sum(CASE WHEN r_e4 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+    FROM rets WHERE r_e4 IS NOT NULL
+    GROUP BY brand ORDER BY brand
+    """,
+)
+def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-tick simple-return distribution per brand, log-free and
+    integer-exact: r_e4 = half-up of (px_t - px_{t-1}) * 1e4 / px_{t-1}
+    (basis points of the e2 price; prices are positive, so the lag
+    denominator never vanishes). Mean/min/max/up-down counts complete
+    the band/drawdown risk picture with the return-side marginals. The
+    half-up idiom rounds negative returns toward zero on both engines
+    (div truncates; documented on user_value_ewma_band). One lag window
+    on brand whose partitioning the rollup reuses, plus the
+    presentation sort — the drawdown/band budget."""
+    seq = _li_seq(spark, sf_dir)
+    w = Window.partitionBy("brand").orderBy("o.us", "o.okey", "o.lineno", "o.tb")
+    prev = F.lag("px").over(w)
+    r_e4 = F.expr(
+        "CAST((2 * (px - _prev) * 10000 + _prev) div (2 * _prev) AS BIGINT)"
+    )
+    rets = (
+        seq.select("brand", "px", prev.alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .select("brand", r_e4.alias("r_e4"))
+    )
+    return (
+        rets.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_returns"),
+            F.min("r_e4").alias("min_r_e4"),
+            F.max("r_e4").alias("max_r_e4"),
+            F.expr(
+                "CAST((2 * sum(r_e4) + count(*)) div (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("mean_r_e4"),
+            F.sum((F.col("r_e4") > 0).cast("long")).alias("n_up"),
+            F.sum((F.col("r_e4") < 0).cast("long")).alias("n_down"),
+        )
+        .orderBy("brand")
     )

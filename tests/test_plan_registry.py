@@ -200,6 +200,8 @@ SHUFFLE_BUDGET = {
     "user_value_max_drawdown": 2,
     # user window (rolling sums) + rollup reusing partitioning + sort
     "user_value_rolling_band": 2,
+    # brand lag window + rollup reusing partitioning + sort
+    "part_brand_return_stats": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort
