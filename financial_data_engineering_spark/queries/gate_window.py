@@ -1,62 +1,26 @@
 """Driver gate window ordering — GENERATED, do not edit.
 
 Regenerate with ``python tools/gen_gate_window.py`` (CI asserts
-freshness via --check). Policy and provenance live in the
-generator's docstring; the trailing comment on each line is the
-query's latest driver-green round (never = no driver row yet).
+freshness via --check against GATE_WINDOW_INPUTS below, so a
+driver-written CORRECTNESS file newer than the last regeneration
+does not flunk the committed ordering). Policy and provenance
+live in the generator's docstring; the trailing comment on each
+line is the query's latest driver-green round (never = no
+driver row yet).
 """
 
+#: CORRECTNESS files this ordering derives from (path -> sha256/16).
+GATE_WINDOW_INPUTS = {
+    "CORRECTNESS_r01.json": "1f593b66032e8e9f",
+    "CORRECTNESS_r02.json": "1f593b66032e8e9f",
+    "CORRECTNESS_r03.json": "6ebfdf79e2a23324",
+    "CORRECTNESS_r04.json": "2dc9bba62afca641",
+    "CORRECTNESS_r05.json": "8616d396e1a15c5b",
+    "CORRECTNESS_r06.json": "b6990091b8fffb4e",
+    "CORRECTNESS_r07.json": "7e81c5463a3be4ca",
+}
+
 GATE_WINDOW = [
-    "part_brand_vwap",  # never
-    "customer_order_gaps",  # never
-    "user_value_twap",  # never
-    "dedup_bloom_screen",  # never
-    "part_brand_ohlc_monthly",  # never
-    "user_value_ohlc",  # never
-    "part_brand_rolling_band",  # never
-    "part_brand_ewma_band",  # never
-    "order_priority_delayed_counts",  # never
-    "event_type_cm_audit",  # never
-    "part_brand_max_drawdown",  # never
-    "user_value_ewma_band",  # never
-    "user_value_max_drawdown",  # never
-    "cross_doc_repeated_spans",  # never
-    "doc_boilerplate_coverage",  # never
-    "user_value_rolling_band",  # never
-    "part_brand_return_stats",  # never
-    "event_transition_counts",  # r5
-    "user_value_gapfill",  # r5
-    "orders_priority_pivot",  # r5
-    "customer_revenue_deciles",  # r5
-    "nation_revenue_running_share",  # r5
-    "top_parts_per_nation",  # r5
-    "part_fuzzy_name_blocks",  # r5
-    "nations_full_priority_coverage",  # r5
-    "kmv_priority_intersect",  # r5
-    "embedding_label_centroids",  # r5
-    "user_rolling_value_7d",  # r5
-    "lineitem_quantity_mad_outliers",  # r5
-    "ann_rrf_fusion",  # r5
-    "event_props_rollup",  # r5
-    "doc_split_assign",  # r5
-    "doc_mix_rebalance",  # r5
-    "dedup_incremental_new_unique",  # r5
-    "dedup_group_representatives",  # r5
-    "dedup_incremental_minhash",  # r5
-    "date_dimension",  # r5
-    "surrogate_keys_nation",  # r5
-    "fact_orders_star",  # r5
-    "customer_priority_scd2",  # r5
-    "lineitem_priority_asof",  # r5
-    "hourly_event_rollup",  # r5
-    "sliding_event_counts",  # r5
-    "event_funnel_pairs",  # r5
-    "events_asof_latest_order",  # r5
-    "event_rollup_grouping_sets",  # r5
-    "sliding_active_users",  # r5
-    "user_browse_to_buy_runs",  # r5
-    "multimodal_resize_stats",  # r5
-    "multimodal_frame_stats",  # r5
     "quality_freshness_events",  # r5
     "quality_completeness_lineitem",  # r5
     "quality_uniqueness_orders",  # r5
@@ -124,4 +88,54 @@ GATE_WINDOW = [
     "customer_overlapping_orders",  # r6
     "shipping_priority_revenue",  # r6
     "region_local_supplier_volume",  # r6
+    "part_brand_vwap",  # r7
+    "customer_order_gaps",  # r7
+    "user_value_twap",  # r7
+    "dedup_bloom_screen",  # r7
+    "part_brand_ohlc_monthly",  # r7
+    "user_value_ohlc",  # r7
+    "part_brand_rolling_band",  # r7
+    "part_brand_ewma_band",  # r7
+    "order_priority_delayed_counts",  # r7
+    "event_type_cm_audit",  # r7
+    "part_brand_max_drawdown",  # r7
+    "user_value_ewma_band",  # r7
+    "user_value_max_drawdown",  # r7
+    "cross_doc_repeated_spans",  # r7
+    "doc_boilerplate_coverage",  # r7
+    "user_value_rolling_band",  # r7
+    "part_brand_return_stats",  # r7
+    "event_transition_counts",  # r7
+    "user_value_gapfill",  # r7
+    "orders_priority_pivot",  # r7
+    "customer_revenue_deciles",  # r7
+    "nation_revenue_running_share",  # r7
+    "top_parts_per_nation",  # r7
+    "part_fuzzy_name_blocks",  # r7
+    "nations_full_priority_coverage",  # r7
+    "kmv_priority_intersect",  # r7
+    "embedding_label_centroids",  # r7
+    "user_rolling_value_7d",  # r7
+    "lineitem_quantity_mad_outliers",  # r7
+    "ann_rrf_fusion",  # r7
+    "event_props_rollup",  # r7
+    "doc_split_assign",  # r7
+    "doc_mix_rebalance",  # r7
+    "dedup_incremental_new_unique",  # r7
+    "dedup_group_representatives",  # r7
+    "dedup_incremental_minhash",  # r7
+    "date_dimension",  # r7
+    "surrogate_keys_nation",  # r7
+    "fact_orders_star",  # r7
+    "customer_priority_scd2",  # r7
+    "lineitem_priority_asof",  # r7
+    "hourly_event_rollup",  # r7
+    "sliding_event_counts",  # r7
+    "event_funnel_pairs",  # r7
+    "events_asof_latest_order",  # r7
+    "event_rollup_grouping_sets",  # r7
+    "sliding_active_users",  # r7
+    "user_browse_to_buy_runs",  # r7
+    "multimodal_resize_stats",  # r7
+    "multimodal_frame_stats",  # r7
 ]

@@ -24,10 +24,15 @@ and value hash all match; a ``no_oracle`` row counts as checked (the
 rows-only check is the strongest the driver can run for it).
 
 The full ordering (every registered query) is written to
-``financial_data_engineering_spark/queries/gate_window.py``; the
-registry's ``reorder`` applies it at import. ``--check`` exits 1 when
-the committed file is stale (wired into tests/test_registry.py, like
-the README counts).
+``financial_data_engineering_spark/queries/gate_window.py`` together
+with a ``GATE_WINDOW_INPUTS`` digest of the CORRECTNESS files it was
+generated from. ``--check`` validates against those *declared* inputs,
+not the current glob: the driver writes ``CORRECTNESS_r{N}.json`` AFTER
+the round's final commit, so a freshly-appeared newer round must not
+flunk the committed file (the round-7 boundary race). Staleness is:
+a declared input changed or vanished, an input OLDER than the newest
+declared round appeared undeclared, or the committed ordering does not
+match regeneration from the declared inputs.
 
 Usage: python tools/gen_gate_window.py [--check]
 """
@@ -35,6 +40,7 @@ Usage: python tools/gen_gate_window.py [--check]
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import re
 import sys
@@ -50,6 +56,22 @@ OUT_PATH = "financial_data_engineering_spark/queries/gate_window.py"
 FORCE_FIRST: list[str] = []
 
 
+def _round_of(path: str) -> int | None:
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else None
+
+
+def correctness_files() -> list[str]:
+    return sorted(
+        p for p in glob.glob("CORRECTNESS_r*.json") if _round_of(p) is not None
+    )
+
+
+def _digest(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
 def _is_checked(row: dict) -> bool:
     if row.get("err") == "no_oracle":
         return bool(row.get("spark_rows"))
@@ -61,19 +83,20 @@ def _is_checked(row: dict) -> bool:
     )
 
 
-def last_green_rounds() -> dict[str, int]:
+def last_green_rounds(paths: list[str] | None = None) -> dict[str, int]:
     """name -> latest round with a green (or no-oracle checked) row."""
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1))
+    for path in correctness_files() if paths is None else paths:
+        rnd = _round_of(path)
+        if rnd is None:
+            continue
         for name, row in json.load(open(path)).items():
             if _is_checked(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
-def compute_window() -> list[tuple[str, int | None]]:
+def compute_window(paths: list[str]) -> list[tuple[str, int | None]]:
     """Full registry ordering as (name, last_green_round|None) pairs."""
     from financial_data_engineering_spark.queries import registry
 
@@ -85,7 +108,7 @@ def compute_window() -> list[tuple[str, int | None]]:
 
     reg_order = list(registry.all_queries())
     pos = {n: i for i, n in enumerate(reg_order)}
-    greens = last_green_rounds()
+    greens = last_green_rounds(paths)
     force = set(FORCE_FIRST)
     unknown = sorted(force - set(pos))
     if unknown:
@@ -102,42 +125,91 @@ def compute_window() -> list[tuple[str, int | None]]:
     return [(n, greens.get(n)) for n in ordered]
 
 
-def render(pairs: list[tuple[str, int | None]]) -> str:
+def render(pairs: list[tuple[str, int | None]], paths: list[str]) -> str:
     lines = [
         '"""Driver gate window ordering — GENERATED, do not edit.',
         "",
         "Regenerate with ``python tools/gen_gate_window.py`` (CI asserts",
-        "freshness via --check). Policy and provenance live in the",
-        "generator's docstring; the trailing comment on each line is the",
-        "query's latest driver-green round (never = no driver row yet).",
+        "freshness via --check against GATE_WINDOW_INPUTS below, so a",
+        "driver-written CORRECTNESS file newer than the last regeneration",
+        "does not flunk the committed ordering). Policy and provenance",
+        "live in the generator's docstring; the trailing comment on each",
+        "line is the query's latest driver-green round (never = no",
+        "driver row yet).",
         '"""',
+        "",
+        "#: CORRECTNESS files this ordering derives from (path -> sha256/16).",
+        "GATE_WINDOW_INPUTS = {",
+    ]
+    for path in paths:
+        lines.append(f'    "{path}": "{_digest(path)}",')
+    lines += [
+        "}",
         "",
         "GATE_WINDOW = [",
     ]
     for name, rnd in pairs:
-        tag = f"r{rnd}" if rnd else "never"
+        tag = f"r{rnd}" if rnd is not None else "never"
         lines.append(f'    "{name}",  # {tag}')
     lines.append("]")
     return "\n".join(lines) + "\n"
 
 
+def _declared_inputs(text: str) -> dict[str, str] | None:
+    """Parse GATE_WINDOW_INPUTS from a committed gate_window.py body."""
+    m = re.search(r"GATE_WINDOW_INPUTS = \{(.*?)\}", text, re.S)
+    if not m:
+        return None
+    return dict(re.findall(r'"([^"]+)":\s*"([0-9a-f]+)"', m.group(1)))
+
+
+def check() -> None:
+    try:
+        current = open(OUT_PATH).read()
+    except FileNotFoundError:
+        raise SystemExit(f"{OUT_PATH} missing — run python tools/gen_gate_window.py")
+    declared = _declared_inputs(current)
+    if declared is None:
+        raise SystemExit(
+            f"{OUT_PATH} predates input digests — regenerate with "
+            "python tools/gen_gate_window.py"
+        )
+    present = correctness_files()
+    max_declared = max((_round_of(p) or 0 for p in declared), default=0)
+    stale: list[str] = []
+    for path, digest in declared.items():
+        try:
+            if _digest(path) != digest:
+                stale.append(f"declared input changed: {path}")
+        except FileNotFoundError:
+            stale.append(f"declared input missing: {path}")
+    for path in present:
+        if path not in declared and (_round_of(path) or 0) <= max_declared:
+            stale.append(f"undeclared input not newer than r{max_declared}: {path}")
+    if not stale:
+        expected = render(compute_window(sorted(declared)), sorted(declared))
+        if current != expected:
+            stale.append("ordering does not match regeneration from declared inputs")
+    if stale:
+        for reason in stale:
+            print(f"{OUT_PATH} is stale — {reason}", file=sys.stderr)
+        print("regenerate with python tools/gen_gate_window.py", file=sys.stderr)
+        raise SystemExit(1)
+    newer = [p for p in present if p not in declared]
+    suffix = f" (newer rounds pending next regeneration: {newer})" if newer else ""
+    print(f"{OUT_PATH} up to date{suffix}")
+
+
 def main() -> None:
-    check = "--check" in sys.argv
-    text = render(compute_window())
+    if "--check" in sys.argv:
+        check()
+        return
+    paths = correctness_files()
+    text = render(compute_window(paths), paths)
     try:
         current = open(OUT_PATH).read()
     except FileNotFoundError:
         current = None
-    if check:
-        if current != text:
-            print(
-                f"{OUT_PATH} is stale — regenerate with "
-                "python tools/gen_gate_window.py",
-                file=sys.stderr,
-            )
-            raise SystemExit(1)
-        print(f"{OUT_PATH} up to date")
-        return
     if current != text:
         with open(OUT_PATH, "w") as f:
             f.write(text)
