@@ -23,9 +23,16 @@ Scale shape:
   sequential recurrence BY DEFINITION (each output depends on the
   previous), so the scale axis is across keys — thousands of symbols
   fold in parallel, one ``aggregate`` over each symbol's sorted tick
-  array — never across time. For unbounded per-key histories, fold
-  incrementally in a stream (the state is two longs); the batch form
-  bounds per-key memory by the tick-array guard its caller applies.
+  array — never across time. The batch form bounds per-key memory by
+  SEGMENTED EXACT REPLAY (queries/finance.py ``_ewma_select``): when a
+  key's history exceeds the segment bound, ticks are ranked into
+  fixed-size segments, each segment folds as a bounded array, and the
+  O(1) final state carries into the next segment's fold via ``init`` —
+  bit-identical to one long fold because the recurrence is a left fold.
+  The sequential TIME cost across a single key's history is inherent to
+  the recurrence in any engine; incremental maintenance in a stream
+  (streaming/stateful.py ``running_ewma_band``, two-long state) is the
+  answer for histories that never stop growing.
 """
 
 from __future__ import annotations
@@ -135,19 +142,22 @@ def ewma_band_merge(acc: Column, x: Column) -> Column:
     return F.when(first, x).otherwise(step)
 
 
-def ewma_band_fold(sorted_px: Column) -> Column:
+def ewma_band_fold(sorted_px: Column, init: Column | None = None) -> Column:
     """Left-fold ``ewma_band_merge`` over a time-sorted array of e2
     prices; returns the final state struct (n_above, n_below, dev, ewma,
     n). The caller supplies the array already in event-time order —
     typically ``transform(array_sort(collect_list(struct(ord, px))),
-    s -> s.px)``."""
-    init = F.struct(
-        F.lit(0).cast("long").alias("n_above"),
-        F.lit(0).cast("long").alias("n_below"),
-        F.lit(0).cast("long").alias("dev"),
-        F.lit(0).cast("long").alias("ewma"),
-        F.lit(0).cast("long").alias("n"),
-    )
+    s -> s.px)``. ``init`` resumes the fold from a prior segment's final
+    state (segmented exact replay); the default empty state (n=0) makes
+    the first tick adopt itself via ``ewma_band_merge``'s first-case."""
+    if init is None:
+        init = F.struct(
+            F.lit(0).cast("long").alias("n_above"),
+            F.lit(0).cast("long").alias("n_below"),
+            F.lit(0).cast("long").alias("dev"),
+            F.lit(0).cast("long").alias("ewma"),
+            F.lit(0).cast("long").alias("n"),
+        )
     return F.aggregate(
         F.transform(sorted_px, ewma_band_state),
         init,

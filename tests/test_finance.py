@@ -72,6 +72,51 @@ def test_ewma_band_single_tick_is_lifted_state(spark):
     }
 
 
+def test_ewma_fold_init_resumes_exactly(spark):
+    """Folding [a,b,c,d] equals folding [c,d] with init = fold([a,b]) —
+    the left-fold composition segmented replay relies on."""
+    xs = [100, 250, 90, 410, 330, 75, 500]
+    for cut in range(1, len(xs)):
+        head, tail = xs[:cut], xs[cut:]
+        df = spark.createDataFrame(
+            [(xs, head, tail)],
+            "full array<long>, head array<long>, tail array<long>",
+        )
+        row = df.select(
+            ewma_band_fold(F.col("full")).alias("whole"),
+            ewma_band_fold(
+                F.col("tail"), init=ewma_band_fold(F.col("head"))
+            ).alias("resumed"),
+        ).collect()[0]
+        assert row.whole == row.resumed, f"cut={cut}"
+
+
+def test_ewma_segmented_replay_bit_identical(spark):
+    """_ewma_select with a tiny segment bound (forcing multi-segment
+    replay, including keys that end mid-segment and keys shorter than
+    one segment) matches the single-fold path exactly."""
+    from financial_data_engineering_spark.queries.finance import _ewma_select
+
+    rows = []
+    for k, n in [("a", 23), ("b", 7), ("c", 1), ("d", 40)]:
+        for i in range(n):
+            # deterministic pseudo-random walk, some ties in us
+            rows.append((k, (i * 7919) % 11, i, (i * 104729) % 9973))
+    df = spark.createDataFrame(
+        rows, "key string, us long, eid long, px long"
+    ).select(
+        "key",
+        F.struct(F.col("us"), F.col("eid")).alias("o"),
+        F.col("px"),
+    )
+    direct = _ewma_select(df, "key", "n_events").collect()
+    segmented = _ewma_select(df, "key", "n_events", seg_n=5).collect()
+    assert direct == segmented
+    assert {r.key: r.n_events for r in direct} == {
+        "a": 23, "b": 7, "c": 1, "d": 40
+    }
+
+
 def test_ohlc_bars_deterministic_with_negative_prices(spark):
     """open/close follow the order key, not the price sign; high/low
     are plain extremes; count/volume exact."""
