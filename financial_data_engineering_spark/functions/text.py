@@ -25,15 +25,36 @@ STOPWORDS = {
 PUNCT_CLASS = "[.,;:!?]"  # identical semantics in Java regex and RE2
 
 
-def _tokens(col: Column) -> Column:
+def tokens(col: Column) -> Column:
+    """THE whitespace-tokenization contract: lowercase → trim → split on
+    ``\\s+``. Every token-level statistic in the repo — repeated-span
+    detection and boilerplate coverage (queries/dedup.py), repetition
+    flags and vocab stats (queries/curation.py), language/quality scoring
+    (this module), and the shingle index feeding MinHash/Jaccard/SimHash
+    (llm/dedup.py re-exports this symbol) — tokenizes through this one
+    function, so their counts compose (a silent divergence would corrupt
+    the boilerplate-coverage statistic, which divides span-covered tokens
+    by repetition-flag-style token totals). The DuckDB twin is
+    :func:`sql_tokens`; cross-engine parity is pinned by
+    tests/test_llm_ops.py. Blank text tokenizes to [''] — callers that
+    need 0 for blank guard on ``length(trim(col)) == 0`` (see
+    :func:`token_count`)."""
     return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def sql_tokens(col: str) -> str:
+    """DuckDB rendering of :func:`tokens` — oracles must tokenize with
+    this exact string so the two engines can never drift."""
+    return f"regexp_split_to_array(trim(lower({col})), '\\s+')"
+
+
 
 
 def token_count(col: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     return (
         F.when(F.length(F.trim(col)) == 0, F.lit(0))
-        .otherwise(F.size(_tokens(col)))
+        .otherwise(F.size(tokens(col)))
         .cast("int")
     )
 
@@ -49,7 +70,7 @@ def punct_ratio(col: Column) -> Column:
 def stopword_hits(col: Column, lang: str = "en") -> Column:
     """Number of tokens that are stopwords of ``lang``."""
     words = STOPWORDS[lang]
-    toks = _tokens(col)
+    toks = tokens(col)
     return (
         F.when(F.length(F.trim(col)) == 0, F.lit(0))
         .otherwise(F.size(F.filter(toks, lambda t: t.isin(*words))))

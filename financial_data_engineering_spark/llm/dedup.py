@@ -41,13 +41,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from financial_data_engineering_spark.llm.caching import persist_tracked
+from financial_data_engineering_spark.partitioning import spread_by
+
+# The shingle index tokenizes through the repo-wide contract so MinHash/
+# Jaccard/SimHash candidates compose with span/repetition/vocab counts.
+from financial_data_engineering_spark.functions.text import tokens  # noqa: F401
 
 HEX = "0123456789abcdef"
-
-
-def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -87,7 +87,7 @@ def shingle_rows(
     and partition count the window requires, so the window's own
     exchange is elided — net added shuffles: zero; what moves is WHERE
     the explosion happens (after distribution, not before)."""
-    tok_rows = docs.repartition(F.col(id_col)).select(
+    tok_rows = spread_by(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from financial_data_engineering_spark.partitioning import shuffle_partitions
+
 
 def dense_row_ids(
     df: DataFrame,
@@ -47,7 +49,7 @@ def _dense_ids_with_total(
     """Shared core: ids frame plus the total row count (already known from
     the offsets pass — no extra job)."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = num_partitions or shuffle_partitions(spark)
     cols = [F.col(c) for c in order_cols]
     # localCheckpoint freezes the range partitioning: repartitionByRange
     # samples bounds per execution, so without materialization the count

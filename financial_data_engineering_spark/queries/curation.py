@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm.dedup import tokens
 from financial_data_engineering_spark.operators.packing import pack_bins
+from financial_data_engineering_spark.partitioning import spread_by
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
@@ -392,9 +393,9 @@ def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, so the positioned bi+tri-gram fan-out (|tokens| x 2 rows
     # per doc) would otherwise run in a single task (measured 15.7 s at
     # the sf1 replica). Spread the doc rows before the explosion.
-    toked = docs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", tokens(F.col("text")).alias("a"))
+    toked = spread_by(docs, "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("a")
+    )
 
     def gram(n: int) -> F.Column:
         idx = F.sequence(F.lit(1), F.size("a") - (n - 1))

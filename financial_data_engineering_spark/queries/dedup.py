@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from financial_data_engineering_spark.functions import text as tx
 from financial_data_engineering_spark.llm import dedup as dd
 from financial_data_engineering_spark.llm import similarity as sim
+from financial_data_engineering_spark.partitioning import spread_by
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
@@ -930,11 +931,9 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 50k doc rows first costs a trivial shuffle and unlocks full
     # parallelism for the explosive stage (the general rule: repartition
     # BEFORE a fan-out whose output dwarfs its compressed input).
-    toked = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", tx._tokens(F.col("text")).alias("a"))
-    )
+    toked = spread_by(
+        docs.filter(F.length(F.trim("text")) > 0), "doc_id"
+    ).select("doc_id", tx.tokens(F.col("text")).alias("a"))
     idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
     span_arr = F.when(
         F.size("a") >= _SPAN_L,
@@ -968,9 +967,13 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COVER_FLAG_E4 = 5000  # flag docs with >= 50% of tokens inside repeated spans
-_COVER_E4 = (
-    f"(2 * n_covered * 10000 + n_tokens) // (2 * n_tokens)"
-)
+
+#: Half-up e4 coverage ratio — ONE formula template shared by the oracle
+#: (DuckDB ``//``) and the Spark plan (SQL ``div``), so the two
+#: renderings cannot silently drift apart.
+_COVER_E4_TMPL = "(2 * n_covered * 10000 + n_tokens) {d} (2 * n_tokens)"
+_COVER_E4 = _COVER_E4_TMPL.format(d="//")
+_COVER_E4_SPARK = _COVER_E4_TMPL.format(d="div")
 
 
 @register(
@@ -1041,11 +1044,9 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     # Pre-explode repartition: same single-compressed-file fan-out issue
     # as cross_doc_repeated_spans (see the comment there).
-    toked = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", "source", tx._tokens(F.col("text")).alias("a"))
-    )
+    toked = spread_by(
+        docs.filter(F.length(F.trim("text")) > 0), "doc_id"
+    ).select("doc_id", "source", tx.tokens(F.col("text")).alias("a"))
     idx = F.sequence(F.lit(1), F.size("a") - (_SPAN_L - 1))
     occ_arr = F.when(
         F.size("a") >= _SPAN_L,
@@ -1092,9 +1093,7 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
         )
     )
-    cover_e4 = F.expr(
-        "(2 * n_covered * 10000 + n_tokens) div (2 * n_tokens)"
-    )
+    cover_e4 = F.expr(_COVER_E4_SPARK)
     return (
         per_doc.groupBy("source")
         .agg(

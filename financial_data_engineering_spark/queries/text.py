@@ -97,7 +97,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-inline the tokenizer into all four interpreted stopword
     filters and each filter into every argmax reference (up to 3×)."""
     docs = load(spark, "documents", sf_dir)
-    toks = docs.select("lang", tx._tokens(F.col("text")).alias("_toks"))
+    toks = docs.select("lang", tx.tokens(F.col("text")).alias("_toks"))
     counts = toks.select(
         "lang",
         *[

@@ -25,6 +25,7 @@ the row counts a filtered scan actually reads.
 
 from __future__ import annotations
 
+from financial_data_engineering_spark.partitioning import shuffle_partitions
 from pyspark.sql import DataFrame
 
 
@@ -41,7 +42,7 @@ def write_clustered_parquet(
     across files."""
     if not cluster_cols:
         raise ValueError("cluster_cols must be non-empty")
-    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    n = num_files or shuffle_partitions(df.sparkSession)
     (
         df.repartitionByRange(n, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)

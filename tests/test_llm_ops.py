@@ -35,6 +35,60 @@ def test_token_count_and_empty_text(spark):
     assert got == {1: 3, 2: 0, 3: 0, 4: 1}
 
 
+def test_tokens_is_the_single_shared_contract():
+    """Every module that tokenizes does so through functions.text.tokens —
+    the identity check that makes a silent divergence (which would corrupt
+    the boilerplate-coverage statistic) impossible."""
+    from financial_data_engineering_spark.llm import dedup as dd_mod
+
+    assert dd_mod.tokens is tx.tokens
+
+
+def test_tokens_cross_engine_parity(spark):
+    """Spark tokens() and DuckDB sql_tokens() split identically on the
+    awkward inputs: blank, multi-space, tabs/newlines, mixed case,
+    leading/trailing space, unicode."""
+    import duckdb
+
+    cases = [
+        "one two  three",
+        "",
+        "   ",
+        "Word",
+        "\tTabs\nand  newlines ",
+        "für DIE  Straße",
+        "a",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got_spark = [
+        r["t"] for r in df.select(tx.tokens(F.col("text")).alias("t")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {tx.sql_tokens('$1::VARCHAR')}", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert got_spark == got_duck
+
+
+def test_oracle_tokenizers_match_sql_tokens():
+    """Drift guard: every registered oracle that tokenizes does so with
+    the exact sql_tokens() rendering (same trim/lower/regex) — any
+    regexp_split_to_array written another way fails here."""
+    import re
+
+    import financial_data_engineering_spark.queries  # noqa: F401 register all
+    from financial_data_engineering_spark.queries.registry import all_oracles
+
+    canonical = re.escape("regexp_split_to_array(trim(lower(")
+    for name, sql in all_oracles().items():
+        for m in re.finditer(r"regexp_split_to_array\(", sql):
+            frag = sql[m.start() : m.start() + 120]
+            assert re.match(
+                canonical + r"\w+(\.\w+)?\)\), '\\s\+'\)", frag
+            ), f"{name}: non-canonical tokenizer {frag!r}"
+
+
 def test_lang_id_votes(spark):
     df = spark.createDataFrame(
         [
