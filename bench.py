@@ -201,6 +201,9 @@ def main() -> None:
             _N_ITERS,
             _N_QUERIES,
             _TOP_K,
+            EMB_DIM,
+            IVF_N_CENTROIDS,
+            IVF_NPROBE,
         )
         from financial_data_engineering_spark.tables import load as _load
         from pyspark.sql import functions as F
@@ -208,7 +211,9 @@ def main() -> None:
         emb = _load(spark, "embeddings", sf_dir)
         ivf_dir = tempfile.mkdtemp(prefix="fdes_bench_ivf_")
         t0 = time.perf_counter()
-        build_ivf_index(emb, ivf_dir, n_centroids=8, n_iters=_N_ITERS, dim=64)
+        build_ivf_index(
+            emb, ivf_dir, n_centroids=IVF_N_CENTROIDS, n_iters=_N_ITERS, dim=EMB_DIM
+        )
         aux["ann_ivf_index_build"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         ivf_topk_from_index(
@@ -216,8 +221,8 @@ def main() -> None:
             emb.filter(F.col("vec_id") < _N_QUERIES),
             ivf_dir,
             k=_TOP_K,
-            nprobe=2,
-            dim=64,
+            nprobe=IVF_NPROBE,
+            dim=EMB_DIM,
         ).write.format("noop").mode("overwrite").save()
         aux["ann_ivf_index_serve"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(ivf_dir, ignore_errors=True)

@@ -26,6 +26,9 @@ from financial_data_engineering_spark.queries.similarity_oracles import (
     _N_QUERIES,
     _QUANT_ORACLE,
     _TOP_K,
+    EMB_DIM,
+    IVF_N_CENTROIDS,
+    IVF_NPROBE,
 )
 
 # The fixed query set: the five lowest vec_ids play "incoming queries"
@@ -52,7 +55,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates them in SQL and must land in identical buckets."""
     emb = load(spark, "embeddings", sf_dir)
     out = sim.lsh_topk(
-        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K, n_planes=_N_PLANES, dim=64
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K, n_planes=_N_PLANES, dim=EMB_DIM
     )
     return out.orderBy("query_id", "rank")
 
@@ -72,7 +75,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K,
         n_planes=_N_PLANES,
         n_probes=2,
-        dim=64,
+        dim=EMB_DIM,
     )
     return out.orderBy("query_id", "rank")
 
@@ -106,9 +109,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < _N_QUERIES),
         emb,
         k=_TOP_K,
-        n_centroids=8,
-        nprobe=2,
-        dim=64,
+        n_centroids=IVF_N_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        dim=EMB_DIM,
         n_iters=_N_ITERS,
     )
     return out.orderBy("query_id", "rank")
@@ -144,14 +147,14 @@ def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     build_ivf_index(
-        emb, path, n_centroids=8, n_iters=_N_ITERS, dim=64
+        emb, path, n_centroids=IVF_N_CENTROIDS, n_iters=_N_ITERS, dim=EMB_DIM
     )
     out = ivf_topk_from_index(
         spark,
         emb.filter(F.col("vec_id") < _N_QUERIES),
         path,
         k=_TOP_K,
-        nprobe=2,
-        dim=64,
+        nprobe=IVF_NPROBE,
+        dim=EMB_DIM,
     )
     return out.orderBy("query_id", "rank")

@@ -157,6 +157,13 @@ ORDER BY vec_id
 
 
 _N_ITERS = 2
+
+#: The IVF configuration, shared by the queries, their oracles, and
+#: bench.py's build/serve aux timings — one source so a knob change
+#: cannot silently leave the aux numbers measuring a different setup.
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 2
+EMB_DIM = 64
 _KM_SCALE = 1_000_000
 
 
@@ -210,7 +217,7 @@ cent{it + 1} AS (
 
 
 IVF_ORACLE = f"""
-WITH {kmeans_ctes(8, _N_ITERS, 64)},
+WITH {kmeans_ctes(IVF_N_CENTROIDS, _N_ITERS, EMB_DIM)},
 assign AS (
     SELECT vec_id, cid, rn FROM (
         SELECT e.vec_id, c.cid,
@@ -224,7 +231,7 @@ assign AS (
 corpus_lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1),
 query_probes AS (
     SELECT vec_id AS query_id, cid FROM assign
-    WHERE rn <= 2 AND vec_id < {_N_QUERIES}
+    WHERE rn <= {IVF_NPROBE} AND vec_id < {_N_QUERIES}
 ),
 scored AS (
     SELECT DISTINCT q.query_id, c.neighbor_id,

@@ -165,6 +165,56 @@ def test_incremental_ingest_round_trip(spark, tmp_path):
     assert v2 == v1 + out["fresh_after_exact"]
 
 
+def test_incremental_ingest_null_fingerprint_routes_to_registry_join(
+    spark, tmp_path
+):
+    """A NULL fingerprint (null/absent text) must NEVER ride the
+    provably-new fast path: the bloom screen's bit test is NULL for a
+    null item, and the fix coalesces that to maybe-present, so the doc
+    pays the registry anti-join like any other uncertain item. This
+    exercises the NULL route end-to-end through the example's actual
+    day-1 screen (the round-trip test's corpus has no null text)."""
+    from examples.incremental_ingest import _BLOOM_K, _BLOOM_M, main
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.functions import text as tx
+    from financial_data_engineering_spark.llm import dedup as dd
+    from financial_data_engineering_spark.operators.bloom import bloom_screen
+    from financial_data_engineering_spark.tables import load
+
+    main(sf_dir="/root/testdata/sf0.001", output_dir=str(tmp_path))
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    null_doc = spark.createDataFrame(
+        [(999_999_999, None, None, "null-src", None)], docs.schema
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(null_doc)
+    batch_fp = batch.withColumn("fp", tx.fingerprint(F.col("text")))
+    screened = bloom_screen(
+        batch_fp,
+        spark.read.parquet(str(tmp_path / "registry_bloom")),
+        "fp",
+        m_words=_BLOOM_M,
+        k_hashes=_BLOOM_K,
+    )
+    # the null-fp doc lands in the maybe slice (registry-join slice) ...
+    maybe = screened.filter(F.col("maybe_present"))
+    assert maybe.filter(F.col("doc_id") == 999_999_999).count() == 1
+    assert (
+        screened.filter(~F.col("maybe_present"))
+        .filter(F.col("fp").isNull())
+        .count()
+        == 0
+    )
+    # ... and the exact screen keeps it (no registry fp is NULL, and the
+    # anti-join must not silently drop the row)
+    fresh_maybe, _ = dd.incremental_exact_dedup(
+        maybe.drop("maybe_present"),
+        spark.read.parquet(str(tmp_path / "registry_fp")),
+        fingerprint_col=F.col("fp"),
+    )
+    assert fresh_maybe.filter(F.col("doc_id") == 999_999_999).count() == 1
+
+
 def test_telemetry_monitoring_pipeline(spark, tmp_path):
     from examples.telemetry_monitoring_pipeline import main
 
