@@ -676,6 +676,141 @@ def user_value_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared oracle CTE: monthly open/close bars per brand — the
+#: part_brand_ohlc_monthly aggregate reused as the input of the
+#: bar-to-bar queries (aggregate-then-window composition).
+_BARS_SQL = f"""
+        SELECT brand, bar_m,
+               first(px ORDER BY us, okey, lineno, px) AS open_e2,
+               last(px ORDER BY us, okey, lineno, px) AS close_e2
+        FROM ({_LI_SEQ_SQL}) seq
+        GROUP BY brand, bar_m
+"""
+
+
+def _li_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand, bar_m, open_e2, close_e2) monthly bars — ohlc_bars
+    restricted to the open/close pair the bar-to-bar queries consume
+    (high/low/count partials would ride for free, but the pruned
+    aggregate keeps the map-side state minimal)."""
+    seq = _li_seq(spark, sf_dir)
+    return seq.groupBy("brand", "bar_m").agg(
+        F.min_by("px", "o").alias("open_e2"),
+        F.max_by("px", "o").alias("close_e2"),
+    )
+
+
+@register(
+    "part_brand_monthly_returns",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    r AS (
+        SELECT brand, bar_m, close_e2,
+               lag(close_e2) OVER (PARTITION BY brand ORDER BY bar_m)
+                   AS prev_close_e2
+        FROM bars
+    )
+    SELECT brand,
+           strftime(bar_m, '%Y-%m') AS bar_month,
+           close_e2,
+           prev_close_e2,
+           CAST((2 * (close_e2 - prev_close_e2) * 10000 + prev_close_e2)
+                // (2 * prev_close_e2) AS BIGINT) AS ret_e4
+    FROM r WHERE prev_close_e2 IS NOT NULL
+    ORDER BY brand, bar_month
+    """,
+)
+def part_brand_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand MONTHLY close-to-close simple returns — bar-to-bar
+    analytics on top of the OHLC aggregate (the aggregate-then-window
+    composition no tick-level query exercises): the tick table rolls up
+    to |brands x months| bars in one grouped aggregate, then a lag
+    window over the TINY bar frame computes half-up basis-point returns
+    (same integer idiom as part_brand_return_stats; prices positive so
+    the lag denominator never vanishes). The expensive side is the bar
+    rollup — the window and sort touch only |bars| rows, so the 100-TB
+    cost profile is identical to part_brand_ohlc_monthly's single
+    shuffle of bar rows. First bar per brand has no predecessor and is
+    excluded (matching the tick-level return stats)."""
+    bars = _li_bars(spark, sf_dir)
+    w = Window.partitionBy("brand").orderBy("bar_m")
+    prev = F.lag("close_e2").over(w)
+    ret = F.expr(
+        "CAST((2 * (close_e2 - prev_close_e2) * 10000 + prev_close_e2)"
+        " div (2 * prev_close_e2) AS BIGINT)"
+    )
+    return (
+        bars.select("brand", "bar_m", "close_e2", prev.alias("prev_close_e2"))
+        .filter(F.col("prev_close_e2").isNotNull())
+        .select(
+            "brand",
+            F.date_format("bar_m", "yyyy-MM").alias("bar_month"),
+            "close_e2",
+            "prev_close_e2",
+            ret.alias("ret_e4"),
+        )
+        .orderBy("brand", "bar_month")
+    )
+
+
+@register(
+    "part_brand_gap_counts",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    g AS (
+        SELECT brand, open_e2,
+               lag(close_e2) OVER (PARTITION BY brand ORDER BY bar_m)
+                   AS prev_close
+        FROM bars
+    )
+    SELECT brand,
+           count(*) AS n_bars,
+           CAST(sum(CASE WHEN prev_close IS NOT NULL
+                          AND open_e2 > prev_close THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gap_up,
+           CAST(sum(CASE WHEN prev_close IS NOT NULL
+                          AND open_e2 < prev_close THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gap_down,
+           CAST(max(CASE WHEN prev_close IS NOT NULL
+                         THEN abs(open_e2 - prev_close) END)
+                AS BIGINT) AS max_abs_gap_e2
+    FROM g GROUP BY brand ORDER BY brand
+    """,
+)
+def part_brand_gap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-gap census per brand: how often a month OPENS above/below
+    the previous month's CLOSE (gap-up / gap-down), and the largest
+    absolute gap — the discontinuity statistic bar charts annotate. Same
+    aggregate-then-window shape as part_brand_monthly_returns: one bar
+    rollup shuffle over the tick table, then lag + rollup over |bars|
+    rows with the brand partitioning reused; all int64 e2 arithmetic
+    (single-bar brands yield NULL max_abs_gap_e2 on both engines)."""
+    bars = _li_bars(spark, sf_dir)
+    w = Window.partitionBy("brand").orderBy("bar_m")
+    g = bars.select(
+        "brand",
+        "open_e2",
+        F.lag("close_e2").over(w).alias("prev_close"),
+    )
+    has_prev = F.col("prev_close").isNotNull()
+    return (
+        g.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.sum(
+                (has_prev & (F.col("open_e2") > F.col("prev_close"))).cast("long")
+            ).alias("n_gap_up"),
+            F.sum(
+                (has_prev & (F.col("open_e2") < F.col("prev_close"))).cast("long")
+            ).alias("n_gap_down"),
+            F.max(
+                F.when(has_prev, F.abs(F.col("open_e2") - F.col("prev_close")))
+            ).alias("max_abs_gap_e2"),
+        )
+        .orderBy("brand")
+    )
+
+
 @register(
     "part_brand_return_stats",
     oracle=f"""

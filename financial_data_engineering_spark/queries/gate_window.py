@@ -21,6 +21,8 @@ GATE_WINDOW_INPUTS = {
 }
 
 GATE_WINDOW = [
+    "part_brand_monthly_returns",  # never
+    "part_brand_gap_counts",  # never
     "quality_freshness_events",  # r5
     "quality_completeness_lineitem",  # r5
     "quality_uniqueness_orders",  # r5

@@ -202,6 +202,10 @@ SHUFFLE_BUDGET = {
     "user_value_rolling_band": 2,
     # brand lag window + rollup reusing partitioning + sort
     "part_brand_return_stats": 2,
+    # bar rollup (brand,month) + brand lag window over |bars| + sort
+    "part_brand_monthly_returns": 3,
+    # same bar rollup + lag window + brand rollup reusing partitioning
+    "part_brand_gap_counts": 3,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort
