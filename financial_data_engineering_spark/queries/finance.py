@@ -811,6 +811,363 @@ def part_brand_gap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared oracle CTE: the monthly close-to-close return series (brand,
+#: bar_m, r_e4) — part_brand_monthly_returns' core reused by the
+#: beta / correlation / seasonality queries.
+_RETURNS_SQL = f"""
+        SELECT brand, bar_m, r_e4 FROM (
+            SELECT brand, bar_m,
+                   CAST((2 * (close_e2 - lag(close_e2) OVER w) * 10000
+                         + lag(close_e2) OVER w)
+                        // (2 * lag(close_e2) OVER w) AS BIGINT) AS r_e4
+            FROM ({_BARS_SQL}) bars
+            WINDOW w AS (PARTITION BY brand ORDER BY bar_m)
+        ) WHERE r_e4 IS NOT NULL
+"""
+
+
+def _li_returns(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """(brand, bar_m, r_e4) monthly return series — the Spark twin of
+    _RETURNS_SQL. ``materialize=True`` localCheckpoints the frame (it is
+    |brands x months| rows — control-plane scale) so queries that
+    consume it TWICE (beta's market join, the correlation self-join)
+    compute the tick-table rollup once instead of re-scanning lineitem
+    per consumer."""
+    bars = _li_bars(spark, sf_dir)
+    w = Window.partitionBy("brand").orderBy("bar_m")
+    prev = F.lag("close_e2").over(w)
+    r = (
+        bars.select("brand", "bar_m", "close_e2", prev.alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "brand",
+            "bar_m",
+            F.expr(
+                "CAST((2 * (close_e2 - _prev) * 10000 + _prev)"
+                " div (2 * _prev) AS BIGINT)"
+            ).alias("r_e4"),
+        )
+    )
+    return r.localCheckpoint() if materialize else r
+
+
+@register(
+    "part_brand_beta",
+    oracle=f"""
+    WITH r AS ({_RETURNS_SQL}),
+    mkt AS (
+        SELECT bar_m,
+               CAST((2 * sum(r_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS m_e4
+        FROM r GROUP BY bar_m
+    ),
+    j AS (
+        SELECT r.brand, r.r_e4, mkt.m_e4
+        FROM r JOIN mkt USING (bar_m)
+    ),
+    s AS (
+        SELECT brand, count(*) AS n, sum(r_e4) AS sr, sum(m_e4) AS sm,
+               sum(r_e4 * m_e4) AS srm, sum(m_e4 * m_e4) AS smm
+        FROM j GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(n * srm - sr * sm AS BIGINT) AS cov_num,
+           CAST(n * smm - sm * sm AS BIGINT) AS var_num,
+           CAST(CASE WHEN n * smm - sm * sm > 0 THEN
+               (2 * CAST(n * srm - sr * sm AS HUGEINT) * 10000
+                + (n * smm - sm * sm))
+               // (2 * CAST(n * smm - sm * sm AS HUGEINT))
+           END AS BIGINT) AS beta_e4
+    FROM s ORDER BY brand
+    """,
+)
+def part_brand_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand market beta over the monthly return series: the market
+    is the equal-weighted cross-brand mean return per month (half-up e4
+    integer), and beta = cov(r, m) / var(m) emitted both as raw integer
+    moment combinations (cov_num = n·Σrm − Σr·Σm, var_num likewise) and
+    as a half-up e4 ratio — the division widens to DECIMAL(38,0) /
+    HUGEINT first because 2·cov·10⁴ can reach ~2e20 (r_e4 is bounded by
+    the price-ratio domain at ~1e6, months by the calendar, so the
+    widened arithmetic is exact at any data volume). Negative numerators
+    truncate toward zero identically on both engines (the return-stats
+    convention).
+
+    Scale shape: the tick table rolls up to |brands x months| bars once
+    (the returns frame is localCheckpointed because beta consumes it
+    twice — market aggregate and join back); everything after operates
+    on the tiny bar frame, with the month-keyed market table broadcast.
+    """
+    r = _li_returns(spark, sf_dir, materialize=True)
+    mkt = r.groupBy("bar_m").agg(
+        F.expr(
+            "CAST((2 * sum(r_e4) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("m_e4")
+    )
+    j = r.join(F.broadcast(mkt), "bar_m")
+    s = j.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_e4").alias("sr"),
+        F.sum("m_e4").alias("sm"),
+        F.sum(F.col("r_e4") * F.col("m_e4")).alias("srm"),
+        F.sum(F.col("m_e4") * F.col("m_e4")).alias("smm"),
+    )
+    c = s.select(
+        "brand",
+        F.col("n").alias("n_months"),
+        (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")).alias(
+            "cov_num"
+        ),
+        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).alias(
+            "var_num"
+        ),
+    )
+    beta = F.expr(
+        "CAST(CASE WHEN var_num > 0 THEN"
+        " (2 * CAST(cov_num AS DECIMAL(38,0)) * 10000 + var_num)"
+        " div (2 * CAST(var_num AS DECIMAL(38,0)))"
+        " END AS BIGINT)"
+    )
+    return c.select(
+        "brand", "n_months", "cov_num", "var_num", beta.alias("beta_e4")
+    ).orderBy("brand")
+
+
+@register(
+    "brand_return_correlation",
+    oracle=f"""
+    WITH r AS ({_RETURNS_SQL}),
+    p AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               a.r_e4 AS ra, b.r_e4 AS rb
+        FROM r a JOIN r b ON a.bar_m = b.bar_m AND a.brand < b.brand
+    ),
+    s AS (
+        SELECT brand_a, brand_b, count(*) AS n,
+               sum(ra) AS sa, sum(rb) AS sb, sum(ra * rb) AS sab,
+               sum(ra * ra) AS saa, sum(rb * rb) AS sbb
+        FROM p GROUP BY brand_a, brand_b
+    ),
+    c AS (
+        SELECT brand_a, brand_b, n,
+               n * sab - sa * sb AS cov,
+               n * saa - sa * sa AS va,
+               n * sbb - sb * sb AS vb
+        FROM s
+    )
+    SELECT brand_a, brand_b, CAST(n AS BIGINT) AS n_months,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS corr_sign,
+           CAST(CASE WHEN va > 0 AND vb > 0 THEN
+               (2 * CAST(cov AS HUGEINT) * CAST(cov AS HUGEINT) * 10000
+                + CAST(va AS HUGEINT) * CAST(vb AS HUGEINT))
+               // (2 * CAST(va AS HUGEINT) * CAST(vb AS HUGEINT))
+           END AS BIGINT) AS corr2_e4
+    FROM c ORDER BY brand_a, brand_b
+    """,
+)
+def brand_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the brands' monthly return series
+    (upper triangle): sign of the covariance plus the SQUARED
+    correlation as a half-up e4 integer — corr² avoids the square root
+    no integer-exact cross-engine form survives, and with the sign it
+    carries the same information. cov² and va·vb reach ~1e32, so those
+    products widen to DECIMAL(38,0)/HUGEINT (exact to 1e38; corr²·10⁴
+    ≤ 10⁴ by Cauchy-Schwarz so the final BIGINT cast is safe).
+
+    Scale shape: the self-join runs on the CHECKPOINTED |brands x
+    months| return frame — pair count is |brands|², a function of the
+    symbol universe, NOT of tick volume, so the all-pairs form is the
+    right plan at any SF (the tick table is touched exactly once, by
+    the bar rollup). Equi-join on bar_m with a brand_a < brand_b
+    predicate — never a cartesian."""
+    r = _li_returns(spark, sf_dir, materialize=True)
+    a = r.select(
+        F.col("brand").alias("brand_a"),
+        "bar_m",
+        F.col("r_e4").alias("ra"),
+    )
+    b = r.select(
+        F.col("brand").alias("brand_b"),
+        "bar_m",
+        F.col("r_e4").alias("rb"),
+    )
+    p = a.join(b, "bar_m").filter(F.col("brand_a") < F.col("brand_b"))
+    s = p.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    c = s.select(
+        "brand_a",
+        "brand_b",
+        F.col("n").alias("n_months"),
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).alias("cov"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).alias("va"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).alias("vb"),
+    )
+    corr2 = F.expr(
+        "CAST(CASE WHEN va > 0 AND vb > 0 THEN"
+        " (2 * CAST(cov AS DECIMAL(38,0)) * CAST(cov AS DECIMAL(38,0))"
+        "  * 10000 + CAST(va AS DECIMAL(38,0)) * CAST(vb AS DECIMAL(38,0)))"
+        " div (2 * CAST(va AS DECIMAL(38,0)) * CAST(vb AS DECIMAL(38,0)))"
+        " END AS BIGINT)"
+    )
+    sign = (
+        F.when(F.col("cov") > 0, 1)
+        .when(F.col("cov") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return c.select(
+        "brand_a",
+        "brand_b",
+        "n_months",
+        sign.alias("corr_sign"),
+        corr2.alias("corr2_e4"),
+    ).orderBy("brand_a", "brand_b")
+
+
+@register(
+    "part_brand_return_seasonality",
+    oracle=f"""
+    WITH r AS ({_RETURNS_SQL})
+    SELECT brand, CAST(month(bar_m) AS BIGINT) AS moy,
+           count(*) AS n_months,
+           CAST((2 * sum(r_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_r_e4,
+           CAST(sum(CASE WHEN r_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+           CAST(sum(CASE WHEN r_e4 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+    FROM r GROUP BY brand, month(bar_m) ORDER BY brand, moy
+    """,
+)
+def part_brand_return_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar seasonality of monthly returns: per (brand,
+    month-of-year), the half-up mean return and up/down counts — the
+    "is January different" table. Same aggregate-then-window-then-
+    aggregate composition as the other bar queries; the seasonality
+    rollup touches only the |brands x months| return frame."""
+    r = _li_returns(spark, sf_dir)
+    return (
+        r.groupBy("brand", F.month("bar_m").cast("long").alias("moy"))
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.expr(
+                "CAST((2 * sum(r_e4) + count(*)) div (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("mean_r_e4"),
+            F.sum((F.col("r_e4") > 0).cast("long")).alias("n_up"),
+            F.sum((F.col("r_e4") < 0).cast("long")).alias("n_down"),
+        )
+        .orderBy("brand", "moy")
+    )
+
+
+@register(
+    "part_brand_underwater_runs",
+    oracle=f"""
+    WITH seq AS ({_LI_SEQ_SQL}),
+    d1 AS (
+        SELECT brand, us, okey, lineno, px,
+               CASE WHEN max(px) OVER w1 > px THEN 1 ELSE 0 END AS uw
+        FROM seq
+        WINDOW w1 AS (PARTITION BY brand ORDER BY us, okey, lineno, px
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d2 AS (
+        SELECT brand, us, uw, okey, lineno, px,
+               CASE WHEN uw <> coalesce(lag(uw) OVER w2, -1)
+                    THEN 1 ELSE 0 END AS chg
+        FROM d1
+        WINDOW w2 AS (PARTITION BY brand ORDER BY us, okey, lineno, px)
+    ),
+    d3 AS (
+        SELECT brand, us, uw,
+               sum(chg) OVER (PARTITION BY brand
+                              ORDER BY us, okey, lineno, px
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM d2
+    ),
+    runs AS (
+        SELECT brand, run_id, count(*) AS run_ticks,
+               max(us) - min(us) AS dur_us
+        FROM d3 WHERE uw = 1 GROUP BY brand, run_id
+    )
+    SELECT brand,
+           count(*) AS n_runs,
+           CAST(max(run_ticks) AS BIGINT) AS max_run_ticks,
+           CAST(max(dur_us) AS BIGINT) AS max_run_dur_us
+    FROM runs GROUP BY brand ORDER BY brand
+    """,
+)
+def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater stretch per brand — drawdown's DURATION
+    counterpart: a tick is underwater when it sits strictly below the
+    running peak, and consecutive underwater ticks form runs via the
+    gaps-and-islands idiom (flag-change cumulative sum), reported as
+    the run census plus the longest run in ticks and in microseconds.
+    All int64.
+
+    Plan shape: THREE stacked windows (cummax flag, lag-change,
+    running-sum run id) share one brand partitioning and one event-time
+    sort — a single exchange+sort; the (brand, run_id) rollup and the
+    brand rollup are both satisfied by the brand hash partitioning
+    (ClusteredDistribution subset rule), so no further data shuffle
+    before the presentation sort."""
+    seq = _li_seq(spark, sf_dir)
+    ord_cols = [F.col("o.us"), F.col("o.okey"), F.col("o.lineno"), F.col("o.tb")]
+    w_run = Window.partitionBy("brand").orderBy(*ord_cols)
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d1 = seq.select(
+        "brand",
+        F.col("o.us").alias("us"),
+        "o",
+        (F.max("px").over(w_cum) > F.col("px")).cast("int").alias("uw"),
+    )
+    d2 = d1.select(
+        "brand",
+        "us",
+        "o",
+        "uw",
+        (
+            F.col("uw") != F.coalesce(F.lag("uw").over(w_run), F.lit(-1))
+        )
+        .cast("int")
+        .alias("chg"),
+    )
+    d3 = d2.select(
+        "brand", "us", "uw", F.sum("chg").over(w_cum).alias("run_id")
+    )
+    runs = (
+        d3.filter(F.col("uw") == 1)
+        .groupBy("brand", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_ticks"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+        )
+    )
+    return (
+        runs.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_ticks").alias("max_run_ticks"),
+            F.max("dur_us").alias("max_run_dur_us"),
+        )
+        .orderBy("brand")
+    )
+
+
 @register(
     "part_brand_return_stats",
     oracle=f"""

@@ -23,6 +23,10 @@ GATE_WINDOW_INPUTS = {
 GATE_WINDOW = [
     "part_brand_monthly_returns",  # never
     "part_brand_gap_counts",  # never
+    "part_brand_beta",  # never
+    "brand_return_correlation",  # never
+    "part_brand_return_seasonality",  # never
+    "part_brand_underwater_runs",  # never
     "quality_freshness_events",  # r5
     "quality_completeness_lineitem",  # r5
     "quality_uniqueness_orders",  # r5

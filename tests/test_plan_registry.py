@@ -206,6 +206,17 @@ SHUFFLE_BUDGET = {
     "part_brand_monthly_returns": 3,
     # same bar rollup + lag window + brand rollup reusing partitioning
     "part_brand_gap_counts": 3,
+    # post-checkpoint returns frame: month agg + broadcast market join +
+    # brand moment agg + sort
+    "part_brand_beta": 3,
+    # post-checkpoint self-join on bar_m + pair moment agg + sort
+    "brand_return_correlation": 4,
+    # bar rollup + brand lag window + (brand,moy) agg (brand partitioning
+    # satisfies it) + sort
+    "part_brand_return_seasonality": 3,
+    # one brand window (three stacked same-order windows) + run/brand
+    # rollups reusing brand partitioning + sort
+    "part_brand_underwater_runs": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort
