@@ -1169,6 +1169,93 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_underwater_runs",
+    oracle=f"""
+    WITH seq AS ({_EV_SEQ_SQL}),
+    d1 AS (
+        SELECT user_id, us, eid,
+               CASE WHEN max(px) OVER w1 > px THEN 1 ELSE 0 END AS uw
+        FROM seq
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY us, eid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d2 AS (
+        SELECT user_id, us, eid, uw,
+               CASE WHEN uw <> coalesce(lag(uw) OVER w2, -1)
+                    THEN 1 ELSE 0 END AS chg
+        FROM d1
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY us, eid)
+    ),
+    d3 AS (
+        SELECT user_id, us, uw,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY us, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM d2
+    ),
+    runs AS (
+        SELECT user_id, run_id, count(*) AS run_ticks,
+               max(us) - min(us) AS dur_us
+        FROM d3 WHERE uw = 1 GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           count(*) AS n_runs,
+           CAST(max(run_ticks) AS BIGINT) AS max_run_ticks,
+           CAST(max(dur_us) AS BIGINT) AS max_run_dur_us
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest underwater stretch of event values — the events
+    sibling of part_brand_underwater_runs (identical gaps-and-islands
+    plan: three stacked same-order windows, rollups reusing the user
+    partitioning) and the batch twin of streaming/stateful.py
+    running_underwater, whose state is O(1): peak, the open run's
+    (start, length), and the maxima — the demonstration that run-length
+    drawdown analytics stream without the tick history. Users never
+    underwater produce no runs and are absent (both engines)."""
+    seq = _ev_seq(spark, sf_dir)
+    ord_cols = [F.col("o.us"), F.col("o.eid")]
+    w_run = Window.partitionBy("user_id").orderBy(*ord_cols)
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d1 = seq.select(
+        "user_id",
+        F.col("o.us").alias("us"),
+        "o",
+        (F.max("px").over(w_cum) > F.col("px")).cast("int").alias("uw"),
+    )
+    d2 = d1.select(
+        "user_id",
+        "us",
+        "o",
+        "uw",
+        (F.col("uw") != F.coalesce(F.lag("uw").over(w_run), F.lit(-1)))
+        .cast("int")
+        .alias("chg"),
+    )
+    d3 = d2.select(
+        "user_id", "us", "uw", F.sum("chg").over(w_cum).alias("run_id")
+    )
+    runs = (
+        d3.filter(F.col("uw") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_ticks"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+        )
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_ticks").alias("max_run_ticks"),
+            F.max("dur_us").alias("max_run_dur_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "part_brand_return_stats",
     oracle=f"""
     WITH seq AS ({_LI_SEQ_SQL}),

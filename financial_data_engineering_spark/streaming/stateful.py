@@ -826,6 +826,120 @@ def running_drawdown(events: DataFrame) -> DataFrame:
     )
 
 
+UNDERWATER_OUTPUT = (
+    "user_id long, n_runs long, max_run_ticks long, max_run_dur_us long"
+)
+
+#: per-user underwater-run state: the (ts, id) high-water mark for
+#: ordered replay, the running peak, the OPEN run (start micros + tick
+#: count; run_start < 0 = no open run), and the run census maxima.
+#: O(1) regardless of history length — run-length drawdown analytics
+#: never need the tick series.
+UNDERWATER_STATE = (
+    "last_micros long, last_id long, peak_e2 long, "
+    "run_start_us long, run_ticks long, "
+    "n_runs long, max_run_ticks long, max_run_dur_us long"
+)
+
+
+def _fold_underwater(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay in (ts, event_id) order past the
+    high-water mark. A value strictly below the PRIOR peak is
+    underwater (matching the batch query's cummax-including-current
+    formulation: a fresh high is never underwater); an underwater tick
+    opens or extends the current run, updating the tick/duration maxima
+    in place, and a non-underwater tick closes it. Late arrivals drop
+    at the guard — run composition is order-dependent."""
+    if state.exists:
+        (
+            last_us,
+            last_id,
+            peak,
+            run_start,
+            run_ticks,
+            n_runs,
+            max_ticks,
+            max_dur,
+        ) = state.get
+    else:
+        last_us = last_id = peak = None
+        run_start, run_ticks, n_runs, max_ticks, max_dur = -1, 0, 0, 0, 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, px in zip(batch["ts"], batch["event_id"], batch["px"]):
+            micros, ident, x = int(ts.value // 1000), int(eid), int(px)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # late vs state: drop
+            if peak is not None and x < peak:
+                if run_start < 0:
+                    n_runs += 1
+                    run_start, run_ticks = micros, 0
+                run_ticks += 1
+                max_ticks = max(max_ticks, run_ticks)
+                max_dur = max(max_dur, micros - run_start)
+            else:
+                run_start, run_ticks = -1, 0
+            peak = x if peak is None else max(peak, x)
+            last_us, last_id = micros, ident
+    state.update(
+        (
+            last_us,
+            last_id,
+            peak,
+            run_start,
+            run_ticks,
+            n_runs,
+            max_ticks,
+            max_dur,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_runs": [n_runs],
+            "max_run_ticks": [max_ticks],
+            "max_run_dur_us": [max_dur],
+        }
+    )
+
+
+def running_underwater(events: DataFrame) -> DataFrame:
+    """Per-user running underwater-run census — the streaming twin of
+    ``user_value_underwater_runs`` (queries/finance.py). The batch
+    query's gaps-and-islands construction needs the whole series; the
+    stream carries only peak + the open run + maxima (O(1)), because a
+    run's contribution to the maxima is monotone while it is open.
+    Equal inputs in event-time order across any batch split give EQUAL
+    outputs for every user with at least one run (parity-tested; the
+    batch query omits never-underwater users, the stream reports them
+    with n_runs=0). Late arrivals drop at the (ts, id) guard."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("px"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_underwater,
+            outputStructType=UNDERWATER_OUTPUT,
+            stateStructType=UNDERWATER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ROLLBAND_OUTPUT = (
     "user_id long, n_events long, n_eval long, n_above long, n_below long"
 )

@@ -217,6 +217,8 @@ SHUFFLE_BUDGET = {
     # one brand window (three stacked same-order windows) + run/brand
     # rollups reusing brand partitioning + sort
     "part_brand_underwater_runs": 2,
+    # same gaps-and-islands plan keyed by user over events
+    "user_value_underwater_runs": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort

@@ -686,6 +686,53 @@ def test_running_drawdown_matches_batch_query(spark, events_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_running_underwater_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming underwater-run twin: time-ordered two-batch replay must
+    equal the batch gaps-and-islands query exactly for every user with a
+    run — the open run crosses the boundary in O(1) state (peak, run
+    start, tick count), so runs spanning the split stay one run."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "uw_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_underwater,
+    )
+
+    stream = running_underwater(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "uw_updates", output_mode="update")
+    # latest snapshot per user: maxima are monotone, so order by them
+    got = spark.sql(
+        """SELECT user_id, n_runs, max_run_ticks, max_run_dur_us FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n_runs DESC, max_run_ticks DESC,
+                            max_run_dur_us DESC) AS rn
+               FROM uw_updates) WHERE rn = 1 AND n_runs > 0"""
+    )
+    want = q.all_queries()["user_value_underwater_runs"](spark, SF_SMALL)
+    cols = ["user_id", "n_runs", "max_run_ticks", "max_run_dur_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_running_rolling_band_matches_batch_query(spark, events_dir, tmp_path):
     """Streaming rolling-band twin: time-ordered two-batch replay must
     equal the batch windowed query exactly — the last ROLL_N
