@@ -50,5 +50,15 @@ def spread_by(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition ``df`` by ``cols`` at the session's
     shuffle-partition count — the canonical pre-explode spread (module
     docstring). Call this immediately before a per-row fan-out whose
-    downstream window/groupBy keys on the same columns."""
-    return df.repartition(*[F.col(c) for c in cols])
+    downstream window/groupBy keys on the same columns.
+
+    The count is passed EXPLICITLY on purpose: ``repartition(col)``
+    with no count is AQE-coalescible, and AQE sizes the coalesce from
+    the shuffle WRITE bytes — tiny for a compressed text corpus — so it
+    merges the spread back toward one task and silently re-creates the
+    single-task fan-out this helper exists to prevent (measured at
+    sf0.1: doc_repetition_flags 2.76 s implicit vs 0.92 s explicit,
+    same session). The post-explode work AQE cannot see is the whole
+    point; a user-specified count is exempt from coalescing."""
+    n = shuffle_partitions(df.sparkSession)
+    return df.repartition(n, *[F.col(c) for c in cols])
