@@ -149,3 +149,31 @@ def test_partitioned_fact_sink_prunes_partitions(spark, tmp_path):
     assert any("date_key" in f for f in scan.partition_filters)
     assert not any("date_key" in f for f in scan.pushed_filters)
     assert "date_key" not in scan.read_columns  # partition col, not data col
+
+
+def test_spread_by_is_exempt_from_aqe_coalescing(spark):
+    """The pre-explode spread must carry a USER-SPECIFIED partition
+    count: a bare repartition(col) is AQE-coalescible, and AQE sizes
+    the coalesce from the tiny compressed shuffle-write bytes — which
+    silently re-merges the spread into the single-task fan-out it
+    exists to prevent (measured 3x at sf0.1, 2-2.8x at sf1; see
+    reports/bench/NOTES.md round 8). The optimized plan renders the
+    two forms as REPARTITION_BY_NUM vs REPARTITION_BY_COL."""
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.partitioning import spread_by
+
+    import re
+
+    df = spark.range(0, 100).withColumn("k", F.col("id") % 7)
+    plan = spread_by(df, "k")._jdf.queryExecution().optimizedPlan().toString()
+    # explicit count renders as "RepartitionByExpression [k], N" — the
+    # user-specified (non-coalescible) form
+    assert re.search(r"RepartitionByExpression \[[^\]]+\], \d+", plan), plan
+    bare = (
+        df.repartition(F.col("k"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(r"RepartitionByExpression \[[^\]]+\], \d+", bare)
