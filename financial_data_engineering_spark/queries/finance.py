@@ -1260,6 +1260,88 @@ def user_value_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_monthly_bar_diffs",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, date_trunc('month', ts) AS bar_m,
+               epoch_us(ts) AS us, event_id AS eid,
+               CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+    ),
+    bars AS (
+        SELECT user_id, bar_m,
+               last(px ORDER BY us, eid) AS close_e2
+        FROM seq GROUP BY user_id, bar_m
+    ),
+    d AS (
+        SELECT user_id,
+               close_e2 - lag(close_e2) OVER (PARTITION BY user_id
+                                              ORDER BY bar_m) AS d_e2
+        FROM bars
+    )
+    SELECT user_id,
+           count(*) AS n_bars,
+           count(d_e2) AS n_diffs,
+           CAST(sum(d_e2) AS BIGINT) AS sum_d_e2,
+           CAST(min(d_e2) AS BIGINT) AS min_d_e2,
+           CAST(max(d_e2) AS BIGINT) AS max_d_e2,
+           CAST(sum(CASE WHEN d_e2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+           CAST(sum(CASE WHEN d_e2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_monthly_bar_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly bar construction over the events stream: per user, the
+    close-to-close DIFF distribution between consecutive observed
+    months (diffs, not ratios — event values can be negative or zero,
+    so a return denominator is undefined; the difference is exact int64
+    for any sign). This is the batch twin of streaming/stateful.py
+    running_monthly_bars, which builds the same bars by rolling a
+    single open bar through state. Same aggregate-then-window shape as
+    the part_brand bar queries, keyed by (user, month)."""
+    ev = load(spark, "events", sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.trunc("ts", "month").alias("bar_m"),
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+        ).alias("o"),
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+    bars = seq.groupBy("user_id", "bar_m").agg(
+        F.max_by("px", "o").alias("close_e2")
+    )
+    w = Window.partitionBy("user_id").orderBy("bar_m")
+    d = bars.select(
+        "user_id",
+        (F.col("close_e2") - F.lag("close_e2").over(w)).alias("d_e2"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.count("d_e2").alias("n_diffs"),
+            F.sum("d_e2").alias("sum_d_e2"),
+            F.min("d_e2").alias("min_d_e2"),
+            F.max("d_e2").alias("max_d_e2"),
+            # when/otherwise(0), not a bare boolean cast: the first bar's
+            # NULL diff must count as 0 (the oracle's CASE ... ELSE 0),
+            # where (NULL > 0) would sum to NULL for single-bar users
+            F.sum(F.when(F.col("d_e2") > 0, 1).otherwise(0).cast("long")).alias(
+                "n_up"
+            ),
+            F.sum(F.when(F.col("d_e2") < 0, 1).otherwise(0).cast("long")).alias(
+                "n_down"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "part_brand_return_stats",
     oracle=f"""
     WITH seq AS ({_LI_SEQ_SQL}),

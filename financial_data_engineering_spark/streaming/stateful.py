@@ -940,6 +940,160 @@ def running_underwater(events: DataFrame) -> DataFrame:
     )
 
 
+MONTHLY_BARS_OUTPUT = (
+    "user_id long, n_events long, n_bars long, n_diffs long, "
+    "sum_d_e2 long, min_d_e2 long, max_d_e2 long, n_up long, n_down long"
+)
+
+#: per-user monthly-bar state: the (ts, id) high-water mark, the OPEN
+#: bar (calendar month index + its close-so-far), the previous CLOSED
+#: bar's close, and the committed diff accumulators. One bar of state
+#: regardless of history — bar construction is the canonical streaming
+#: finance workload precisely because it folds to this.
+MONTHLY_BARS_STATE = (
+    "last_micros long, last_id long, n_events long, cur_month long, "
+    "cur_close long, prev_close long, n_bars_closed long, n_diffs long, "
+    "sum_d long, min_d long, max_d long, n_up long, n_down long"
+)
+
+
+def _fold_monthly_bars(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay in (ts, event_id) order past the
+    high-water mark; ordered replay makes the month sequence
+    non-decreasing, so a month change CLOSES the open bar — committing
+    its close-to-close diff against the previous close — and opens the
+    next. The emission adds the OPEN bar provisionally (its close-so-far
+    is exactly what the batch query's last() would see if the stream
+    ended now), so every snapshot equals the batch query on the same
+    prefix."""
+    if state.exists:
+        (
+            last_us,
+            last_id,
+            n_events,
+            cur_month,
+            cur_close,
+            prev_close,
+            n_closed,
+            n_diffs,
+            sum_d,
+            min_d,
+            max_d,
+            n_up,
+            n_down,
+        ) = state.get
+    else:
+        last_us = last_id = cur_month = cur_close = prev_close = None
+        n_events = n_closed = n_diffs = sum_d = n_up = n_down = 0
+        min_d = max_d = None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, px in zip(batch["ts"], batch["event_id"], batch["px"]):
+            micros, ident, x = int(ts.value // 1000), int(eid), int(px)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # late vs state: drop (bar membership is final)
+            month = ts.year * 12 + ts.month
+            if cur_month is None:
+                cur_month, cur_close = month, x
+            elif month == cur_month:
+                cur_close = x
+            else:  # rollover: commit the closed bar's diff
+                if prev_close is not None:
+                    d = cur_close - prev_close
+                    n_diffs += 1
+                    sum_d += d
+                    min_d = d if min_d is None else min(min_d, d)
+                    max_d = d if max_d is None else max(max_d, d)
+                    n_up += 1 if d > 0 else 0
+                    n_down += 1 if d < 0 else 0
+                prev_close = cur_close
+                n_closed += 1
+                cur_month, cur_close = month, x
+            n_events += 1
+            last_us, last_id = micros, ident
+    state.update(
+        (
+            last_us,
+            last_id,
+            n_events,
+            cur_month,
+            cur_close,
+            prev_close,
+            n_closed,
+            n_diffs,
+            sum_d,
+            min_d,
+            max_d,
+            n_up,
+            n_down,
+        )
+    )
+    # snapshot: closed-bar stats + the open bar's provisional diff
+    s_bars = n_closed + (1 if cur_month is not None else 0)
+    s_diffs, s_sum = n_diffs, sum_d
+    s_min, s_max, s_up, s_down = min_d, max_d, n_up, n_down
+    if cur_month is not None and prev_close is not None:
+        d = cur_close - prev_close
+        s_diffs += 1
+        s_sum += d
+        s_min = d if s_min is None else min(s_min, d)
+        s_max = d if s_max is None else max(s_max, d)
+        s_up += 1 if d > 0 else 0
+        s_down += 1 if d < 0 else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_bars": [s_bars],
+            "n_diffs": [s_diffs],
+            "sum_d_e2": [s_sum if s_diffs else None],
+            "min_d_e2": [s_min],
+            "max_d_e2": [s_max],
+            "n_up": [s_up],
+            "n_down": [s_down],
+        }
+    )
+
+
+def running_monthly_bars(events: DataFrame) -> DataFrame:
+    """Per-user streaming monthly-bar construction with close-to-close
+    diff statistics — the streaming twin of ``user_monthly_bar_diffs``
+    (queries/finance.py). The state is ONE open bar (month index +
+    close-so-far) plus the previous close and the committed
+    accumulators; ordered replay makes months non-decreasing, so bar
+    rollover is a pure state transition and no tick history is ever
+    held. Every update-mode snapshot equals the batch query run on the
+    prefix delivered so far (the open bar enters provisionally),
+    parity-tested across a batch split that lands mid-month. Late
+    arrivals drop at the (ts, id) guard — a late tick could otherwise
+    reopen a closed bar."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("px"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_monthly_bars,
+            outputStructType=MONTHLY_BARS_OUTPUT,
+            stateStructType=MONTHLY_BARS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ROLLBAND_OUTPUT = (
     "user_id long, n_events long, n_eval long, n_above long, n_below long"
 )

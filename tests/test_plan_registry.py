@@ -219,6 +219,8 @@ SHUFFLE_BUDGET = {
     "part_brand_underwater_runs": 2,
     # same gaps-and-islands plan keyed by user over events
     "user_value_underwater_runs": 2,
+    # (user, month) close agg + user lag window + user rollup + sort
+    "user_monthly_bar_diffs": 3,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort

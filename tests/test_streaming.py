@@ -733,6 +733,55 @@ def test_running_underwater_matches_batch_query(spark, events_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_running_monthly_bars_matches_batch_query(spark, events_dir, tmp_path):
+    """Streaming monthly-bar twin: time-ordered two-batch replay (the
+    median cut lands mid-month, so open bars cross the boundary in
+    state) must equal the batch close-to-close diff query exactly —
+    the snapshot adds the open bar provisionally, so the final emission
+    equals the batch query over the full prefix."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "mb_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_monthly_bars,
+    )
+
+    stream = running_monthly_bars(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+    )
+    st.run_to_memory_sink(stream, "mb_updates", output_mode="update")
+    got = spark.sql(
+        """SELECT user_id, n_bars, n_diffs, sum_d_e2, min_d_e2,
+                  max_d_e2, n_up, n_down FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM mb_updates) WHERE rn = 1"""
+    )
+    want = q.all_queries()["user_monthly_bar_diffs"](spark, SF_SMALL)
+    cols = [
+        "user_id", "n_bars", "n_diffs", "sum_d_e2",
+        "min_d_e2", "max_d_e2", "n_up", "n_down",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_running_rolling_band_matches_batch_query(spark, events_dir, tmp_path):
     """Streaming rolling-band twin: time-ordered two-batch replay must
     equal the batch windowed query exactly — the last ROLL_N
