@@ -85,6 +85,27 @@ def dot_product_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     return total
 
 
+def int_dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled INTEGER dot product of two long-array columns of known
+    length ``dim`` — exact int64 (codes are bounded, e.g. int8 codes
+    give terms ≤ 255² and 64-dim sums ≤ 4.2e6), fully codegen'd. The
+    first-pass scorer of quantized retrieval: no float enters, so the
+    score is hash-comparable across engines."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _quote(a), _quote(b)
+        return F.expr(
+            " + ".join(
+                f"(element_at({qa}, {j}) * element_at({qb}, {j}))"
+                for j in range(1, dim + 1)
+            )
+        )
+    total = None
+    for j in range(1, dim + 1):
+        term = F.element_at(a, j) * F.element_at(b, j)
+        total = term if total is None else total + term
+    return total
+
+
 def l2_norm_fixed(a: Column | str, dim: int) -> Column:
     return F.sqrt(dot_product_fixed(a, a, dim))
 

@@ -91,3 +91,50 @@ def quantization_stats(
             F.expr("(2 * _err_sum + _n) div (2 * _n)").alias("mean_err_e6"),
         )
     )
+
+
+def code_arrays(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes) — each vector's int8 code sequence as an ordered
+    long array, the representation quantized retrieval scores against
+    (llm/similarity.py ``quantized_rerank_topk``). Identical code
+    arithmetic to :func:`quantization_stats` (same floor(v+0.5) steps,
+    so the oracle replays the codes bit-for-bit); the array assembles
+    via array_sort over (position, code) structs in the same
+    one-exchange window+groupBy plan."""
+    ex = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("j", "x"),
+    ).select("vec_id", "j", F.col("x").cast("double").alias("x"))
+    w = Window.partitionBy("vec_id")
+    b = ex.select(
+        "vec_id",
+        "j",
+        "x",
+        F.min("x").over(w).alias("mn"),
+        F.max("x").over(w).alias("mx"),
+    )
+    c = b.select(
+        "vec_id",
+        "j",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                ((F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")))
+                + 0.5
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("code"),
+    )
+    return c.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )

@@ -29,6 +29,7 @@ GATE_WINDOW = [
     "part_brand_underwater_runs",  # never
     "user_value_underwater_runs",  # never
     "user_monthly_bar_diffs",  # never
+    "ann_quantized_rerank",  # never
     "quality_freshness_events",  # r5
     "quality_completeness_lineitem",  # r5
     "quality_uniqueness_orders",  # r5

@@ -26,6 +26,8 @@ from financial_data_engineering_spark.queries.similarity_oracles import (
     _N_QUERIES,
     _QUANT_ORACLE,
     _TOP_K,
+    QUANT_RERANK_ORACLE,
+    RERANK_POOL,
     EMB_DIM,
     IVF_N_CENTROIDS,
     IVF_NPROBE,
@@ -158,3 +160,25 @@ def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
     )
     return out.orderBy("query_id", "rank")
+
+
+@register("ann_quantized_rerank", oracle=QUANT_RERANK_ORACLE)
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized retrieval cascade (llm/similarity.py
+    quantized_rerank_topk): stage 1 ranks the whole corpus by the EXACT
+    integer dot product of int8 code arrays — the 4x-smaller
+    representation a 100 TB corpus scans instead of float32 — and keeps
+    RERANK_POOL candidates per query; stage 2 reranks only that
+    shortlist with full-precision cosine (bit-identical to
+    knn_brute_force_cosine's scorer). The oracle replays both stages:
+    codes via the floor(v+0.5) scalar quantizer the quantization audit
+    pins, the integer code-dot (no float at stage 1 on either engine),
+    and the rounded-cosine rerank."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.quantized_rerank_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        k=_TOP_K,
+        pool=RERANK_POOL,
+        dim=EMB_DIM,
+    ).orderBy("query_id", "rank")

@@ -156,6 +156,62 @@ ORDER BY vec_id
 """
 
 
+#: Quantized-cascade pool: stage 1 keeps this many code-dot candidates
+#: per query for full-precision reranking.
+RERANK_POOL = 20
+
+QUANT_RERANK_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, j,
+           (embedding::DOUBLE[])[CAST(j AS INT)] AS x
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+), b AS (
+    SELECT vec_id, j, x,
+           min(x) OVER (PARTITION BY vec_id) AS mn,
+           max(x) OVER (PARTITION BY vec_id) AS mx
+    FROM ex
+), c AS (
+    SELECT vec_id, j,
+           CASE WHEN mx > mn
+                THEN CAST(floor(((x - mn) * 255 / (mx - mn)) + 0.5) AS BIGINT)
+                ELSE 0 END AS code
+    FROM b
+), codes AS (
+    SELECT vec_id, list(code ORDER BY j) AS cs FROM c GROUP BY vec_id
+), q AS (
+    SELECT vec_id AS query_id, cs AS qc FROM codes
+    WHERE vec_id < {{_N_QUERIES}}
+), sab AS (
+    SELECT q.query_id, co.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65),
+                j -> qc[CAST(j AS INT)] * cs[CAST(j AS INT)])) AS BIGINT)
+               AS code_dot
+    FROM q, codes co WHERE co.vec_id != q.query_id
+), pool AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY code_dot DESC, neighbor_id) AS prank
+    FROM sab
+), short AS (
+    SELECT query_id, neighbor_id, code_dot FROM pool
+    WHERE prank <= {{RERANK_POOL}}
+), rer AS (
+    SELECT s.query_id, s.neighbor_id, s.code_dot,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM short s
+    JOIN embeddings qe ON qe.vec_id = s.query_id
+    JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM rer
+)
+SELECT query_id, rank, neighbor_id, cos, code_dot
+FROM ranked WHERE rank <= {{_TOP_K}}
+ORDER BY query_id, rank
+""".format(_N_QUERIES=_N_QUERIES, RERANK_POOL=RERANK_POOL, _TOP_K=_TOP_K)
+
+
 _N_ITERS = 2
 
 #: The IVF configuration, shared by the queries, their oracles, and

@@ -221,6 +221,9 @@ SHUFFLE_BUDGET = {
     "user_value_underwater_runs": 2,
     # (user, month) close agg + user lag window + user rollup + sort
     "user_monthly_bar_diffs": 3,
+    # corpus code build (one exchange) + query code build + pool window
+    # + rerank equi-joins + presentation sort
+    "ann_quantized_rerank": 4,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort
@@ -260,7 +263,13 @@ SHUFFLE_BUDGET = {
 # rows (llm/similarity.py brute_force_topk), and tfidf attaches the corpus
 # size N as a broadcast of ONE aggregated row — both map-side loops, not
 # shuffles. Everything else: zero.
-NLJ_WHITELIST = {"knn_brute_force_cosine": 1, "tfidf_top_terms": 1}
+NLJ_WHITELIST = {
+    "knn_brute_force_cosine": 1,
+    "tfidf_top_terms": 1,
+    # stage 1 of the quantized cascade: broadcast of <= _N_QUERIES code
+    # rows against the corpus code scan, same contract as the kNN scorer
+    "ann_quantized_rerank": 1,
+}
 
 
 def test_budget_covers_entire_registry():
