@@ -145,3 +145,67 @@ def learned_merges_frame(
         "iteration int, left string, right string, merged string,"
         " n_occurrences long",
     )
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE with a merge table — the serving half of the tokenizer
+    loop (train with :func:`bpe_learn`, encode here). Same collapse
+    move as training: every DISTINCT word encodes once (the merge
+    folds run over |vocab| rows, map-side, chained in learned order via
+    :func:`_merge_pair`), then the corpus joins word -> encoding and
+    aggregates per document. Returns (doc_id, n_words, n_tokens,
+    enc_digest): token count after merging plus an order-sensitive md5
+    of the full encoded sequence (words joined by space, symbols within
+    a word by the unit separator chr(31), which cannot appear inside a
+    merged symbol built from visible text) — the digest pins every
+    merge decision, so the oracle comparison verifies the encoding
+    bit-for-bit, not just its length.
+
+    At 100 TB the word-vocabulary collapse is the same asymptotic win
+    as in training: the corpus pays one explode + one join; the merge
+    chain never touches it. A localCheckpoint every 8 merges bounds the
+    nested-fold expression depth over the (small) vocab frame."""
+    us = "\u001f"
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ),
+        )
+    )
+    for i, (left, right) in enumerate(merges):
+        vocab = _merge_pair(vocab, left, right)
+        if (i + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint()
+    enc = vocab.select(
+        "word",
+        F.size("syms").alias("w_tokens"),
+        F.concat_ws(us, F.col("syms")).alias("w_enc"),
+    )
+    per_word = words.join(enc, "word")
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("w_tokens").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w_enc"))),
+                    lambda s: s["w_enc"],
+                ),
+            )
+        ).alias("enc_digest"),
+    )

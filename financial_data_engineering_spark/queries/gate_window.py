@@ -30,6 +30,7 @@ GATE_WINDOW = [
     "user_value_underwater_runs",  # never
     "user_monthly_bar_diffs",  # never
     "ann_quantized_rerank",  # never
+    "doc_bpe_encoding",  # never
     "quality_freshness_events",  # r5
     "quality_completeness_lineitem",  # r5
     "quality_uniqueness_orders",  # r5

@@ -342,3 +342,79 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     return learned_merges_frame(spark, docs, n_merges=10)
+
+
+#: Fixed encode-side merge table (applied in order) for the oracle-gated
+#: encoding query: common English digraphs. CONSTANT on purpose — a
+#: LEARNED table is data-dependent and the training loop has no SQL
+#: oracle (bpe_learned_merges above), but APPLICATION is a deterministic
+#: fold either engine can replay; tests/test_bpe.py additionally
+#: composes bpe_learn -> bpe_apply_merges to pin the learned path.
+ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _sql_merge_fold(prev: str, left: str, right: str) -> str:
+    """One BPE merge as a DuckDB list fold: fuse (left, right) ->
+    left+right left-to-right non-overlapping — the exact twin of
+    llm/bpe.py _merge_pair (elements lifted to 1-element lists so the
+    accumulator type matches; a just-fused token is longer than left,
+    so re-merges cannot fire)."""
+    fused = left + right
+    return (
+        f"list_reduce(list_transform({prev}, s -> [s]), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{left}' "
+        f"AND x[1] = '{right}' "
+        f"THEN list_append(acc[1:len(acc) - 1], '{fused}') "
+        f"ELSE list_concat(acc, x) END)"
+    )
+
+
+def _encode_oracle() -> str:
+    syms = "list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1))"
+    for left, right, *_ in ENCODE_MERGES:
+        syms = _sql_merge_fold(syms, left, right)
+    return f"""
+    WITH w AS (
+        SELECT doc_id, pos, word FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    vocab AS (SELECT DISTINCT word FROM w),
+    enc AS (
+        SELECT word, s AS syms FROM (
+            SELECT word, {syms} AS s FROM vocab
+        )
+    )
+    SELECT w.doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens,
+           md5(string_agg(array_to_string(e.syms, chr(31)), ' '
+                          ORDER BY w.pos)) AS enc_digest
+    FROM w JOIN enc e USING (word)
+    GROUP BY w.doc_id ORDER BY doc_id
+    """
+
+
+@register("doc_bpe_encoding", oracle=_encode_oracle())
+def doc_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with a fixed BPE merge table (llm/bpe.py
+    bpe_apply_merges) — the serving half of the tokenizer loop: per
+    document, word count, token count after the 8 ENCODE_MERGES fuse in
+    order, and an md5 digest of the full encoded symbol sequence (the
+    digest makes the gate verify every merge decision, not just
+    lengths). Distinct words encode once (|vocab| map-side folds); the
+    corpus pays one posexplode and one word join — the same collapse
+    asymptotics as the trainer. The oracle replays the identical fold
+    per merge via chained DuckDB list_reduce rewrites generated from
+    the SAME constant table (drift-proof by construction)."""
+    from financial_data_engineering_spark.llm.bpe import bpe_apply_merges
+
+    docs = load(spark, "documents", sf_dir)
+    merges = [(left, right) for left, right in ENCODE_MERGES]
+    return bpe_apply_merges(docs, merges).orderBy("doc_id")

@@ -80,3 +80,59 @@ def test_bpe_learns_overlapping_run_left_to_right(spark):
     merges, vocab = bpe_learn(docs, n_merges=2)
     assert merges == [("a", "a", 9), ("aa", "aa", 3)]
     assert [list(r["syms"]) for r in vocab.collect()] == [["aaaa"]]
+
+
+def _ref_apply(words, merges):
+    """Reference merge application (left-to-right non-overlapping, in
+    merge order) — mirrors _ref_bpe's rewrite step."""
+    out = {}
+    for w in set(words):
+        syms = [c for c in w]
+        for a, b in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out[w] = syms
+    return out
+
+
+@_SETTINGS
+@given(words=_corpora, n_merges=st.integers(0, 4))
+def test_bpe_apply_matches_reference(spark, words, n_merges):
+    """Encoding parity: learn merges on a corpus, apply them with
+    bpe_apply_merges, and the per-doc token counts must equal the
+    reference segmentation applied to the same text — the full
+    train -> encode loop on one engine pair."""
+    from financial_data_engineering_spark.llm.bpe import bpe_apply_merges
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges, _ = bpe_learn(docs, n_merges=n_merges, min_count=2)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_apply_merges(
+            docs, [(a, b) for a, b, _ in merges]
+        ).collect()
+    }
+    segs = _ref_apply(words, [(a, b) for a, b, _ in merges])
+    want = {i: len(segs[w]) for i, w in enumerate(words)}
+    assert got == want
+
+
+def test_bpe_apply_digest_distinguishes_merge_boundaries(spark):
+    """'th'+'e' fused vs 't'+'he' must hash differently — the unit
+    separator keeps merge boundaries visible in the digest."""
+    from financial_data_engineering_spark.llm.bpe import bpe_apply_merges
+
+    docs = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    a = bpe_apply_merges(docs, [("t", "h")]).collect()[0]  # [th, e]
+    b = bpe_apply_merges(docs, [("h", "e")]).collect()[0]  # [t, he]
+    assert a["n_tokens"] == 2 and b["n_tokens"] == 2
+    assert a["enc_digest"] != b["enc_digest"]

@@ -224,6 +224,9 @@ SHUFFLE_BUDGET = {
     # corpus code build (one exchange) + query code build + pool window
     # + rerank equi-joins + presentation sort
     "ann_quantized_rerank": 4,
+    # distinct-word collapse + doc agg (encoded vocab broadcasts at test
+    # scale; word-keyed shuffle join at corpus scale) + sort
+    "doc_bpe_encoding": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # per-user lead window + rollup reusing its partitioning + sort
