@@ -165,7 +165,8 @@ SHUFFLE_BUDGET = {
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,
-    "lineitem_price_quantiles": 2,
+    # histogram collapse (map-side combine) + flag cum-window + rollup/sort
+    "lineitem_price_quantiles": 3,
     "lineitem_priority_asof": 4,
     # map-side stack Generate + grouped rollup + 12-row sort
     "lineitem_measure_unpivot": 2,
