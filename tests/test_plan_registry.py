@@ -193,16 +193,18 @@ SHUFFLE_BUDGET = {
     "part_brand_rolling_band": 2,
     # brand collect_list agg (fold is map-side HOF) + presentation sort
     "part_brand_ewma_band": 2,
-    # brand cummax window + brand rollup reusing partitioning + sort
-    "part_brand_max_drawdown": 2,
+    # (brand,month) cummax window + month agg + brand stitch window +
+    # rollup + sort (month-segmented: see the query docstring)
+    "part_brand_max_drawdown": 3,
     # user collect_list agg (same fold) + presentation sort
     "user_value_ewma_band": 2,
     # user cummax window + rollup reusing partitioning + sort
     "user_value_max_drawdown": 2,
     # user window (rolling sums) + rollup reusing partitioning + sort
     "user_value_rolling_band": 2,
-    # brand lag window + rollup reusing partitioning + sort
-    "part_brand_return_stats": 2,
+    # (brand,month) lag window + month agg + brand boundary window +
+    # rollup + sort (month-segmented)
+    "part_brand_return_stats": 3,
     # bar rollup (brand,month) + brand lag window over |bars| + sort
     "part_brand_monthly_returns": 3,
     # same bar rollup + lag window + brand rollup reusing partitioning
@@ -215,9 +217,9 @@ SHUFFLE_BUDGET = {
     # bar rollup + brand lag window + (brand,moy) agg (brand partitioning
     # satisfies it) + sort
     "part_brand_return_seasonality": 3,
-    # one brand window (three stacked same-order windows) + run/brand
-    # rollups reusing brand partitioning + sort
-    "part_brand_underwater_runs": 2,
+    # month-segmented: month-peak agg + prior window + (brand,month)
+    # windows + two-level rollup + brand fold + sort
+    "part_brand_underwater_runs": 5,
     # same gaps-and-islands plan keyed by user over events
     "user_value_underwater_runs": 2,
     # (user, month) close agg + user lag window + user rollup + sort
