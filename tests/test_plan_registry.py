@@ -190,7 +190,9 @@ SHUFFLE_BUDGET = {
     # one grouped agg (OHLC + sum_e2 via extra_aggs, no second scan) + sort
     "user_value_ohlc": 2,
     # brand window (rolling sums) + brand rollup reusing partitioning + sort
-    "part_brand_rolling_band": 2,
+    # month-segmented ghost-carry: rank window + tail agg + brand fold
+    # + ghost union + (brand,month) window + rollup + sort
+    "part_brand_rolling_band": 5,
     # brand collect_list agg (fold is map-side HOF) + presentation sort
     "part_brand_ewma_band": 2,
     # (brand,month) cummax window + month agg + brand stitch window +
