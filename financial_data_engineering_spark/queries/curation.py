@@ -95,18 +95,30 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-per-source downsampler whose selection is content-independent,
     reproducible, and engine-replayable (no RNG state).
 
-    One shuffle keyed by source. The rank-window form is right when the
-    per-source cap is small (it is a per-group top-k); for rate-based
-    sampling at the 100 TB tier, filter on a hash threshold instead
-    (``md5 < p·2^128`` needs no window and no sort at all) — same
-    determinism, zero shuffle."""
+    TWO-PHASE SALTED top-k (round 8): a single source-partitioned rank
+    window sorts the whole corpus in |sources| (~20) tasks — the
+    fixed-cardinality-key bottleneck the finance family also fixed.
+    Phase 1 ranks within (source, salt) — a deterministic
+    xxhash64(doc_id) salt, so the shuffle spreads uniformly — keeping
+    each bucket's local top-cap; the global top-cap per source is
+    always contained in the union of local top-caps (same total order),
+    so phase 2 re-ranks only |sources x salts x cap| rows. For
+    RATE-based sampling at the 100 TB tier, prefer the windowless hash
+    threshold (``md5 < p·2^128``) — same determinism, zero shuffle."""
     docs = load(spark, "documents", sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    n_salts = 32
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    local = (
+        docs.select("source", "doc_id", salt.alias("_salt"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= SAMPLE_PER_SOURCE)
     )
+    w2 = Window.partitionBy("source").orderBy(*order)
     return (
-        docs.select("source", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        local.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= SAMPLE_PER_SOURCE)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")

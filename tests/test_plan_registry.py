@@ -116,7 +116,9 @@ SHUFFLE_BUDGET = {
     "doc_mix_rebalance": 4,
     "doc_pack_bins": 2,
     "doc_repetition_flags": 3,
-    "doc_sample_stratified": 2,
+    # two-phase salted top-k: (source,salt) window + source window over
+    # the bounded union + sort
+    "doc_sample_stratified": 3,
     # map-side split expression + rollup agg + presentation sort
     "doc_split_assign": 2,
     "doc_text_stats": 1,
