@@ -357,14 +357,27 @@ def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_e2")
         )
     )
-    w = Window.partitionBy("s_nationkey").orderBy(
-        F.col("revenue_e2").desc(), "l_partkey"
+    # Two-phase salted top-k (round 8): the nation key has ~25 values,
+    # so a single nation-partitioned rank window would sort the whole
+    # |nations x parts| aggregate in 25 tasks; phase 1 ranks within
+    # (nation, xxhash64(part) salt) — uniform spread — and phase 2
+    # re-ranks only |nations x salts x 3| rows (the global top-3 is
+    # contained in the union of local top-3s under the same order).
+    order = [F.col("revenue_e2").desc(), F.col("l_partkey")]
+    salt = F.pmod(F.xxhash64(F.col("l_partkey")), F.lit(32))
+    w1 = Window.partitionBy("s_nationkey", "_salt").orderBy(*order)
+    local = (
+        part_rev.withColumn("_salt", salt)
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= 3)
+        .drop("_salt", "rank")
     )
+    w2 = Window.partitionBy("s_nationkey").orderBy(*order)
     return (
-        part_rev.join(
+        local.join(
             F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 3)
         .select("n_name", "rank", "l_partkey", "revenue_e2")
         .orderBy("n_name", "rank")

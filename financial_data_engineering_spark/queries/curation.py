@@ -576,7 +576,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy("source").orderBy(F.desc("s9"), F.asc("term"))
+    # Two-phase salted top-k (round 8): ~20 source values would make a
+    # single source-partitioned window sort the whole scored vocabulary
+    # in 20 tasks; rank within (source, term-hash salt) first, then
+    # re-rank the |sources x salts x K| union.
+    order = [F.desc("s9"), F.asc("term")]
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
     return (
         tf.join(dfq, "term")
         .join(F.broadcast(n))
@@ -584,7 +590,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s9",
             F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("term")), F.lit(32)))
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .drop("_salt", "rank")
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select(
             "source",

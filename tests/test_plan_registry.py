@@ -150,7 +150,8 @@ SHUFFLE_BUDGET = {
     "nation_revenue_running_share": 2,
     # supplier/nation broadcast; (nation, part) agg + |nations|-partition
     # rank window + sort
-    "top_parts_per_nation": 3,
+    # two-phase salted top-3 over the (nation, part) aggregate
+    "top_parts_per_nation": 4,
     # distinct-name collapse is persisted by the block-size guard's
     # materialization; post-cache plan is tiny aggs + broadcast joins
     "part_fuzzy_name_blocks": 3,
@@ -260,7 +261,8 @@ SHUFFLE_BUDGET = {
     "source_quality_rollup": 2,
     "source_vocab_stats": 3,
     "surrogate_keys_nation": 1,
-    "tfidf_top_terms": 6,
+    # + two-phase salted top-K over the scored vocabulary
+    "tfidf_top_terms": 7,
     "top_bigrams": 2,
     "top_customers_by_revenue": 1,
     "top_part_nouns": 1,
