@@ -106,8 +106,9 @@ def test_curation_plan_shapes_frozen(spark):
     nested-loop joins anywhere; top_bigrams' top-k must plan as
     TakeOrderedAndProject (no full-sort exchange for a LIMIT k)."""
     budgets = {
-        # window(source) + presentation sort
-        "doc_sample_stratified": 2,
+        # two-phase salted top-k: (source,salt) window + source window
+        # over the bounded union + presentation sort
+        "doc_sample_stratified": 3,
         # running-sum window(source); rollup reuses its partitioning
         "doc_pack_bins": 2,
         # explode is map-side; distinct agg (2-phase) + presentation sort
