@@ -398,17 +398,26 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared diff <= 4e16 — three orders under int64 at any SF (bounds
     set by the price domain and ROLL_N, not by data volume). Identical
     rows at sf0.01/sf0.1/sf1."""
-    seq = _li_seq(spark, sf_dir)
-    ord_cols = [F.col("o.us"), F.col("o.okey"), F.col("o.lineno"), F.col("o.tb")]
-    ord_fields = ["us", "okey", "lineno", "tb"]
+    return _rolling_band_segmented(_li_seq(spark, sf_dir))
+
+
+def _rolling_band_segmented(seq: DataFrame, key: str = "brand") -> DataFrame:
+    """Ghost-carry month-segmented rolling band over a (key, bar_m,
+    o-struct, px) tick frame — the part_brand_rolling_band body, seq-
+    parameterized so the property suite can replay it on synthetic
+    ticks against a pure-Python reference (the oracle gates pin the
+    three fixed datasets; random ticks cover sub-ROLL_N months and
+    boundary shapes they cannot)."""
+    ord_fields = seq.schema["o"].dataType.fieldNames()
+    ord_cols = [F.col(f"o.{f}") for f in ord_fields]
     flat = F.struct(
         *[F.col(f"o.{f}").alias(f) for f in ord_fields],
         F.col("px").alias("px"),
     )
-    w_m = Window.partitionBy("brand", "bar_m").orderBy(*ord_cols)
-    w_cnt = Window.partitionBy("brand", "bar_m")
+    w_m = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
+    w_cnt = Window.partitionBy(key, "bar_m")
     ranked = seq.select(
-        "brand",
+        key,
         "bar_m",
         "o",
         "px",
@@ -418,7 +427,7 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tails = (
         ranked.filter(F.col("rn") > F.col("cnt") - ROLL_N)
-        .groupBy("brand", "bar_m")
+        .groupBy(key, "bar_m")
         .agg(F.array_sort(F.collect_list("f")).alias("tail"))
     )
     # Chain the carry across months: a sparse month (< ROLL_N ticks)
@@ -427,10 +436,11 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the calendar-bounded month-tail array per brand, state
     # = (carry so far, per-month ghost arrays emitted so far).
     _FLAT_T = (
-        "array<struct<us:bigint,okey:bigint,lineno:bigint,"
-        "tb:bigint,px:bigint>>"
+        "array<struct<"
+        + ",".join(f"{f}:bigint" for f in ord_fields)
+        + ",px:bigint>>"
     )
-    ms = tails.groupBy("brand").agg(
+    ms = tails.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct("bar_m", "tail"))).alias("mt")
     )
     init = F.struct(
@@ -461,15 +471,15 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ghost_arrays = ms.select(
-        "brand",
+        key,
         F.explode(F.aggregate("mt", init, carry_step)["outs"]).alias("e"),
-    ).select("brand", F.col("e.bar_m").alias("bar_m"), F.col("e.arr").alias("arr"))
+    ).select(key, F.col("e.bar_m").alias("bar_m"), F.col("e.arr").alias("arr"))
     ghosts = ghost_arrays.select(
-        "brand",
+        key,
         "bar_m",
         F.explode("arr").alias("g"),
     ).select(
-        "brand",
+        key,
         "bar_m",
         F.struct(
             *[F.col(f"g.{f}").alias(f) for f in ord_fields]
@@ -477,19 +487,19 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.px").alias("px"),
         F.lit(1).alias("ghost"),
     )
-    body = seq.select("brand", "bar_m", "o", "px", F.lit(0).alias("ghost"))
+    body = seq.select(key, "bar_m", "o", "px", F.lit(0).alias("ghost"))
     aug = body.unionByName(ghosts)
     # ghosts carry the PRIOR month's order keys, which precede every
     # real tick of this month in the event-time order — they sort to
     # the partition head and fill the frame exactly.
     w_roll = (
-        Window.partitionBy("brand", "bar_m")
+        Window.partitionBy(key, "bar_m")
         .orderBy(*ord_cols)
         .rowsBetween(-ROLL_N, -1)
     )
     px = F.col("px")
     stats = aug.select(
-        "brand",
+        key,
         "ghost",
         px,
         F.count(px).over(w_roll).alias("n"),
@@ -501,20 +511,20 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = n * px - s
     breach = diff * diff > F.lit(BAND_K * BAND_K) * (n * ss - s * s)
     flags = stats.select(
-        "brand",
+        key,
         eligible.cast("long").alias("eval"),
         (eligible & (diff > 0) & breach).cast("long").alias("above"),
         (eligible & (diff < 0) & breach).cast("long").alias("below"),
     )
     return (
-        flags.groupBy("brand")
+        flags.groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_ticks"),
             F.sum("eval").alias("n_eval"),
             F.sum("above").alias("n_above"),
             F.sum("below").alias("n_below"),
         )
-        .orderBy("brand")
+        .orderBy(key)
     )
 
 
@@ -1270,18 +1280,27 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench) -> 3.4 s (segmented, warm), parallelism bound 25 ->
     25 x months. Identical rows to the oracle's row-level
     formulation at sf0.01/sf0.1/sf1."""
-    seq = _li_seq(spark, sf_dir)
-    ord_cols = [F.col("o.us"), F.col("o.okey"), F.col("o.lineno"), F.col("o.tb")]
+    return _underwater_runs_segmented(_li_seq(spark, sf_dir))
+
+
+def _underwater_runs_segmented(seq: DataFrame, key: str = "brand") -> DataFrame:
+    """Month-segmented underwater-run census over a (key, bar_m,
+    o-struct, px) tick frame — the part_brand_underwater_runs body,
+    seq-parameterized so the property suite can replay it on synthetic
+    ticks against a pure-Python reference (random ticks exercise run
+    shapes the fixed datasets cannot: runs spanning several months,
+    fully-underwater months, single-tick months)."""
+    ord_cols = [F.col(f"o.{f}") for f in seq.schema["o"].dataType.fieldNames()]
     # Pass 1 (control-plane sized): per-month peaks -> each month's
     # PRIOR-months running peak, over the tiny (brand, month) frame.
-    mp = seq.groupBy("brand", "bar_m").agg(F.max("px").alias("m_mx"))
+    mp = seq.groupBy(key, "bar_m").agg(F.max("px").alias("m_mx"))
     w_prior = (
-        Window.partitionBy("brand")
+        Window.partitionBy(key)
         .orderBy("bar_m")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     priors = mp.select(
-        "brand",
+        key,
         "bar_m",
         F.coalesce(
             F.max("m_mx").over(w_prior), F.lit(-(1 << 62))
@@ -1290,11 +1309,11 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pass 2: flags + runs WITHIN (brand, month) — the global running
     # peak equals max(prior_peak, in-month prefix peak), so flags are
     # exact with month-local windows.
-    ticks = seq.join(F.broadcast(priors), ["brand", "bar_m"])
-    w_m = Window.partitionBy("brand", "bar_m").orderBy(*ord_cols)
+    ticks = seq.join(F.broadcast(priors), [key, "bar_m"])
+    w_m = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
     w_mc = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d1 = ticks.select(
-        "brand",
+        key,
         "bar_m",
         F.col("o.us").alias("us"),
         "o",
@@ -1307,7 +1326,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_m).alias("rn"),
     )
     d2 = d1.select(
-        "brand",
+        key,
         "bar_m",
         "us",
         "o",
@@ -1318,7 +1337,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chg"),
     )
     d3 = d2.select(
-        "brand",
+        key,
         "bar_m",
         "us",
         "uw",
@@ -1333,7 +1352,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Non-underwater stretches keep their run_id so the level-1 rows
     # partition ALL ticks: t = sum(len), and the month's tail run is
     # simply the max_rn row (max_by), underwater or not.
-    lvl1 = d3.groupBy("brand", "bar_m", "uw", "run_id").agg(
+    lvl1 = d3.groupBy(key, "bar_m", "uw", "run_id").agg(
         F.count(F.lit(1)).alias("len"),
         F.min("us").alias("start_us"),
         F.max("us").alias("end_us"),
@@ -1346,7 +1365,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("uw", "len", "start_us"), F.col("max_rn")
     )
     months = (
-        lvl1.groupBy("brand", "bar_m")
+        lvl1.groupBy(key, "bar_m")
         .agg(
             F.sum("len").alias("t"),
             F.max("end_us").alias("m_last_us"),
@@ -1372,7 +1391,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             tail.alias("_tail"),
         )
         .select(
-            "brand",
+            key,
             "bar_m",
             "t",
             "m_last_us",
@@ -1403,7 +1422,7 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_m", "t", "m_last_us", "nr", "mxl", "mxd",
         "first_uw", "h_len", "h_end", "last_uw", "t_len", "t_start",
     ]
-    arr = months.groupBy("brand").agg(
+    arr = months.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*mfields))).alias("ms")
     )
     init = F.struct(
@@ -1462,15 +1481,15 @@ def part_brand_underwater_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject from inlining the fold once per output column
     # (the _ewma_select lesson)
     return (
-        arr.select("brand", F.explode(F.array(st)).alias("st"))
+        arr.select(key, F.explode(F.array(st)).alias("st"))
         .select(
-            "brand",
+            key,
             F.col("st.n_runs").alias("n_runs"),
             F.col("st.mx_len").alias("max_run_ticks"),
             F.col("st.mx_dur").alias("max_run_dur_us"),
         )
         .filter(F.col("n_runs") > 0)
-        .orderBy("brand")
+        .orderBy(key)
     )
 
 

@@ -147,3 +147,129 @@ def test_ohlc_bars_extra_aggs_ride_same_aggregate(spark):
     )
     assert out.collect()[0].sum_px == 6
     assert plans.shuffle_count(out) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the month-segmented plans: random synthetic ticks vs a
+# pure-Python reference of the GLOBAL (unsegmented) definition — stressing
+# shapes the fixed datasets can't: runs spanning several months, months with
+# fewer than ROLL_N ticks, fully-underwater months, single-tick months.
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from financial_data_engineering_spark.queries.finance import (
+    ROLL_MIN,
+    ROLL_N,
+    _rolling_band_segmented,
+    _underwater_runs_segmented,
+)
+
+_ticks = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # month index
+        st.integers(min_value=0, max_value=999),  # within-month us offset
+        st.integers(min_value=1, max_value=40),   # px
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _mk_seq(spark, ticks):
+    """(key, bar_m, o(us, okey, lineno, tb), px) frame from (month,
+    offset, px) tuples; us embeds the month so event-time order equals
+    (month, offset, insertion) order."""
+    rows = []
+    for i, (m, off, px) in enumerate(ticks):
+        us = m * 1_000_000_000 + off * 1000 + i  # unique, month-major
+        bar_m = datetime.date(2020, 1 + m, 1)
+        rows.append(("k", bar_m, us, i, 0, px, px))
+    df = spark.createDataFrame(
+        rows,
+        "key string, bar_m date, us long, okey long, lineno long,"
+        " tb long, px long",
+    )
+    return df.select(
+        "key",
+        "bar_m",
+        F.struct("us", "okey", "lineno", "tb").alias("o"),
+        "px",
+    )
+
+
+def _ordered(ticks):
+    return sorted(
+        (m * 1_000_000_000 + off * 1000 + i, px)
+        for i, (m, off, px) in enumerate(ticks)
+    )
+
+
+def _ref_underwater(ticks):
+    seq = _ordered(ticks)
+    peak = None
+    runs, cur_len, cur_start, last_uw_us = [], 0, None, None
+    for us, px in seq:
+        uw = peak is not None and px < peak
+        if uw:
+            if cur_len == 0:
+                cur_start = us
+            cur_len += 1
+            last_uw_us = us
+        else:
+            if cur_len:
+                runs.append((cur_len, last_uw_us - cur_start))
+            cur_len = 0
+        peak = px if peak is None else max(peak, px)
+    if cur_len:
+        runs.append((cur_len, last_uw_us - cur_start))
+    if not runs:
+        return None
+    return (
+        len(runs),
+        max(r[0] for r in runs),
+        max(r[1] for r in runs),
+    )
+
+
+def _ref_rolling_band(ticks):
+    seq = [px for _, px in _ordered(ticks)]
+    n_eval = n_above = n_below = 0
+    for i, px in enumerate(seq):
+        wnd = seq[max(0, i - ROLL_N) : i]
+        n = len(wnd)
+        if n < ROLL_MIN:
+            continue
+        n_eval += 1
+        s, ss = sum(wnd), sum(v * v for v in wnd)
+        diff = n * px - s
+        if diff * diff > BAND_K * BAND_K * (n * ss - s * s):
+            if diff > 0:
+                n_above += 1
+            elif diff < 0:
+                n_below += 1
+    return (len(seq), n_eval, n_above, n_below)
+
+
+@_SETTINGS
+@given(ticks=_ticks)
+def test_underwater_segmented_matches_reference(spark, ticks):
+    got = _underwater_runs_segmented(_mk_seq(spark, ticks), "key").collect()
+    want = _ref_underwater(ticks)
+    if want is None:
+        assert got == []
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert (r.n_runs, r.max_run_ticks, r.max_run_dur_us) == want
+
+
+@_SETTINGS
+@given(ticks=_ticks)
+def test_rolling_band_segmented_matches_reference(spark, ticks):
+    got = _rolling_band_segmented(_mk_seq(spark, ticks), "key").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_ticks, r.n_eval, r.n_above, r.n_below) == _ref_rolling_band(
+        ticks
+    )
