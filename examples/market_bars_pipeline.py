@@ -108,8 +108,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
     # 4. risk: max drawdown per brand
     drawdown = get("part_brand_max_drawdown").fn(spark, sf_dir)
 
-    # 5. brand summary report
+    # 5. brand summary report — round 8 adds the bar-to-bar layer:
+    # monthly close-to-close return stats, market beta, and the
+    # underwater-run census (drawdown's duration counterpart)
     vwap = get("part_brand_vwap").fn(spark, sf_dir)
+    beta = get("part_brand_beta").fn(spark, sf_dir)
+    underwater = get("part_brand_underwater_runs").fn(spark, sf_dir)
     report = (
         vwap.join(drawdown.drop("n_ticks"), "brand")
         .join(ewma, "brand")
@@ -120,6 +124,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
                 F.col("n_below").alias("roll_below"),
             ),
             "brand",
+        )
+        .join(beta.select("brand", "n_months", "beta_e4"), "brand")
+        .join(
+            underwater.select(
+                "brand",
+                F.col("n_runs").alias("uw_runs"),
+                F.col("max_run_dur_us").alias("uw_max_dur_us"),
+            ),
+            "brand",
+            "left",
         )
         .orderBy("brand")
     )
@@ -147,6 +161,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
         ),
         "negative_drawdowns": sum(
             1 for r in report_rows if r.max_drawdown_e2 < 0
+        ),
+        "null_betas": sum(1 for r in report_rows if r.beta_e4 is None),
+        "uw_runs_without_drawdown": sum(
+            1
+            for r in report_rows
+            if (r.uw_runs or 0) > 0 and r.max_drawdown_e2 == 0
         ),
         "output_dir": output_dir,
     }

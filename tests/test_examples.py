@@ -248,6 +248,10 @@ def test_market_bars_pipeline(spark, tmp_path):
     assert out["bars_ohlc_violations"] == 0
     # VWAP is a qty-weighted mean of prices, so 0 < vwap <= brand peak
     assert out["n_brands"] == 25
+    # every brand's market var is positive at this SF -> beta defined
+    assert out["null_betas"] == 0
+    # a brand with underwater runs must have drawn down
+    assert out["uw_runs_without_drawdown"] == 0
     assert out["vwap_out_of_band"] == 0
     assert out["negative_drawdowns"] == 0
     import glob
