@@ -18,59 +18,10 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r05.json": "8616d396e1a15c5b",
     "CORRECTNESS_r06.json": "b6990091b8fffb4e",
     "CORRECTNESS_r07.json": "7e81c5463a3be4ca",
+    "CORRECTNESS_r08.json": "40bd3ea0cbecf26f",
 }
 
 GATE_WINDOW = [
-    "part_brand_monthly_returns",  # never
-    "part_brand_gap_counts",  # never
-    "part_brand_beta",  # never
-    "brand_return_correlation",  # never
-    "part_brand_return_seasonality",  # never
-    "part_brand_underwater_runs",  # never
-    "user_value_underwater_runs",  # never
-    "user_monthly_bar_diffs",  # never
-    "ann_quantized_rerank",  # never
-    "doc_bpe_encoding",  # never
-    "quality_freshness_events",  # r5
-    "quality_completeness_lineitem",  # r5
-    "quality_uniqueness_orders",  # r5
-    "quality_range_quantity",  # r5
-    "quality_pattern_customer_name",  # r5
-    "pricing_summary",  # r5
-    "latest_order_per_customer",  # r5
-    "top_customers_by_revenue",  # r5
-    "nation_latest_order_revenue",  # r5
-    "order_distinct_counts",  # r5
-    "lineitem_global_stats",  # r5
-    "high_value_parties",  # r5
-    "revenue_by_region_segment",  # r5
-    "order_priority_share",  # r5
-    "priority_fulfillment_latency",  # r5
-    "bpe_merge_candidates",  # r5
-    "bpe_learned_merges",  # r5
-    "event_value_dispersion",  # r6
-    "lineitem_measure_unpivot",  # r6
-    "ann_ivf_from_index",  # r6
-    "dedup_semantic_clusters",  # r6
-    "customer_order_stats_salted",  # r6
-    "source_vocab_overlap",  # r6
-    "small_quantity_order_revenue",  # r6
-    "knn_brute_force_cosine",  # r6
-    "ann_lsh_cosine",  # r6
-    "ann_lsh_multiprobe",  # r6
-    "embedding_quantization_stats",  # r6
-    "ann_ivf_cosine",  # r6
-    "kmv_distinct_customers",  # r6
-    "kmv_priority_union",  # r6
-    "doc_text_stats",  # r6
-    "doc_lang_id",  # r6
-    "source_quality_rollup",  # r6
-    "doc_fingerprints",  # r6
-    "doc_bpe_tokens",  # r6
-    "doc_sample_stratified",  # r6
-    "doc_pack_bins",  # r6
-    "source_vocab_stats",  # r6
-    "top_bigrams",  # r6
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6
@@ -148,4 +99,54 @@ GATE_WINDOW = [
     "user_browse_to_buy_runs",  # r7
     "multimodal_resize_stats",  # r7
     "multimodal_frame_stats",  # r7
+    "part_brand_monthly_returns",  # r8
+    "part_brand_gap_counts",  # r8
+    "part_brand_beta",  # r8
+    "brand_return_correlation",  # r8
+    "part_brand_return_seasonality",  # r8
+    "part_brand_underwater_runs",  # r8
+    "user_value_underwater_runs",  # r8
+    "user_monthly_bar_diffs",  # r8
+    "ann_quantized_rerank",  # r8
+    "doc_bpe_encoding",  # r8
+    "quality_freshness_events",  # r8
+    "quality_completeness_lineitem",  # r8
+    "quality_uniqueness_orders",  # r8
+    "quality_range_quantity",  # r8
+    "quality_pattern_customer_name",  # r8
+    "pricing_summary",  # r8
+    "latest_order_per_customer",  # r8
+    "top_customers_by_revenue",  # r8
+    "nation_latest_order_revenue",  # r8
+    "order_distinct_counts",  # r8
+    "lineitem_global_stats",  # r8
+    "high_value_parties",  # r8
+    "revenue_by_region_segment",  # r8
+    "order_priority_share",  # r8
+    "priority_fulfillment_latency",  # r8
+    "bpe_merge_candidates",  # r8
+    "bpe_learned_merges",  # r8
+    "event_value_dispersion",  # r8
+    "lineitem_measure_unpivot",  # r8
+    "ann_ivf_from_index",  # r8
+    "dedup_semantic_clusters",  # r8
+    "customer_order_stats_salted",  # r8
+    "source_vocab_overlap",  # r8
+    "small_quantity_order_revenue",  # r8
+    "knn_brute_force_cosine",  # r8
+    "ann_lsh_cosine",  # r8
+    "ann_lsh_multiprobe",  # r8
+    "embedding_quantization_stats",  # r8
+    "ann_ivf_cosine",  # r8
+    "kmv_distinct_customers",  # r8
+    "kmv_priority_union",  # r8
+    "doc_text_stats",  # r8
+    "doc_lang_id",  # r8
+    "source_quality_rollup",  # r8
+    "doc_fingerprints",  # r8
+    "doc_bpe_tokens",  # r8
+    "doc_sample_stratified",  # r8
+    "doc_pack_bins",  # r8
+    "source_vocab_stats",  # r8
+    "top_bigrams",  # r8
 ]
