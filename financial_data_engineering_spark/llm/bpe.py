@@ -13,7 +13,7 @@ iteration runs over |vocab| rows, never over the corpus again:
    non-overlapping — a map-side ``aggregate`` higher-order function, no
    Python, no shuffle.
 
-State per iteration is the (word, freq, syms) frame; ``localCheckpoint``
+State per iteration is the (word, freq, syms) frame; ``materialize()``
 truncates the per-iteration lineage exactly like the connected-components
 fixpoint in llm/dedup.py. At 100 TB the corpus pass happens once; each of
 the (typically tens of thousands of) merges costs one small aggregation
@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.partitioning import materialize
 
 
 def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
@@ -105,7 +107,7 @@ def bpe_learn(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    vocab = _word_vocab(docs, text_col).localCheckpoint()
+    vocab = materialize(_word_vocab(docs, text_col))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -122,9 +124,9 @@ def bpe_learn(
             best[0]["n_occurrences"],
         )
         merges.append((left, right, int(n)))
-        # localCheckpoint per round: truncates the nested-aggregate
+        # materialize per round: truncates the nested-aggregate
         # lineage AND freezes the frame the next pair count reads.
-        vocab = _merge_pair(vocab, left, right).localCheckpoint()
+        vocab = materialize(_merge_pair(vocab, left, right))
     return merges, vocab
 
 
@@ -168,7 +170,7 @@ def bpe_apply_merges(
 
     At 100 TB the word-vocabulary collapse is the same asymptotic win
     as in training: the corpus pays one explode + one join; the merge
-    chain never touches it. A localCheckpoint every 8 merges bounds the
+    chain never touches it. A materialize() every 8 merges bounds the
     nested-fold expression depth over the (small) vocab frame."""
     us = "\u001f"
     words = docs.select(
@@ -189,7 +191,7 @@ def bpe_apply_merges(
     for i, (left, right) in enumerate(merges):
         vocab = _merge_pair(vocab, left, right)
         if (i + 1) % 8 == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = materialize(vocab)
     enc = vocab.select(
         "word",
         F.size("syms").alias("w_tokens"),

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from financial_data_engineering_spark.llm.caching import persist_tracked
-from financial_data_engineering_spark.partitioning import spread_by
+from financial_data_engineering_spark.partitioning import materialize, spread_by
 
 # The shingle index tokenizes through the repo-wide contract so MinHash/
 # Jaccard/SimHash candidates compose with span/repetition/vocab counts.
@@ -591,8 +591,9 @@ def connected_components(
       any graph size) instead of a self-join + filter + count, removing
       a per-round shuffle join.
 
-    Each round's result is materialized with ``localCheckpoint`` — the
-    mandatory move for iterative DataFrame algorithms: persist() caches
+    Each round's result is materialized with ``materialize()`` (reliable
+    checkpointing off-local) — the mandatory move for iterative
+    DataFrame algorithms: persist() caches
     the physical data but the LOGICAL plan still nests every prior round,
     and analyzer/optimizer time grows superlinearly in that depth
     (measured: 2.6 s → 317 s per round by iteration 5 on a 292-edge
@@ -603,27 +604,24 @@ def connected_components(
     # Materialize the edge list BEFORE symmetrizing: the union's two
     # branches would otherwise each evaluate the caller's (possibly
     # expensive) pair-generation lineage.
-    edges_ck = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
+    edges_ck = materialize(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
     # Size the loop's parallelism from the graph itself (~50k edges per
     # partition, capped): the edge count is free now that edges_ck is
     # materialized, and every subsequent round pays per-task scheduling
     # on exactly this width.
     n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
-    sym = (
+    sym = materialize(
         edges_ck.unionByName(
             edges_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(n_parts, "dst")
-        .localCheckpoint()
+        ).repartition(n_parts, "dst")
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(n_parts, "node")
-        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -632,7 +630,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 labels["node"].alias("node"),
@@ -641,7 +639,6 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), labels["label"]),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         # Monotone fixpoint: labels never increase, so the (exact,
         # overflow-free) label sum is strictly decreasing until converged.

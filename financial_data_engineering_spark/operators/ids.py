@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from financial_data_engineering_spark.partitioning import shuffle_partitions
+from financial_data_engineering_spark.partitioning import materialize, shuffle_partitions
 
 
 def dense_row_ids(
@@ -51,14 +51,14 @@ def _dense_ids_with_total(
     spark = df.sparkSession
     n = num_partitions or shuffle_partitions(spark)
     cols = [F.col(c) for c in order_cols]
-    # localCheckpoint freezes the range partitioning: repartitionByRange
+    # materialize() freezes the range partitioning: repartitionByRange
     # samples bounds per execution, so without materialization the count
     # pass and the rank pass could see DIFFERENT partitionings and the
-    # offsets would be wrong.
-    ranged = (
+    # offsets would be wrong (and on a cluster the blocks must survive
+    # executor loss — see partitioning.materialize).
+    ranged = materialize(
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     sizes = {
         r["_pid"]: r["cnt"]

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_engineering_spark.partitioning import materialize
+
 #: hash domain: first 12 hex chars of md5 = 48 uniform bits. 2^48 keeps
 #: (k-1)·2^48 far inside BIGINT for any practical k (k ≤ ~32000).
 KMV_HASH_BITS = 48
@@ -136,13 +138,13 @@ def kmv_group_sketches(
     # Materialize the per-group sketches once: both consumers (the
     # per-group rows and the merge) read this k·|groups|-row frame, and
     # without truncation each would re-run the corpus-sized hash-distinct
-    # lineage. This localCheckpoint IS the "store the partial sketches"
-    # step of a real profile job.
-    bottom = (
+    # lineage. This materialize() IS the "store the partial sketches"
+    # step of a real profile job (reliable off-local — see
+    # partitioning.materialize).
+    bottom = materialize(
         hashes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "h")
-        .localCheckpoint()
     )
     per_group = bottom.groupBy("grp").agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual")
@@ -209,14 +211,13 @@ def kmv_intersection(
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("h")
-    bottom = (
+    bottom = materialize(
         hashes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "h")
-        .localCheckpoint()
     )
-    union_sketch = (
-        bottom.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
+    union_sketch = materialize(
+        bottom.select("h").distinct().orderBy("h").limit(k)
     )
     a_h = bottom.filter(F.col("grp") == group_a).select("h")
     b_h = bottom.filter(F.col("grp") == group_b).select("h")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def shuffle_partitions(spark: SparkSession) -> int:
@@ -44,6 +45,86 @@ def shuffle_partitions(spark: SparkSession) -> int:
         return int(raw)
     except (TypeError, ValueError):
         return spark.sparkContext.defaultParallelism
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage and pin ``df``'s rows in a way that survives the
+    deployment it is running in. Every iterative data path (connected-
+    components fixpoint, BPE trainer rounds, sketch partials, EWMA
+    segment replay, double-consumed returns frames) materializes
+    through THIS helper, never through a bare ``localCheckpoint``.
+
+    Why the indirection matters at 100 TB: ``localCheckpoint`` stores
+    blocks on executors with lineage truncated. On ``local[*]`` that is
+    exactly right (one JVM, no executor to lose, no HDFS round-trip).
+    On a real cluster an executor loss — or a dynamic-allocation
+    scale-in, which is routine on a 1000-executor job — loses the
+    blocks with NO recompute path, failing the job mid-fixpoint. The
+    reliable path must be ``checkpoint()`` to the fault-tolerant
+    checkpoint dir, or at minimum a replicated persist.
+
+    Mode selection (conf ``spark.fdes.materialize.mode``):
+
+    - ``auto`` (default): ``local`` under a ``local[...]`` master,
+      ``reliable`` otherwise.
+    - ``local``: ``localCheckpoint(eager)``.
+    - ``reliable``: ``checkpoint(eager)`` when a checkpoint dir is set
+      (lineage truncated, blocks on fault-tolerant storage). When the
+      cluster has no checkpoint dir configured, fall back to an eager
+      ``persist(MEMORY_AND_DISK_2)`` — lineage is kept (so recompute
+      is possible after block loss) and blocks are 2x-replicated; the
+      DAG grows across iterations, which is the documented price of
+      not configuring ``spark.checkpoint.dir``.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.fdes.materialize.mode", "auto")
+    if mode == "auto":
+        master = spark.conf.get("spark.master", "")
+        mode = "local" if master.startswith("local") else "reliable"
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except Exception:  # very old forks without the accessor
+        ckpt_dir = None
+    if ckpt_dir:
+        return df.checkpoint(eager=eager)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    if eager:
+        out.count()
+    return out
+
+
+def make_scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """A unique scratch directory for intermediate distributed writes
+    (e.g. the EWMA replay's seg-partitioned parquet). Conf
+    ``spark.fdes.scratch.dir`` points at shared storage on a cluster
+    (HDFS/S3 — executors must be able to write it; the driver's /tmp is
+    NOT visible to them); unset, falls back to a driver-local tempdir,
+    correct under local[*]. A uuid suffix keeps concurrent or repeated
+    invocations in one app from sharing (and clobbering) a directory."""
+    import uuid
+
+    base = spark.conf.get("spark.fdes.scratch.dir", "")
+    if base:
+        return base.rstrip("/") + "/" + prefix + uuid.uuid4().hex
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def remove_scratch_dir(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete of a scratch dir through the Hadoop
+    FileSystem API, so HDFS/S3 paths clean up as well as local ones."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def spread_by(df: DataFrame, *cols: str) -> DataFrame:

@@ -42,6 +42,11 @@ from financial_data_engineering_spark.operators.finance import (
     ewma_band_fold,
     ohlc_bars,
 )
+from financial_data_engineering_spark.partitioning import (
+    make_scratch_dir,
+    materialize as materialize_df,
+    remove_scratch_dir,
+)
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
@@ -150,12 +155,11 @@ _EWMA_REDUCE_SQL = """
 
 
 def _ewma_segment_replay(
-    df: DataFrame, key: str, flat, ord_fields: list[str], seg_n: int
+    segs: DataFrame, key: str, n_seg: int
 ) -> DataFrame:
-    """Segmented exact replay of the EWMA fold for histories longer than
-    ``seg_n``: rank ticks per key in event-time order, cut the rank into
-    fixed-size segments, fold each segment's (bounded, sorted) px array,
-    and carry the O(1) state struct into the next segment's fold via
+    """Chained exact replay over the seg-partitioned scratch table:
+    fold segment 0's (bounded, sorted) px arrays, then carry the O(1)
+    state struct into each later segment's fold via
     ``ewma_band_fold(..., init=state)``. Bit-identical to one long fold
     — the recurrence is a left fold, so chunked evaluation composes —
     while per-key memory is capped at ``seg_n`` structs regardless of
@@ -163,58 +167,18 @@ def _ewma_segment_replay(
     either order; safe because fully-tied rows are value-identical
     (module docstring: determinism by value-equivalence).
 
-    Cost shape: one rank window + one (key, seg) aggregate build the
-    segment table once (persisted DISK_ONLY — replay reads it
-    sequentially); then ceil(max_history / seg_n) tiny |keys|-row join
-    steps chain the state, localCheckpoint every few steps to bound
-    lineage (the dedup fixpoint's pattern). The sequential step count is
-    inherent to the recurrence — no engine folds one symbol's history in
-    sublinear time; the parallel axis is across keys."""
-    import os
-    import shutil
-    import tempfile
-
-    spark = df.sparkSession
-    w = Window.partitionBy(key).orderBy(
-        *[F.col(f"o.{f}") for f in ord_fields], "px"
-    )
-    seg = F.call_function("div", F.row_number().over(w) - 1, F.lit(seg_n))
-    # Materialize segments ONCE as seg-partitioned scratch parquet: each
-    # replay step then reads ONLY its own seg=i directory. The first cut
-    # persisted the frame DISK_ONLY and filtered seg == i per step, but
-    # cached batches are hash-mixed across segments, so every one of the
-    # ceil(history/seg_n) steps re-scanned the full cache. Directory
-    # pruning makes step i read 1/n_seg of the data — measured at sf10
-    # (37 segments x 60M rows): 87.6 -> 82.2 s, a modest win THERE
-    # because the interpreted fold dominates at that segment count, but
-    # the re-scan term the pruning removes grows with n_seg^2 x data
-    # while the fold grows linearly, so the gap widens at longer
-    # histories. The honest scale answer for unbounded per-key history
-    # remains the streaming twin's O(1) state.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "fdes_ewma_segs_{}_{}".format(
-            spark.sparkContext.applicationId, abs(hash((key, seg_n)))
-        ),
-    )
-    (
-        df.select(key, seg.alias("seg"), flat.alias("t"))
-        .groupBy(key, "seg")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("t")), lambda t: t["px"]
-            ).alias("pxs")
-        )
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(path)
-    )
-    segs = spark.read.parquet(path)
-    n_seg = segs.agg(F.max("seg")).collect()[0][0] + 1  # control-plane
-    state = (
+    Cost shape: ceil(max_history / seg_n) tiny |keys|-row join steps
+    chain the state (each reading ONLY its own seg=i parquet directory
+    — partition pruning), materialize() every few steps to bound
+    lineage (the dedup fixpoint's pattern). The sequential step count
+    is inherent to the recurrence — no engine folds one symbol's
+    history in sublinear time; the parallel axis is across keys. The
+    RETURNED state is always materialized (the last iteration, or the
+    seg-0 fold when n_seg == 1), so the caller may delete the scratch
+    directory as soon as this returns."""
+    state = materialize_df(
         segs.filter(F.col("seg") == 0)
         .select(key, ewma_band_fold(F.col("pxs")).alias("st"))
-        .localCheckpoint()
     )
     for i in range(1, n_seg):
         nxt = segs.filter(F.col("seg") == i).select(key, "pxs")
@@ -225,46 +189,75 @@ def _ewma_segment_replay(
             .alias("st"),
         )
         if i % 8 == 0 or i == n_seg - 1:
-            state = state.localCheckpoint()
-    shutil.rmtree(path, ignore_errors=True)
+            state = materialize_df(state)
     return state
 
 
 def _ewma_select(
     df: DataFrame, key: str, n_alias: str, seg_n: int = EWMA_SEG_N
 ) -> DataFrame:
-    """Fold each group's time-sorted px array and expand the final state
-    struct. The collected elements are FLAT structs (order fields + px,
+    """Fold each group's time-sorted px history and expand the final
+    state struct, with per-key memory hard-capped at ``seg_n`` ticks.
+
+    ONE path, no plan-choice probe (the round-8 version paid a full
+    groupBy-count pass over the tick table per call just to pick
+    single-fold vs segmented — an extra full scan at 100 TB, and the
+    sf1 measurement showed the segmented path is faster whenever >1
+    segment and equivalent at 1): rank ticks per key in event-time
+    order, cut the rank into fixed-size segments, and materialize the
+    (key, seg, pxs) table ONCE as seg-partitioned scratch parquet.
+    ``n_seg`` then comes from the partition directories (metadata-only
+    — the probe's answer, free), segment 0 folds directly, and any
+    later segments chain through ``_ewma_segment_replay`` with each
+    step reading only its own seg=i directory (pruning measured at sf10,
+    37 segments x 60M rows: 87.6 -> 82.2 s vs cache-filter re-scans,
+    and the removed re-scan term grows n_seg^2 x data while the fold
+    grows linearly). The honest scale answer for unbounded per-key
+    history remains the streaming twin's O(1) state.
+
+    The collected elements are FLAT structs (order fields + px,
     compared field-by-field by array_sort) — round-7 measurement at
     sf0.1: sorting 24k-element arrays of flat structs runs 1.7 s where
     nested (o-struct, px) elements take 6.5 s and the original string
     keys 3.4 s; struct comparison cost is per-level, so keep sort
-    elements one level deep. The explode wrapper keeps Catalyst's
-    CollapseProject from inlining the fold once per output column (5x
-    the work; a Generator is a projection barrier).
+    elements one level deep.
 
-    Per-key memory is BOUNDED: a cheap groupBy-count probe (one
-    map-side-combined aggregate, |keys|-row shuffle, 1-row collect)
-    picks the path — every history within ``seg_n`` ticks keeps the
-    single collect_list fold; anything longer goes through
-    ``_ewma_segment_replay``, which caps the array length at ``seg_n``
-    and carries state across segments exactly."""
+    The scratch dir is uuid-unique per invocation (concurrent or
+    repeated calls in one app never share a directory), lives on the
+    conf-pointed shared store off-local (partitioning.make_scratch_dir),
+    and is removed in a ``finally`` — safe because the replay's return
+    is always materialized."""
+    spark = df.sparkSession
     ord_fields = df.schema["o"].dataType.fieldNames()
     flat = F.struct(
         *[F.col(f"o.{f}").alias(f) for f in ord_fields],
         F.col("px").alias("px"),
     )
-    max_ticks = (
-        df.groupBy(key).count().agg(F.max("count")).collect()[0][0] or 0
-    )  # control-plane: one long
-    if max_ticks > seg_n:
-        folded = _ewma_segment_replay(df, key, flat, ord_fields, seg_n)
-    else:
-        ticks = df.groupBy(key).agg(F.collect_list(flat).alias("ticks"))
-        st = ewma_band_fold(
-            F.transform(F.array_sort("ticks"), lambda t: t["px"])
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(f"o.{f}") for f in ord_fields], "px"
+    )
+    seg = F.call_function("div", F.row_number().over(w) - 1, F.lit(seg_n))
+    path = make_scratch_dir(spark, "fdes_ewma_segs_")
+    try:
+        (
+            df.select(key, seg.alias("seg"), flat.alias("t"))
+            .groupBy(key, "seg")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda t: t["px"]
+                ).alias("pxs")
+            )
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(path)
         )
-        folded = ticks.select(key, F.explode(F.array(st)).alias("st"))
+        segs = spark.read.parquet(path)
+        # seg is a partition column: max() resolves from directory
+        # listing, no data read — this replaces the old probe scan.
+        n_seg = segs.agg(F.max("seg")).collect()[0][0] + 1
+        folded = _ewma_segment_replay(segs, key, n_seg)
+    finally:
+        remove_scratch_dir(spark, path)
     return (
         folded.select(
             key,
@@ -999,7 +992,7 @@ def _li_returns(
     spark: SparkSession, sf_dir: str, materialize: bool = False
 ) -> DataFrame:
     """(brand, bar_m, r_e4) monthly return series — the Spark twin of
-    _RETURNS_SQL. ``materialize=True`` localCheckpoints the frame (it is
+    _RETURNS_SQL. ``materialize=True`` materializes the frame (it is
     |brands x months| rows — control-plane scale) so queries that
     consume it TWICE (beta's market join, the correlation self-join)
     compute the tick-table rollup once instead of re-scanning lineitem
@@ -1019,7 +1012,7 @@ def _li_returns(
             ).alias("r_e4"),
         )
     )
-    return r.localCheckpoint() if materialize else r
+    return materialize_df(r) if materialize else r
 
 
 @register(
@@ -1066,7 +1059,7 @@ def part_brand_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention).
 
     Scale shape: the tick table rolls up to |brands x months| bars once
-    (the returns frame is localCheckpointed because beta consumes it
+    (the returns frame is materialized because beta consumes it
     twice — market aggregate and join back); everything after operates
     on the tiny bar frame, with the month-keyed market table broadcast.
     """

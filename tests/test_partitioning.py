@@ -1,0 +1,111 @@
+"""materialize() / scratch-dir helpers — the cluster-robustness seam.
+
+``localCheckpoint`` stores blocks on executors with lineage truncated;
+on a real cluster an executor loss (or dynamic-allocation scale-in)
+loses the blocks with no recompute path. Every iterative data path
+materializes through ``partitioning.materialize`` so the reliable path
+(``checkpoint()`` to fault-tolerant storage, or a replicated persist)
+is one conf away — these tests pin all three modes, and a source-level
+guard keeps bare ``localCheckpoint`` from creeping back in.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.partitioning import (
+    make_scratch_dir,
+    materialize,
+    remove_scratch_dir,
+)
+
+SRC = pathlib.Path(__file__).resolve().parents[1] / (
+    "financial_data_engineering_spark"
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_materialize_local_truncates_lineage(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = materialize(df)
+    assert _rows(out) == _rows(df)
+    # lineage is cut: the analyzed plan is a scan of materialized rows,
+    # not the original Range + Project
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Range" not in plan
+
+
+def test_materialize_reliable_without_ckpt_dir_uses_replicated_persist(
+    spark,
+):
+    if spark.sparkContext.getCheckpointDir():
+        pytest.skip("checkpoint dir already set by an earlier test")
+    spark.conf.set("spark.fdes.materialize.mode", "reliable")
+    try:
+        df = spark.range(50).withColumn("v", F.col("id") + 1)
+        out = materialize(df)
+        assert _rows(out) == _rows(df)
+        # fallback: eager 2x-replicated persist (lineage kept)
+        assert out.storageLevel.replication == 2
+        assert out.storageLevel.useDisk
+        out.unpersist()
+    finally:
+        spark.conf.set("spark.fdes.materialize.mode", "auto")
+
+
+def test_materialize_reliable_with_ckpt_dir_checkpoints(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.fdes.materialize.mode", "reliable")
+    try:
+        df = spark.range(50).withColumn("v", F.col("id") * 3)
+        out = materialize(df)
+        assert _rows(out) == _rows(df)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Range" not in plan
+        # the blocks live in the fault-tolerant checkpoint dir
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        spark.conf.set("spark.fdes.materialize.mode", "auto")
+
+
+def test_no_bare_local_checkpoint_on_data_paths():
+    """Source guard: the only ``.localCheckpoint(`` call in the package
+    is inside materialize() itself. Round 8's verdict found ~20 bare
+    sites; this keeps them from coming back."""
+    offenders = []
+    for py in SRC.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".localCheckpoint(" in line:
+                offenders.append(f"{py.relative_to(SRC.parent)}:{i}")
+    assert offenders == [
+        "financial_data_engineering_spark/partitioning.py:85"
+    ], offenders
+
+
+def test_scratch_dir_unique_and_removable(spark, tmp_path):
+    a = make_scratch_dir(spark, "fdes_test_")
+    b = make_scratch_dir(spark, "fdes_test_")
+    try:
+        assert a != b  # uuid-unique: concurrent invocations never share
+        spark.range(5).write.mode("overwrite").parquet(a)
+        assert spark.read.parquet(a).count() == 5
+    finally:
+        remove_scratch_dir(spark, a)
+        remove_scratch_dir(spark, b)
+    assert not pathlib.Path(a).exists()
+    assert not pathlib.Path(b).exists()
+
+
+def test_scratch_dir_conf_override(spark):
+    spark.conf.set("spark.fdes.scratch.dir", "/shared/scratch")
+    try:
+        p = make_scratch_dir(spark, "fdes_test_")
+        assert p.startswith("/shared/scratch/fdes_test_")
+    finally:
+        spark.conf.unset("spark.fdes.scratch.dir")
