@@ -125,7 +125,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", output_dir: str | None = None):
             ),
             "brand",
         )
-        .join(beta.select("brand", "n_months", "beta_e4"), "brand")
+        # left: a brand with under two observed months has no return
+        # series, hence no beta row — it must stay in the report with a
+        # NULL beta_e4 (counted by null_betas), like underwater below
+        .join(beta.select("brand", "n_months", "beta_e4"), "brand", "left")
         .join(
             underwater.select(
                 "brand",

@@ -1715,25 +1715,38 @@ def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (div truncates; documented on user_value_ewma_band). One lag window
     on brand whose partitioning the rollup reuses, plus the
     presentation sort — the drawdown/band budget."""
-    seq = _li_seq(spark, sf_dir)
-    # Level 1: lag within (brand, MONTH) — parallelism |brands x months|
-    # instead of 25 whole-table sorts (the fixed-cardinality-key fix the
-    # drawdown above documents); the month's first tick has no in-month
-    # predecessor and its boundary return is recovered at level 2.
-    w_m = Window.partitionBy("brand", "bar_m").orderBy(
+    return _return_stats_segmented(_li_seq(spark, sf_dir), "brand")
+
+
+def _return_stats_segmented(seq: DataFrame, key: str) -> DataFrame:
+    """Month-segmented return stats over a (key, bar_m, o, px) frame —
+    identical to a single per-key lag over the whole history (property
+    test: test_return_stats_segmented_matches_reference), but the lag
+    runs within (key, MONTH) — parallelism |keys x months| instead of
+    |keys| whole-table sorts (the fixed-cardinality-key fix the
+    drawdown documents); the month's first tick has no in-month
+    predecessor and its boundary return is recovered at level 2 via one
+    lag over the tiny month frame.
+
+    Degenerate shapes (round-8 ADVICE): when EVERY month holds exactly
+    one tick there are no in-month returns, so sum(sum_r) aggregates
+    nothing but NULLs — coalesced to 0 so the boundary returns still
+    produce a mean. Keys with no returns at all (single-tick histories)
+    are dropped, matching the oracle's WHERE r_e4 IS NOT NULL."""
+    w_m = Window.partitionBy(key, "bar_m").orderBy(
         "o.us", "o.okey", "o.lineno", "o.tb"
     )
     r_e4 = F.expr(
         "CAST((2 * (px - _prev) * 10000 + _prev) div (2 * _prev) AS BIGINT)"
     )
     enriched = seq.select(
-        "brand",
+        key,
         "bar_m",
         "px",
         "o",
         F.lag("px").over(w_m).alias("_prev"),
-    ).select("brand", "bar_m", "px", "o", r_e4.alias("r"))
-    months = enriched.groupBy("brand", "bar_m").agg(
+    ).select(key, "bar_m", "px", "o", r_e4.alias("r"))
+    months = enriched.groupBy(key, "bar_m").agg(
         F.count("r").alias("n_r"),
         F.min("r").alias("mn_r"),
         F.max("r").alias("mx_r"),
@@ -1743,15 +1756,13 @@ def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("px", "o").alias("first_px"),
         F.max_by("px", "o").alias("last_px"),
     )
-    # Level 2: boundary returns (prev month's last px -> this month's
-    # first px) via one lag over the tiny month frame, then combine.
-    w_b = Window.partitionBy("brand").orderBy("bar_m")
+    w_b = Window.partitionBy(key).orderBy("bar_m")
     rb = F.expr(
         "CAST((2 * (first_px - _pc) * 10000 + _pc) div (2 * _pc)"
         " AS BIGINT)"
     )
     stitched = months.select(
-        "brand",
+        key,
         "n_r",
         "mn_r",
         "mx_r",
@@ -1760,15 +1771,15 @@ def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dn_r",
         "first_px",
         F.lag("last_px").over(w_b).alias("_pc"),
-    ).select("brand", "n_r", "mn_r", "mx_r", "sum_r", "up_r", "dn_r", rb.alias("rb"))
+    ).select(key, "n_r", "mn_r", "mx_r", "sum_r", "up_r", "dn_r", rb.alias("rb"))
     return (
-        stitched.groupBy("brand")
+        stitched.groupBy(key)
         .agg(
             (F.sum("n_r") + F.count("rb")).alias("n_returns"),
             F.least(F.min("mn_r"), F.min("rb")).alias("min_r_e4"),
             F.greatest(F.max("mx_r"), F.max("rb")).alias("max_r_e4"),
             F.expr(
-                "CAST((2 * (sum(sum_r) + coalesce(sum(rb), 0))"
+                "CAST((2 * (coalesce(sum(sum_r), 0) + coalesce(sum(rb), 0))"
                 " + (sum(n_r) + count(rb)))"
                 " div (2 * (sum(n_r) + count(rb))) AS BIGINT)"
             ).alias("mean_r_e4"),
@@ -1781,5 +1792,6 @@ def part_brand_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.sum(F.when(F.col("rb") < 0, 1).otherwise(0))
             ).alias("n_down"),
         )
-        .orderBy("brand")
+        .filter(F.col("n_returns") > 0)
+        .orderBy(key)
     )

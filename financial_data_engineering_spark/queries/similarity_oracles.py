@@ -11,6 +11,10 @@ from financial_data_engineering_spark.llm import similarity as sim
 _N_QUERIES = 5
 _TOP_K = 5
 _N_PLANES = 4
+#: Embedding dimensionality of the synthetic embeddings table — shared
+#: by queries, oracles (interpolated below, never hardcoded), and
+#: bench aux, so a knob change cannot desynchronize them.
+EMB_DIM = 64
 
 _BRUTE_ORACLE = f"""
 WITH q AS (
@@ -122,11 +126,11 @@ ORDER BY query_id, rank
 """
 
 
-_QUANT_ORACLE = """
+_QUANT_ORACLE = f"""
 WITH ex AS (
     SELECT vec_id,
            (embedding::DOUBLE[])[CAST(j AS INT)] AS x
-    FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+    FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j)
 ), b AS (
     SELECT vec_id, x,
            min(x) OVER (PARTITION BY vec_id) AS mn,
@@ -164,7 +168,7 @@ QUANT_RERANK_ORACLE = f"""
 WITH ex AS (
     SELECT vec_id, j,
            (embedding::DOUBLE[])[CAST(j AS INT)] AS x
-    FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+    FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j)
 ), b AS (
     SELECT vec_id, j, x,
            min(x) OVER (PARTITION BY vec_id) AS mn,
@@ -183,7 +187,7 @@ WITH ex AS (
     WHERE vec_id < {{_N_QUERIES}}
 ), sab AS (
     SELECT q.query_id, co.vec_id AS neighbor_id,
-           CAST(list_sum(list_transform(range(1, 65),
+           CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
                 j -> qc[CAST(j AS INT)] * cs[CAST(j AS INT)])) AS BIGINT)
                AS code_dot
     FROM q, codes co WHERE co.vec_id != q.query_id
@@ -209,7 +213,12 @@ WITH ex AS (
 SELECT query_id, rank, neighbor_id, cos, code_dot
 FROM ranked WHERE rank <= {{_TOP_K}}
 ORDER BY query_id, rank
-""".format(_N_QUERIES=_N_QUERIES, RERANK_POOL=RERANK_POOL, _TOP_K=_TOP_K)
+""".format(
+    _N_QUERIES=_N_QUERIES,
+    RERANK_POOL=RERANK_POOL,
+    _TOP_K=_TOP_K,
+    EMB_DIM=EMB_DIM,
+)
 
 
 _N_ITERS = 2
@@ -219,7 +228,6 @@ _N_ITERS = 2
 #: cannot silently leave the aux numbers measuring a different setup.
 IVF_N_CENTROIDS = 8
 IVF_NPROBE = 2
-EMB_DIM = 64
 _KM_SCALE = 1_000_000
 
 

@@ -161,6 +161,7 @@ import datetime
 from financial_data_engineering_spark.queries.finance import (
     ROLL_MIN,
     ROLL_N,
+    _return_stats_segmented,
     _rolling_band_segmented,
     _underwater_runs_segmented,
 )
@@ -262,6 +263,54 @@ def test_underwater_segmented_matches_reference(spark, ticks):
         assert len(got) == 1
         r = got[0]
         assert (r.n_runs, r.max_run_ticks, r.max_run_dur_us) == want
+
+
+def _div_trunc(a, b):
+    """Spark SQL `div`: integer division truncating toward zero."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _ref_return_stats(ticks):
+    """Global (unsegmented) return stats: one lag over the whole ordered
+    history — the oracle's definition."""
+    seq = [px for _, px in _ordered(ticks)]
+    rs = [
+        _div_trunc(2 * (px - prev) * 10000 + prev, 2 * prev)
+        for prev, px in zip(seq, seq[1:])
+    ]
+    if not rs:
+        return None
+    n = len(rs)
+    return (
+        n,
+        min(rs),
+        max(rs),
+        _div_trunc(2 * sum(rs) + n, 2 * n),
+        sum(1 for r in rs if r > 0),
+        sum(1 for r in rs if r < 0),
+    )
+
+
+@_SETTINGS
+@given(ticks=_ticks)
+def test_return_stats_segmented_matches_reference(spark, ticks):
+    """Month-boundary stitching + the degenerate shapes the round-8
+    ADVICE flagged: every-month-single-tick (all returns are boundary
+    returns — sum(sum_r) aggregates only NULLs) and single-tick
+    histories (no returns at all — the key must be ABSENT, as in the
+    oracle's WHERE r_e4 IS NOT NULL)."""
+    got = _return_stats_segmented(_mk_seq(spark, ticks), "key").collect()
+    want = _ref_return_stats(ticks)
+    if want is None:
+        assert got == []
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert (
+            r.n_returns, r.min_r_e4, r.max_r_e4,
+            r.mean_r_e4, r.n_up, r.n_down,
+        ) == want
 
 
 @_SETTINGS
