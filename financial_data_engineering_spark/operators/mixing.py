@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from financial_data_engineering_spark.operators.prefix import running_sum
+
 
 def mixture_quotas(
     docs: DataFrame, weight: Column, source_col: str = "source"
@@ -82,16 +84,25 @@ def mixture_rebalance(
     """Deterministic weighted downsample to the exact mixture quotas:
     within each source, keep the ``quota`` documents ranking lowest by
     md5(id) — content-independent, reproducible, no RNG state. Returns
-    (source, id, quota) for every kept document."""
+    (source, id, quota) for every kept document.
+
+    The rank is the distributed prefix-rank of operators/prefix.py
+    (running sum of 1), NOT a source-partitioned row_number: quotas are
+    PROPORTIONAL, so the selected set is a constant fraction of a 100 TB
+    corpus and a |sources|-task sort would both bottleneck and blow the
+    per-task sort budget. (Contrast doc_sample_stratified, whose tiny
+    constant cap makes two-phase salted top-k the better shape.)"""
     quotas = mixture_quotas(docs, weight, source_col)
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), id_col
+    keyed = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_mk"),
     )
-    ranked = docs.select(
-        F.col(source_col).alias("source"), F.col(id_col), F.row_number().over(w).alias("rn")
+    ranked = running_sum(
+        keyed, "source", ["_mk", id_col], F.lit(1), out_col="_rn"
     )
     return (
         ranked.join(F.broadcast(quotas.select("source", "quota")), "source")
-        .filter(F.col("rn") <= F.col("quota"))
+        .filter(F.col("_rn") <= F.col("quota"))
         .select("source", id_col, "quota")
     )

@@ -5,16 +5,19 @@ documents into training-context windows.
 Guarantee: walking each group in ``order_col`` order, item i goes to bin
 ``floor(weight_before_i / budget)`` — a bin may overflow by at most one
 item (the one that crosses the boundary) and a new bin starts only after
-the previous ones consumed ≥ their budget. Pure integer arithmetic, one
-shuffle (the per-group running-sum window); the follow-up rollup reuses
-the window's partitioning.
+the previous ones consumed ≥ their budget. Pure integer arithmetic. The
+running sum is the distributed two-level prefix sum of
+operators/prefix.py — a group-partitioned window would cap parallelism
+at |groups| (the registry-wide low-cardinality plan audit bans exactly
+that shape over data-scale frames).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from financial_data_engineering_spark.operators.prefix import running_sum
 
 
 def pack_bins(
@@ -28,13 +31,8 @@ def pack_bins(
 ) -> DataFrame:
     """Add ``out_col`` = floor(running ``weight_col`` sum BEFORE this row /
     ``budget``), running per ``group_col`` in ``order_col`` order."""
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        df.withColumn("_cum", F.sum(weight_col).over(w))
+        running_sum(df, group_col, [order_col], weight_col, out_col="_cum")
         .withColumn(
             out_col, F.expr(f"(_cum - {weight_col}) div {int(budget)}")
         )

@@ -6,6 +6,7 @@ from financial_data_engineering_spark.plans.inspect import (
     broadcast_join_count,
     cartesian_count,
     has_whole_stage_codegen,
+    low_card_partition_violations,
     nested_loop_join_count,
     pandas_kernel_count,
     plan_text,
@@ -22,6 +23,7 @@ __all__ = [
     "broadcast_join_count",
     "cartesian_count",
     "has_whole_stage_codegen",
+    "low_card_partition_violations",
     "nested_loop_join_count",
     "pandas_kernel_count",
     "plan_text",

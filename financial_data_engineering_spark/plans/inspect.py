@@ -175,3 +175,113 @@ def reads_only(df: DataFrame, location_substr: str, columns: set[str]) -> bool:
         if location_substr in s.location:
             return set(s.read_columns) == columns
     return False
+
+
+def _jchildren(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _attr_names(jexprs) -> list[str] | None:
+    """Attribute names of a Seq[Expression] (SortOrder children are
+    unwrapped); None if any element is not a plain column reference —
+    a computed partition key (e.g. a month bucket) adds cardinality the
+    audit cannot see, so the caller must treat it as unknown/safe."""
+    names = []
+    for i in range(jexprs.size()):
+        e = jexprs.apply(i)
+        if e.getClass().getSimpleName() == "SortOrder":
+            e = e.child()
+        if e.getClass().getSimpleName() != "AttributeReference":
+            return None
+        names.append(e.name())
+    return names
+
+
+def _is_topk_filter(node) -> bool:
+    """A Filter of the shape ``rank <= k`` directly over the Window (or
+    its Project wrapper) that produced ``rank`` via row_number()/rank()
+    — the top-k idiom. Its output is |partitions x k| rows: a
+    cardinality reduction the audit must treat like a Limit (the salted
+    two-phase samplers' phase-2 windows sit exactly behind one)."""
+    cond = node.condition().toString()
+    if "<=" not in cond:
+        return False
+    c = node.child()
+    while c.getClass().getSimpleName() == "Project":
+        c = c.child()
+    if c.getClass().getSimpleName() != "Window":
+        return False
+    wes = c.windowExpressions()
+    for i in range(wes.size()):
+        we = wes.apply(i)
+        s = we.toString()
+        if ("row_number()" in s or "rank(" in s) and (
+            we.name() + "#" in cond
+        ):
+            return True
+    return False
+
+
+def _reaches_big_leaf(node, big_markers: set[str]) -> bool:
+    """True if a scale-with-data leaf is reachable from ``node`` without
+    crossing an Aggregate, Limit, or top-k rank filter — i.e. the node
+    runs at DATA scale. Aggregates collapse to group cardinality,
+    limits to k rows, and top-k filters to |partitions x k|, so
+    anything behind them is control-plane by construction."""
+    name = node.getClass().getSimpleName()
+    if name in (
+        "Aggregate",
+        "GlobalLimit",
+        "LocalLimit",
+        "GlobalLimitExec",
+    ):
+        return False
+    if name == "Filter" and _is_topk_filter(node):
+        return False
+    kids = _jchildren(node)
+    if not kids:
+        leaf = node.toString()
+        return any(m in leaf for m in big_markers)
+    return any(_reaches_big_leaf(k, big_markers) for k in kids)
+
+
+def low_card_partition_violations(
+    df: DataFrame, low_card: set[str], big_markers: set[str]
+) -> list[str]:
+    """Windows/Sorts over DATA-SCALE frames whose keys cannot spread the
+    work: a Window partitioned solely by columns from ``low_card`` (or
+    by nothing), or an un-limited Sort keyed solely by them, caps
+    parallelism at the key cardinality — the 25-way whole-table sort
+    class round 8 fixed seven instances of by hand (month segmentation,
+    value-domain aggregation, salting). This walks the OPTIMIZED logical
+    plan: a frame is data-scale iff a leaf matching ``big_markers``
+    (attribute names unique to the scale-with-data tables) is reachable
+    without crossing an Aggregate or Limit; anything behind those is
+    control-plane (|groups| / k rows) where a narrow window is the
+    deliberate, cardinality-justified choice."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "Window":
+            names = _attr_names(node.partitionSpec())
+            if names is not None and all(n in low_card for n in names):
+                if _reaches_big_leaf(node, big_markers):
+                    out.append(
+                        f"Window partitioned by {names or 'NOTHING'} "
+                        "over a data-scale frame"
+                    )
+        elif name == "Sort" and getattr(node, "global")():
+            names = _attr_names(node.order())
+            if names is not None and all(n in low_card for n in names):
+                if _reaches_big_leaf(node, big_markers):
+                    out.append(
+                        f"global Sort keyed by {names} over a "
+                        "data-scale frame"
+                    )
+        for k in _jchildren(node):
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out

@@ -109,8 +109,10 @@ def test_curation_plan_shapes_frozen(spark):
         # two-phase salted top-k: (source,salt) window + source window
         # over the bounded union + presentation sort
         "doc_sample_stratified": 3,
-        # running-sum window(source); rollup reuses its partitioning
-        "doc_pack_bins": 2,
+        # distributed prefix sum (operators/prefix.py): range exchange
+        # + control-plane offsets agg + offsets window + (source,bin)
+        # rollup + presentation sort
+        "doc_pack_bins": 5,
         # explode is map-side; distinct agg (2-phase) + presentation sort
         "source_vocab_stats": 3,
         # window(doc_id) + count agg; top-k is TakeOrdered, not a sort
@@ -215,3 +217,40 @@ def test_mixture_quotas_rejects_nonpositive_weights(spark):
     bad = F.when(F.col("source") == "a", F.lit(0)).otherwise(F.lit(1))
     with pytest.raises(Exception, match="positive integer"):
         mixture_quotas(docs, bad).collect()
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_running_sum_matches_single_window(spark, n_parts):
+    """The distributed two-level prefix sum (operators/prefix.py) is
+    bit-identical to one group-partitioned window at ANY partition
+    count — including n=1 (degenerate single segment) and counts that
+    split groups across partition boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from financial_data_engineering_spark.operators.prefix import running_sum
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randrange(4)}", i, rng.randrange(1, 50))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, w long")
+    got = {
+        (r.g, r.i): r.c
+        for r in running_sum(
+            df, "g", ["i"], "w", out_col="c", num_partitions=n_parts
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.i): r.c
+        for r in df.withColumn("c", F.sum("w").over(w)).collect()
+    }
+    assert got == want

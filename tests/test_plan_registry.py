@@ -23,11 +23,14 @@ without flaking on optimizer improvements.
 
 from __future__ import annotations
 
+import functools
+
 import pytest
+from pyspark.sql import functions as F
 
 from financial_data_engineering_spark import plans
 from financial_data_engineering_spark import queries as q
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 # query -> max Exchange nodes, frozen from the audited plans. Raising a
 # budget is a deliberate act that belongs in the same commit as the plan
@@ -103,18 +106,25 @@ SHUFFLE_BUDGET = {
     # vocabulary collapse agg + char-pair agg; top-k is TakeOrdered
     "bpe_merge_candidates": 2,
     # iterative trainer: distributed work happens in the checkpointed
-    # merge loop; the returned merge table is a LocalTableScan
-    "bpe_learned_merges": 0,
+    # merge loop; the returned merge table is a LocalTableScan plus the
+    # presentation sort's exchange (10 rows)
+    "bpe_learned_merges": 1,
     "doc_chunks": 1,
     # post-checkpoint: pid-window + presentation sort; the range
     # repartition ran at build time (frozen by localCheckpoint)
     "doc_dense_ids": 2,
     "doc_fingerprints": 2,
     "doc_lang_id": 2,
-    # 4 = corpus count agg + one-partition quota window (k source rows)
-    # + corpus rank window + presentation sort; quotas attach broadcast
-    "doc_mix_rebalance": 4,
-    "doc_pack_bins": 2,
+    # distributed prefix-rank (operators/prefix.py): corpus count agg +
+    # one-partition quota window (k source rows) + range exchange + the
+    # post-materialize (source,pid) offsets agg + offsets window (both
+    # control-plane: <= n_parts x |sources| rows) + presentation sort;
+    # quotas and offsets attach broadcast — the corpus itself moves in
+    # exactly TWO of the six exchanges (count partials + range spread)
+    "doc_mix_rebalance": 6,
+    # same prefix-sum shape minus the quota math: range exchange +
+    # offsets agg + offsets window + (source,bin) rollup + sort
+    "doc_pack_bins": 5,
     "doc_repetition_flags": 3,
     # two-phase salted top-k: (source,salt) window + source window over
     # the bounded union + sort
@@ -289,10 +299,115 @@ def test_budget_covers_entire_registry():
     assert set(SHUFFLE_BUDGET) == set(q.all_queries())
 
 
+# --- low-cardinality window/sort audit -------------------------------------
+# Round 8 fixed seven fixed-cardinality-key bottlenecks by hand (a Window or
+# Sort partitioned solely by a 3-25-value key caps parallelism at that
+# cardinality — 25 tasks each sorting 1/25th of 100 TB). This audit walks
+# every registered query's optimized plan so the next contributor cannot
+# reintroduce one: flagged iff the partition keys are all drawn from the
+# below-floor columns (or empty) AND a scale-with-data leaf is reachable
+# without crossing an Aggregate / Limit / top-k rank filter (behind those
+# the frame is control-plane, where a narrow window is the deliberate,
+# cardinality-justified choice).
+
+_CARD_FLOOR = 64
+# alias-or-column -> (table, expr) for every categorical key queries
+# partition by; cardinalities measured from the data below, not assumed.
+_LOW_CARD_CANDIDATES = {
+    "brand": ("part", "p_brand"),
+    "p_brand": ("part", "p_brand"),
+    "nation": ("nation", "n_name"),
+    "n_name": ("nation", "n_name"),
+    "region": ("region", "r_name"),
+    "r_name": ("region", "r_name"),
+    "priority": ("orders", "o_orderpriority"),
+    "o_orderpriority": ("orders", "o_orderpriority"),
+    "o_orderstatus": ("orders", "o_orderstatus"),
+    "status": ("orders", "o_orderstatus"),
+    "l_returnflag": ("lineitem", "l_returnflag"),
+    "l_linestatus": ("lineitem", "l_linestatus"),
+    "c_mktsegment": ("customer", "c_mktsegment"),
+    "event_type": ("events", "event_type"),
+    "source": ("documents", "source"),
+    "lang": ("documents", "lang"),
+    "user_id": ("events", "user_id"),  # 150 at sf0.01: must NOT flag
+}
+#: attribute names unique to the scale-with-data tables (region/nation
+#: are fixed-size and excluded on purpose)
+_BIG_MARKERS = {
+    "l_partkey", "o_orderkey", "p_partkey", "c_custkey", "s_suppkey",
+    "event_id", "doc_id", "vec_id",
+}
+
+
+@functools.lru_cache(maxsize=1)
+def _low_card_columns() -> frozenset[str]:
+    """Keys whose cardinality is FIXED (does not grow with data volume):
+    measured at two scale factors — below the floor at sf0.01 AND flat
+    from sf0.001 to sf0.01. user_id is the calibration case: 15 at
+    sf0.001 but 150 at sf0.01 and |users| at 100 TB — a key that grows
+    with the data spreads the work and must not be flagged."""
+    import duckdb
+
+    con = duckdb.connect()
+    out = set()
+    for alias, (table, col) in _LOW_CARD_CANDIDATES.items():
+        small, med = (
+            con.execute(
+                f"SELECT count(DISTINCT {col}) FROM"
+                f" '{d}/{table}.parquet'"
+            ).fetchone()[0]
+            for d in (SF_SMALL, SF_MEDIUM)
+        )
+        if med < _CARD_FLOOR and med <= small * 2:
+            out.add(alias)
+    assert "user_id" not in out, "calibration: user_id grows with SF"
+    assert "brand" in out, "calibration: brand is fixed at 25"
+    return frozenset(out)
+
+
+def test_low_card_audit_trips_on_a_broken_plan(spark):
+    """A deliberately-wrong plan — a data-scale window partitioned only
+    by a 3-value key — must be flagged, or the audit is vacuous."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    broken = li.select(
+        "l_returnflag", F.row_number().over(w).alias("rn")
+    )
+    v = plans.low_card_partition_violations(
+        broken, set(_low_card_columns()), _BIG_MARKERS
+    )
+    assert v, "audit failed to flag a 3-way window over lineitem"
+    # ... and the top-k filter barrier keeps the REDUCED frame usable:
+    # a salted phase-1 (not flagged) capped by rank, then a narrow
+    # phase-2 window over the |groups x salts x k| remainder — the
+    # two-phase sampler shape must pass clean.
+    ws = Window.partitionBy("l_returnflag", "_salt").orderBy(
+        "l_extendedprice"
+    )
+    local = (
+        li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(8)))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 5)
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    above = local.select(
+        "l_returnflag", F.row_number().over(w2).alias("r2")
+    )
+    assert not plans.low_card_partition_violations(
+        above, set(_low_card_columns()), _BIG_MARKERS
+    )
+
+
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_plan_invariants(spark, name):
     df = q.all_queries()[name](spark, SF_SMALL)
     violations = []
+    violations += plans.low_card_partition_violations(
+        df, set(_low_card_columns()), _BIG_MARKERS
+    )
     if plans.cartesian_count(df) != 0:
         violations.append("CartesianProduct in plan")
     if plans.row_udf_count(df) != 0:
