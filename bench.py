@@ -15,13 +15,13 @@ materialized result) after session/page-cache/codegen warm-up; per-query
 wall time is reported.
 
 Variance note: single-query timings on a shared host can spike 2-8x
-run-to-run from contention alone (measured in rounds 4 and 5: plans with
-zero diff moving 1.4-4.3x between rounds, then re-timing at or below their
-old numbers in isolation). Two retry passes bound this: (1) any query past
-4x the suite median re-times once; (2) any query past 1.5x its own
-previous-round committed time (reports/bench/latest.json from the prior
-round, loaded before overwrite) re-times once. Both keep the better run —
-the artifact reflects the plan, not the noisy neighbor.
+run-to-run from contention alone, and whole-suite totals at one HEAD swing
++-10% (history.jsonl round 8: 131.3/145.7/136.6 s within 80 minutes). The
+suite therefore runs SPARK_GRAFT_BENCH_RUNS full passes (default 3) and
+records the per-query MEDIAN; the per-pass totals and their max/min spread
+are kept in the artifact so the noise is visible instead of hidden, and
+noise_vs_prev compares medians to medians. The artifact reflects the plan,
+not the noisy neighbor.
 """
 
 from __future__ import annotations
@@ -118,10 +118,10 @@ def main() -> None:
         return round(time.perf_counter() - start, 3)
 
     # Prior-round record, loaded BEFORE this run overwrites it: the basis
-    # for the regression-aware retry below.
+    # for the median-vs-median noise_vs_prev estimate below.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # Per-SF detail file: the committed latest.json is the sf0.1
-    # (driver-default) baseline for retry pass 2 and noise_vs_prev; a
+    # (driver-default) baseline for noise_vs_prev; a
     # smoke run at another SF must not clobber it (it did once in r7 —
     # restored from git).
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -139,42 +139,37 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
-    timings: dict[str, float] = {name: time_one(name) for name in names}
-
-    # Retry pass 1 — absolute outliers: shared-host contention can inflate
-    # a single run 3-8x (measured repeatedly: a 2.8 s query reading 15.7 s
-    # while the same plan re-times at 2.4-3.9 s in isolation). Re-time
-    # queries past 4x the suite median and keep the better run.
-    clean = sorted(t for t in timings.values() if t >= 0)
-    if clean:
-        median = clean[len(clean) // 2]
-        for name, t in list(timings.items()):
-            if t >= max(4 * median, 6.0):
-                second = time_one(name)
-                if 0 <= second < t:
-                    timings[name] = second
-
-    # Retry pass 2 — round-over-round regressions: the 1.3-1.9x band sits
-    # below pass 1's threshold yet is exactly where rounds 4 and 5 kept
-    # producing phantom "regressions" that later re-timed at or below
-    # their old numbers. Re-time anything reading >1.5x its committed
-    # prior-round time (with 0.5 s absolute slack so sub-second queries'
-    # natural jitter doesn't trigger retries) and keep the better run. A
-    # real plan regression survives both runs and still shows.
-    for name, t in list(timings.items()):
-        p = prior.get(name)
-        if p is not None and t > 1.5 * p and t - p > 0.5:
-            second = time_one(name)
-            if 0 <= second < t:
-                timings[name] = second
+    # Median-of-N passes (default 3, SPARK_GRAFT_BENCH_RUNS to override):
+    # this host swings +-10% at one HEAD (history.jsonl: 131.3/145.7/
+    # 136.6 within 80 minutes, round 8), which had come to dominate real
+    # deltas. A per-query median over three interleaved full passes
+    # absorbs both the single-query contention spikes the old retry
+    # passes chased (2.8 s plans reading 15.7 s once, then re-timing
+    # clean) and the pass-level drift a one-shot run cannot see; the
+    # recorded pass totals expose the spread instead of hiding it.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    passes: list[dict[str, float]] = [
+        {name: time_one(name) for name in names} for _ in range(runs)
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        vals = sorted(p[name] for p in passes if p[name] >= 0)
+        timings[name] = vals[len(vals) // 2] if vals else -1.0
+    pass_totals = [
+        round(sum(t for t in p.values() if t >= 0), 3) for p in passes
+    ]
+    spread = (
+        round(max(pass_totals) / min(pass_totals), 3)
+        if min(pass_totals) > 0
+        else None
+    )
 
     # Noise estimate vs the committed previous run: the median per-query
-    # ratio against latest.json. Identical code on this shared host
-    # measured a 1.128x median / 1.58x tail same-code run-pair delta in
-    # round 6 (reports/bench/NOTES.md "Host noise floor") — a ratio
-    # inside that envelope is host noise, not a regression. The retry
-    # passes keep better runs, so this skews LOW; it bounds noise from
-    # below, never explains away a real regression.
+    # ratio of MEDIANS against latest.json. Identical code on this
+    # shared host measured a 1.128x median / 1.58x tail same-code
+    # run-pair delta in round 6 (reports/bench/NOTES.md "Host noise
+    # floor") — a ratio inside that envelope is host noise, not a
+    # regression.
     ratios = sorted(
         t / prior[name]
         for name, t in timings.items()
@@ -238,6 +233,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "aux": aux,
+        "runs": runs,
+        "pass_totals": pass_totals,
+        "spread": spread,
         "noise_vs_prev": noise_vs_prev,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
