@@ -26,6 +26,7 @@ from financial_data_engineering_spark.queries.similarity_oracles import (
     _N_QUERIES,
     _QUANT_ORACLE,
     _TOP_K,
+    PQ_RERANK_ORACLE,
     QUANT_RERANK_ORACLE,
     RERANK_POOL,
     EMB_DIM,
@@ -176,6 +177,31 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rounded-cosine rerank."""
     emb = load(spark, "embeddings", sf_dir)
     return sim.quantized_rerank_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        k=_TOP_K,
+        pool=RERANK_POOL,
+        dim=EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+@register("ann_pq_rerank", oracle=PQ_RERANK_ORACLE)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval cascade (llm/pq.py): the corpus
+    compresses to 8 one-byte codes per vector — 32x smaller than float32,
+    the representation an actual 100 TB ANN corpus holds in memory — via
+    8 per-subspace 16-centroid codebooks trained with the deterministic
+    seeded-Lloyd machinery the IVF quantizer pins. Stage 1 scores the
+    whole corpus from codes alone through a broadcast ADC lookup table
+    (query-subvector x centroid dots fixed to integer micro-units, so the
+    per-vector score is an exact BIGINT sum on both engines); stage 2
+    reranks the RERANK_POOL shortlist with full-precision cosine. The
+    oracle replays codebook training, encoding, the LUT, and both ranks
+    bit-for-bit."""
+    from financial_data_engineering_spark.llm.pq import pq_adc_rerank_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    return pq_adc_rerank_topk(
         emb.filter(F.col("vec_id") < _N_QUERIES),
         emb,
         k=_TOP_K,

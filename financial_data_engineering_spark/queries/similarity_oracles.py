@@ -280,6 +280,120 @@ cent{it + 1} AS (
     return ",\n".join(parts)
 
 
+def pq_ctes(m: int, k: int, n_iters: int, dim: int) -> str:
+    """DuckDB CTE chain replaying llm.pq training + encoding exactly:
+    per-subspace init = the k lowest-id vectors' subvectors relabeled
+    0..k-1; per iteration, argmin assignment on Euclidean distance rounded
+    to 9 decimals (ties → lowest code) then exact scaled-integer means —
+    kmeans_ctes' arithmetic, fanned across the ``m`` subspaces by grouping
+    every CTE on (m, code). ``psub`` (the subvector view) and ``pq{n}``
+    (the trained codebooks) are the terminal names the scorer builds on."""
+    sub = dim // m
+    parts = [
+        f"""psub AS (
+    SELECT vec_id, m,
+           list_transform(range(1, {sub} + 1),
+               j -> (embedding::DOUBLE[])[CAST(m * {sub} + j AS INT)]) AS sv
+    FROM embeddings, (SELECT unnest(range({m})) AS m)
+),
+pq0 AS (
+    SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+           sv AS cv
+    FROM psub
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"""passign{it} AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY round(list_distance(s.sv, c.cv), 9) ASC,
+                            c.code) AS rn
+        FROM psub s JOIN pq{it} c USING (m)
+    ) WHERE rn = 1
+),
+psums{it} AS (
+    SELECT a.m, a.code, j,
+           sum(CAST(round(s.sv[CAST(j AS INT)] * {_KM_SCALE}) AS BIGINT))
+               AS ssum,
+           count(*) AS cnt
+    FROM passign{it} a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
+         (SELECT unnest(range(1, {sub} + 1)) AS j)
+    GROUP BY a.m, a.code, j
+),
+pmean{it} AS (
+    SELECT m, code, list(ssum / ({_KM_SCALE}.0 * cnt) ORDER BY j) AS cv
+    FROM psums{it} GROUP BY m, code
+),
+pq{it + 1} AS (
+    SELECT c.m, c.code, coalesce(mn.cv, c.cv) AS cv
+    FROM pq{it} c LEFT JOIN pmean{it} mn USING (m, code)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _pq_oracle() -> str:
+    from financial_data_engineering_spark.llm.pq import PQ_ITERS, PQ_K, PQ_M
+
+    return f"""
+WITH {pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)},
+pcodes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY round(list_distance(s.sv, c.cv), 9) ASC,
+                            c.code) AS rn
+        FROM psub s JOIN pq{PQ_ITERS} c USING (m)
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT s.vec_id AS query_id, c.m, c.code,
+           CAST(floor(round(list_dot_product(s.sv, c.cv), 9) * 1000000
+                      + 0.5) AS BIGINT) AS contrib_e6
+    FROM psub s JOIN pq{PQ_ITERS} c USING (m)
+    WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, p.vec_id AS neighbor_id,
+           CAST(sum(l.contrib_e6) AS BIGINT) AS adc_e6
+    FROM pcodes p JOIN lut l ON p.m = l.m AND p.code = l.code
+    WHERE p.vec_id != l.query_id
+    GROUP BY l.query_id, p.vec_id
+),
+pool AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_e6 DESC, neighbor_id) AS prank
+    FROM adc
+),
+short AS (
+    SELECT query_id, neighbor_id, adc_e6 FROM pool
+    WHERE prank <= {RERANK_POOL}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id, s.adc_e6,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                        ce.embedding::DOUBLE[]), 4) AS cos
+    FROM short s
+    JOIN embeddings qe ON qe.vec_id = s.query_id
+    JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM rer
+)
+SELECT query_id, rank, neighbor_id, cos, adc_e6
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+PQ_RERANK_ORACLE = _pq_oracle()
+
+
 IVF_ORACLE = f"""
 WITH {kmeans_ctes(IVF_N_CENTROIDS, _N_ITERS, EMB_DIM)},
 assign AS (

@@ -653,3 +653,91 @@ def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
     pruned = full.filter(F.col("cluster").isin([0, 1]))
     txt = plans.plan_text(pruned)
     assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(0,1\)\]", txt)
+
+
+# -- Product quantization (llm/pq.py) ----------------------------------------
+
+
+def _pq_corpus(spark, n=40, dim=8):
+    # deterministic spread-out vectors; dim divisible by the subspace knobs
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float((i * (j + 3) + 7 * j) % 13) - 6.0
+                    for j in range(dim)
+                ],
+            )
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    from financial_data_engineering_spark.llm import pq
+
+    emb = _pq_corpus(spark)
+    b1 = pq.pq_codebooks(emb, m=2, k=4, n_iters=2, dim=8)
+    b2 = pq.pq_codebooks(emb, m=2, k=4, n_iters=2, dim=8)
+    assert b1 == b2  # seeded Lloyd: bit-identical across runs
+    assert len(b1) == 2 and all(len(book) == 4 for book in b1)
+    assert all(len(cv) == 4 for book in b1 for cv in book)
+
+
+def test_pq_codes_cover_corpus_in_range(spark):
+    from financial_data_engineering_spark.llm import pq
+
+    emb = _pq_corpus(spark)
+    books = pq.pq_codebooks(emb, m=4, k=4, n_iters=1, dim=8)
+    rows = pq.pq_code_rows(emb, books, dim=8).collect()
+    # one code per (vector, subspace); every code addresses its book
+    assert len(rows) == 40 * 4
+    assert {(r["vec_id"], r["m"]) for r in rows} == {
+        (i, mi) for i in range(40) for mi in range(4)
+    }
+    assert all(0 <= r["code"] < 4 for r in rows)
+
+
+def test_pq_rerank_cosines_match_brute_force_scorer(spark):
+    from financial_data_engineering_spark.llm import pq
+
+    emb = _pq_corpus(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = pq.pq_adc_rerank_topk(
+        queries, emb, k=5, pool=10, m=2, n_codes=4, n_iters=2, dim=8
+    ).collect()
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sim.brute_force_topk(queries, emb, k=40, dim=8).collect()
+    }
+    assert len(out) == 10  # k rows per query
+    for r in out:
+        # stage-2 rerank scores are byte-identical to the exact scorer
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+    for qid in (0, 1):
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_pq_adc_orders_by_integer_score(spark):
+    from financial_data_engineering_spark.llm import pq
+
+    emb = _pq_corpus(spark)
+    queries = emb.filter(F.col("vec_id") < 1)
+    out = pq.pq_adc_rerank_topk(
+        queries, emb, k=40, pool=40, m=2, n_codes=4, n_iters=1, dim=8
+    ).collect()
+    # adc_e6 is an exact integer on every row (no float leaks into stage 1)
+    assert all(isinstance(r["adc_e6"], int) for r in out)
+    # the pool covers the whole corpus here, so the rerank must recover
+    # the exact brute-force ranking bit-for-bit
+    want = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in sim.brute_force_topk(queries, emb, k=40, dim=8).collect()
+    ]
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in out
+    ]
+    assert sorted(got) == sorted(want)

@@ -242,6 +242,10 @@ SHUFFLE_BUDGET = {
     # corpus code build (one exchange) + query code build + pool window
     # + rerank equi-joins + presentation sort
     "ann_quantized_rerank": 4,
+    # ADC agg collapsing the broadcast-LUT join's m-way fan-out + pool
+    # window + rerank neighbor join (both sides) + rank window +
+    # presentation sort; code/LUT builds are map-only Arrow passes
+    "ann_pq_rerank": 6,
     # distinct-word collapse + doc agg (encoded vocab broadcasts at test
     # scale; word-keyed shuffle join at corpus scale) + sort
     "doc_bpe_encoding": 2,
