@@ -398,19 +398,23 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     picking the breach direction. Pairs with audits.py's RANGE-frame
     rolling 7d: ROWS frame here because tick bands are count-based.
 
-    MONTH-SEGMENTED with GHOST-ROW carry (the fixed-cardinality-key fix
-    the drawdown documents, adapted to a bounded ROWS frame): each
-    month's last ROLL_N ticks are collected — bounded arrays, rank-
-    selected, never a month-sized collect — lagged one month over the
-    tiny bar frame, and re-injected into the NEXT month's partition as
-    ghost rows that fill the frame's head but are excluded from the
-    rollup. Frames never reach farther back than ROLL_N rows, so the
-    ghosts make month-local windows exactly equal to the global window
-    (the carry CHAINS across months — a sparse month's frame reaches
-    further back, so each month's ghosts are the last ROLL_N ticks of
-    the entire prior stream, threaded by a calendar-bounded per-brand
-    fold); parallelism becomes |brands x months| (6.8 -> 4.6 s at the
-    sf1 replica). Int64 headroom: px <= 1e7
+    MONTH-SEGMENTED in ONE PASS (the fixed-cardinality-key fix the
+    drawdown documents, adapted to a bounded ROWS frame): a single
+    (brand, month)-partitioned window pass — parallelism |brands x
+    months|, one exchange, one sort — computes the in-month rolling
+    frame, which is complete and final for every row past position
+    ROLL_N (the data-scale bulk), plus each month's first/last <=ROLL_N
+    ticks as rank-selected bounded arrays (calendar-bounded: |brands x
+    months x ROLL_N| elements at ANY data volume). Only those head rows
+    can see across a month boundary; their flags are settled in a
+    per-brand Arrow fold over the month frame that threads the
+    last-ROLL_N-of-the-prior-stream carry (a sparse month's frame
+    reaches past its predecessor, so the carry CHAINS) in exact Python
+    ints. Replaces the round-8 ghost-row design, which re-injected
+    carry rows into the full stream and re-windowed the whole corpus a
+    second time: two scans of the tick join, two full-data exchanges,
+    two sorts -> one of each (sf10 replica, warm same-session pairs:
+    22.5 -> 17.1 s). Int64 headroom: px <= 1e7
     (e2 of a 1e5 price cap), so n*SS <= 20 * 20 * 1e14 = 4e16 and the
     squared diff <= 4e16 — three orders under int64 at any SF (bounds
     set by the price domain and ROLL_N, not by data volume). Identical
@@ -419,130 +423,127 @@ def part_brand_rolling_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rolling_band_segmented(seq: DataFrame, key: str = "brand") -> DataFrame:
-    """Ghost-carry month-segmented rolling band over a (key, bar_m,
+    """ONE-PASS month-segmented rolling band over a (key, bar_m,
     o-struct, px) tick frame — the part_brand_rolling_band body, seq-
     parameterized so the property suite can replay it on synthetic
     ticks against a pure-Python reference (the oracle gates pin the
     three fixed datasets; random ticks cover sub-ROLL_N months and
-    boundary shapes they cannot)."""
+    boundary shapes they cannot).
+
+    The round-8 version materialized ghost ROWS and re-windowed the
+    whole corpus a second time — two scans of the tick join, two
+    full-data exchanges, two sorts. This version exploits that only a
+    month's first ROLL_N ticks can see across the boundary: ONE window
+    pass (partitioned (key, month), one exchange, one sort) computes
+    both the in-month rolling frame — complete and final for every row
+    past position ROLL_N ("body" rows, the data-scale bulk) — and the
+    per-month head/tail px arrays (rank-selected, <= ROLL_N elements
+    each, CALENDAR-bounded: |keys x months x ROLL_N| regardless of data
+    volume). The month rollup reuses the window's hash partitioning (no
+    second exchange); head-row flags are then evaluated inside a
+    per-key ordered fold over the month structs, threading the
+    last-ROLL_N-of-the-prior-stream carry exactly as before (a sparse
+    month's frame reaches past its predecessor, so the carry CHAINS).
+    All arithmetic stays int64; the fold touches <= |keys| x |months| x
+    ROLL_N elements — control-plane work at any SF."""
     ord_fields = seq.schema["o"].dataType.fieldNames()
     ord_cols = [F.col(f"o.{f}") for f in ord_fields]
     flat = F.struct(
         *[F.col(f"o.{f}").alias(f) for f in ord_fields],
         F.col("px").alias("px"),
     )
-    w_m = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
-    w_cnt = Window.partitionBy(key, "bar_m")
+    px = F.col("px")
+    w_o = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
+    w_p = Window.partitionBy(key, "bar_m")
+    w_roll = w_o.rowsBetween(-ROLL_N, -1)
     ranked = seq.select(
         key,
         "bar_m",
-        "o",
-        "px",
-        flat.alias("f"),
-        F.row_number().over(w_m).alias("rn"),
-        F.count(F.lit(1)).over(w_cnt).alias("cnt"),
-    )
-    tails = (
-        ranked.filter(F.col("rn") > F.col("cnt") - ROLL_N)
-        .groupBy(key, "bar_m")
-        .agg(F.array_sort(F.collect_list("f")).alias("tail"))
-    )
-    # Chain the carry across months: a sparse month (< ROLL_N ticks)
-    # makes frames reach PAST the previous month, so each month's ghost
-    # set is the last ROLL_N ticks of the whole prior stream — a left
-    # fold over the calendar-bounded month-tail array per brand, state
-    # = (carry so far, per-month ghost arrays emitted so far).
-    _FLAT_T = (
-        "array<struct<"
-        + ",".join(f"{f}:bigint" for f in ord_fields)
-        + ",px:bigint>>"
-    )
-    ms = tails.groupBy(key).agg(
-        F.array_sort(F.collect_list(F.struct("bar_m", "tail"))).alias("mt")
-    )
-    init = F.struct(
-        F.array().cast(_FLAT_T).alias("carry"),
-        F.array().cast(f"array<struct<bar_m:date,arr:{_FLAT_T}>>").alias(
-            "outs"
-        ),
-    )
-
-    def carry_step(acc, m):
-        joined = F.concat(acc["carry"], m["tail"])
-        kept = F.slice(
-            joined,
-            F.greatest(F.lit(1), F.size(joined) - F.lit(ROLL_N - 1)),
-            F.lit(ROLL_N),
-        )
-        return F.struct(
-            kept.alias("carry"),
-            F.concat(
-                acc["outs"],
-                F.array(
-                    F.struct(
-                        m["bar_m"].alias("bar_m"),
-                        acc["carry"].alias("arr"),
-                    )
-                ),
-            ).alias("outs"),
-        )
-
-    ghost_arrays = ms.select(
-        key,
-        F.explode(F.aggregate("mt", init, carry_step)["outs"]).alias("e"),
-    ).select(key, F.col("e.bar_m").alias("bar_m"), F.col("e.arr").alias("arr"))
-    ghosts = ghost_arrays.select(
-        key,
-        "bar_m",
-        F.explode("arr").alias("g"),
-    ).select(
-        key,
-        "bar_m",
-        F.struct(
-            *[F.col(f"g.{f}").alias(f) for f in ord_fields]
-        ).alias("o"),
-        F.col("g.px").alias("px"),
-        F.lit(1).alias("ghost"),
-    )
-    body = seq.select(key, "bar_m", "o", "px", F.lit(0).alias("ghost"))
-    aug = body.unionByName(ghosts)
-    # ghosts carry the PRIOR month's order keys, which precede every
-    # real tick of this month in the event-time order — they sort to
-    # the partition head and fill the frame exactly.
-    w_roll = (
-        Window.partitionBy(key, "bar_m")
-        .orderBy(*ord_cols)
-        .rowsBetween(-ROLL_N, -1)
-    )
-    px = F.col("px")
-    stats = aug.select(
-        key,
-        "ghost",
         px,
-        F.count(px).over(w_roll).alias("n"),
-        F.sum(px).over(w_roll).alias("s"),
-        F.sum(px * px).over(w_roll).alias("ss"),
-    ).filter(F.col("ghost") == 0)
-    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    eligible = n >= ROLL_MIN
+        flat.alias("f"),
+        F.row_number().over(w_o).alias("rn"),
+        F.count(F.lit(1)).over(w_p).alias("cnt"),
+        F.count(px).over(w_roll).alias("n0"),
+        F.sum(px).over(w_roll).alias("s0"),
+        F.sum(px * px).over(w_roll).alias("ss0"),
+    )
+    # Body rows (rn > ROLL_N): the in-month frame IS the global frame.
+    n, s, ss = F.col("n0"), F.col("s0"), F.col("ss0")
+    eligible = (F.col("rn") > ROLL_N) & (n >= ROLL_MIN)
     diff = n * px - s
     breach = diff * diff > F.lit(BAND_K * BAND_K) * (n * ss - s * s)
-    flags = stats.select(
-        key,
-        eligible.cast("long").alias("eval"),
-        (eligible & (diff > 0) & breach).cast("long").alias("above"),
-        (eligible & (diff < 0) & breach).cast("long").alias("below"),
+    months = ranked.groupBy(key, "bar_m").agg(
+        F.count(F.lit(1)).alias("m_ticks"),
+        F.sum(eligible.cast("long")).alias("b_eval"),
+        F.sum((eligible & (diff > 0) & breach).cast("long")).alias("b_above"),
+        F.sum((eligible & (diff < 0) & breach).cast("long")).alias("b_below"),
+        # collect_list skips the NULLs F.when leaves on non-matching
+        # rows, so both bounded arrays assemble in this same aggregate
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") <= ROLL_N, F.col("f")))
+            ),
+            lambda t: t["px"],
+        ).alias("head"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") > F.col("cnt") - ROLL_N, F.col("f"))
+                )
+            ),
+            lambda t: t["px"],
+        ).alias("tail"),
     )
-    return (
-        flags.groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("n_ticks"),
-            F.sum("eval").alias("n_eval"),
-            F.sum("above").alias("n_above"),
-            F.sum("below").alias("n_below"),
+    # The cross-month carry fold runs as one Arrow batch per key: its
+    # input is the calendar-bounded month frame (|keys x months| rows,
+    # each holding two <=ROLL_N arrays), its math is pure Python ints
+    # (exact — the same squared inequality), and its state is the last
+    # <=ROLL_N px of the stream so far. An expression-tree formulation
+    # was tried first and rejected by measurement: the triple-nested
+    # array fold re-substitutes every let-bound operand, and Catalyst
+    # spent ~25 s PER LINEAGE walking the blown-up tree (execution
+    # itself was 0.4 s) — the inlining failure mode ivf_assignments
+    # documents, at plan time instead of run time.
+    import pandas as pd
+
+    kt = dict(seq.dtypes)[key]
+    schema = (
+        f"{key} {kt}, n_ticks long, n_eval long, n_above long,"
+        " n_below long"
+    )
+    k2 = BAND_K * BAND_K
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bar_m")
+        carry: list[int] = []
+        e = a = b = 0
+        for head, tail in zip(pdf["head"], pdf["tail"]):
+            for i, pxi in enumerate(head):
+                frame = (carry + [int(v) for v in head[:i]])[-ROLL_N:]
+                nn = len(frame)
+                if nn < ROLL_MIN:
+                    continue
+                e += 1
+                si = sum(frame)
+                ssi = sum(v * v for v in frame)
+                di = nn * int(pxi) - si
+                if di * di > k2 * (nn * ssi - si * si):
+                    if di > 0:
+                        a += 1
+                    elif di < 0:
+                        b += 1
+            carry = (carry + [int(v) for v in tail])[-ROLL_N:]
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_ticks": [int(pdf["m_ticks"].sum())],
+                "n_eval": [int(pdf["b_eval"].sum()) + e],
+                "n_above": [int(pdf["b_above"].sum()) + a],
+                "n_below": [int(pdf["b_below"].sum()) + b],
+            }
         )
-        .orderBy(key)
-    )
+
+    return months.groupBy(key).applyInPandas(fold, schema=schema).orderBy(key)
 
 
 @register(

@@ -203,9 +203,9 @@ SHUFFLE_BUDGET = {
     # one grouped agg (OHLC + sum_e2 via extra_aggs, no second scan) + sort
     "user_value_ohlc": 2,
     # brand window (rolling sums) + brand rollup reusing partitioning + sort
-    # month-segmented ghost-carry: rank window + tail agg + brand fold
-    # + ghost union + (brand,month) window + rollup + sort
-    "part_brand_rolling_band": 5,
+    # one-pass month segmentation: (brand,month) window + month rollup
+    # reusing its partitioning + per-brand Arrow carry fold + sort
+    "part_brand_rolling_band": 3,
     # brand collect_list agg (fold is map-side HOF) + presentation sort
     "part_brand_ewma_band": 2,
     # (brand,month) cummax window + month agg + brand stitch window +
