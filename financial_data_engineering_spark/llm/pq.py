@@ -279,6 +279,52 @@ def _adc_lut(
     )
 
 
+def _pool_and_rerank(
+    adc: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    pool: int,
+    dim: int,
+) -> DataFrame:
+    """Shared cascade tail: cut the per-query ADC ranking to ``pool``
+    candidates, rerank the shortlist with full-precision cosine
+    (byte-identical to brute_force_topk's scorer), keep ``k``. Float
+    vectors load for |queries|·pool rows only."""
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_e6"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id", "adc_e6")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", "adc_e6", _pair_cos(dim).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos", "adc_e6")
+    )
+
+
 def pq_adc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -322,32 +368,85 @@ def pq_adc_rerank_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("contrib_e6").alias("adc_e6"))
     )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_e6"), F.asc("neighbor_id")
+    return _pool_and_rerank(
+        adc, queries, corpus,
+        id_col=id_col, vec_col=vec_col, k=k, pool=pool, dim=dim,
     )
-    short = (
-        adc.withColumn("prank", F.row_number().over(wp))
-        .filter(F.col("prank") <= pool)
-        .select("query_id", "neighbor_id", "adc_e6")
+
+
+def ivfpq_adc_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+    dim: int = 64,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the composition an actual 100 TB ANN corpus runs. The
+    coarse k-means inverted lists (llm/similarity.py's deterministic
+    seeded Lloyd) restrict WHICH pairs are scored — each query probes its
+    ``nprobe`` nearest lists — and stage 1 reads only those candidates'
+    ``m``-byte PQ codes through the broadcast ADC lookup table; stage 2
+    reranks the ``pool`` shortlist in full precision. Against flat PQ the
+    compressed scan shrinks from |corpus| to the probed-list mass; against
+    flat IVF the per-candidate read shrinks 32×. Every constituent recipe
+    is already pinned deterministic (round-9 argmin/argmax, integer
+    micro-unit LUT), so the oracle replays the whole composition."""
+    from financial_data_engineering_spark.llm.similarity import (
+        ivf_assignments,
+        kmeans_centroids,
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm_fixed(vec_col, dim).alias("qn"),
+
+    proj = persist_tracked(corpus.select(id_col, vec_col))
+    cents = kmeans_centroids(
+        proj,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iters=coarse_iters,
+        dim=dim,
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm_fixed(vec_col, dim).alias("cn"),
+    corpus_lists = ivf_assignments(
+        proj, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    ).select(F.col("id").alias("neighbor_id"), "cluster")
+    query_probes = ivf_assignments(
+        queries, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
+    ).select(F.col("id").alias("query_id"), "cluster")
+    cand = (
+        F.broadcast(query_probes)
+        .join(corpus_lists, ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
     )
-    rer = (
-        short.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", "adc_e6", _pair_cos(dim).alias("cos"))
+    books = pq_codebooks(
+        proj,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        k=n_codes,
+        n_iters=n_iters,
+        dim=dim,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos", "adc_e6")
+    codes = pq_code_rows(
+        proj, books, id_col=id_col, vec_col=vec_col, dim=dim
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    lut = _adc_lut(queries, books, id_col=id_col, vec_col=vec_col, dim=dim)
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("contrib_e6").alias("adc_e6"))
+    )
+    return _pool_and_rerank(
+        adc, queries, corpus,
+        id_col=id_col, vec_col=vec_col, k=k, pool=pool, dim=dim,
     )

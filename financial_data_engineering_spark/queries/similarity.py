@@ -26,6 +26,7 @@ from financial_data_engineering_spark.queries.similarity_oracles import (
     _N_QUERIES,
     _QUANT_ORACLE,
     _TOP_K,
+    IVFPQ_RERANK_ORACLE,
     PQ_RERANK_ORACLE,
     QUANT_RERANK_ORACLE,
     RERANK_POOL,
@@ -207,4 +208,30 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K,
         pool=RERANK_POOL,
         dim=EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+@register("ann_ivfpq_rerank", oracle=IVFPQ_RERANK_ORACLE)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval (llm/pq.py ivfpq_adc_rerank_topk) — the
+    composition a 100 TB ANN corpus actually runs: the coarse k-means
+    inverted lists restrict candidates to each query's nprobe=2 probed
+    lists, stage 1 scores ONLY those candidates from their 8-byte PQ
+    codes via the integer ADC lookup table, stage 2 reranks the
+    RERANK_POOL shortlist in full precision. The oracle replays coarse
+    training + assignment (IVF_ORACLE's CTEs), PQ training + encoding
+    (PQ_RERANK_ORACLE's CTEs), the candidate equi-join, and both ranks
+    bit-for-bit."""
+    from financial_data_engineering_spark.llm.pq import ivfpq_adc_rerank_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    return ivfpq_adc_rerank_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        emb,
+        k=_TOP_K,
+        pool=RERANK_POOL,
+        dim=EMB_DIM,
+        n_centroids=IVF_N_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        coarse_iters=_N_ITERS,
     ).orderBy("query_id", "rank")

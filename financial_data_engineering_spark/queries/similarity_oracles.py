@@ -335,12 +335,15 @@ pq{it + 1} AS (
     return ",\n".join(parts)
 
 
-def _pq_oracle() -> str:
-    from financial_data_engineering_spark.llm.pq import PQ_ITERS, PQ_K, PQ_M
+def _pq_scorer_sql(adc_cte: str) -> str:
+    """The shared PQ scoring pipeline: encoded corpus (pcodes), per-query
+    ADC lookup table (lut), then the caller-supplied ``adc_cte`` (which
+    decides WHICH (query, neighbor) pairs are scored — the whole corpus
+    for flat PQ, the probed inverted lists for IVF-PQ), pool cut, and
+    full-precision rerank. Built on the pq_ctes terminal names."""
+    from financial_data_engineering_spark.llm.pq import PQ_ITERS
 
-    return f"""
-WITH {pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)},
-pcodes AS (
+    return f"""pcodes AS (
     SELECT vec_id, m, code FROM (
         SELECT s.vec_id, s.m, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -356,13 +359,7 @@ lut AS (
     FROM psub s JOIN pq{PQ_ITERS} c USING (m)
     WHERE s.vec_id < {_N_QUERIES}
 ),
-adc AS (
-    SELECT l.query_id, p.vec_id AS neighbor_id,
-           CAST(sum(l.contrib_e6) AS BIGINT) AS adc_e6
-    FROM pcodes p JOIN lut l ON p.m = l.m AND p.code = l.code
-    WHERE p.vec_id != l.query_id
-    GROUP BY l.query_id, p.vec_id
-),
+{adc_cte},
 pool AS (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_e6 DESC, neighbor_id) AS prank
@@ -391,7 +388,67 @@ ORDER BY query_id, rank
 """
 
 
+def _pq_oracle() -> str:
+    from financial_data_engineering_spark.llm.pq import PQ_ITERS, PQ_K, PQ_M
+
+    adc = f"""adc AS (
+    SELECT l.query_id, p.vec_id AS neighbor_id,
+           CAST(sum(l.contrib_e6) AS BIGINT) AS adc_e6
+    FROM pcodes p JOIN lut l ON p.m = l.m AND p.code = l.code
+    WHERE p.vec_id != l.query_id
+    GROUP BY l.query_id, p.vec_id
+)"""
+    return (
+        f"\nWITH {pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)},\n"
+        + _pq_scorer_sql(adc)
+    )
+
+
 PQ_RERANK_ORACLE = _pq_oracle()
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ composition: the coarse k-means inverted lists (IVF_ORACLE's
+    training + assignment CTEs, verbatim) restrict WHICH (query, neighbor)
+    pairs the PQ ADC scorer evaluates — the architecture a 100 TB ANN
+    corpus actually runs (probe a few lists, scan only their 8-byte
+    codes). Every constituent is an already-pinned deterministic recipe;
+    the composition adds only the candidate equi-join."""
+    from financial_data_engineering_spark.llm.pq import PQ_ITERS, PQ_K, PQ_M
+
+    adc = f"""cand AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id
+    FROM query_probes q
+    JOIN corpus_lists c ON q.cid = c.cid AND q.query_id != c.neighbor_id
+),
+adc AS (
+    SELECT n.query_id, p.vec_id AS neighbor_id,
+           CAST(sum(l.contrib_e6) AS BIGINT) AS adc_e6
+    FROM cand n
+    JOIN pcodes p ON p.vec_id = n.neighbor_id
+    JOIN lut l ON l.query_id = n.query_id
+              AND p.m = l.m AND p.code = l.code
+    GROUP BY n.query_id, p.vec_id
+)"""
+    return f"""
+WITH {kmeans_ctes(IVF_N_CENTROIDS, _N_ITERS, EMB_DIM)},
+assign AS (
+    SELECT vec_id, cid, rn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cv), 9)
+                            DESC, c.cid) AS rn
+        FROM embeddings e, cent{_N_ITERS} c
+    )
+),
+corpus_lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1),
+query_probes AS (
+    SELECT vec_id AS query_id, cid FROM assign
+    WHERE rn <= {IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+{pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)},
+{_pq_scorer_sql(adc)}"""
 
 
 IVF_ORACLE = f"""
@@ -431,3 +488,5 @@ ORDER BY query_id, rank
 """
 
 
+
+IVFPQ_RERANK_ORACLE = _ivfpq_oracle()

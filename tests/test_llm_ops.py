@@ -741,3 +741,26 @@ def test_pq_adc_orders_by_integer_score(spark):
         (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in out
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_ivfpq_rerank_scores_match_brute_force(spark):
+    from financial_data_engineering_spark.llm import pq
+
+    emb = _pq_corpus(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = pq.ivfpq_adc_rerank_topk(
+        queries, emb, k=5, pool=10, m=2, n_codes=4, n_iters=1,
+        dim=8, n_centroids=4, nprobe=2, coarse_iters=1,
+    ).collect()
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sim.brute_force_topk(queries, emb, k=40, dim=8).collect()
+    }
+    assert out  # probed lists produced candidates
+    for r in out:
+        # candidates only come from probed lists; scores stay exact
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+        assert isinstance(r["adc_e6"], int)
+    for qid in (0, 1):
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))

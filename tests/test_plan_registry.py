@@ -246,6 +246,9 @@ SHUFFLE_BUDGET = {
     # window + rerank neighbor join (both sides) + rank window +
     # presentation sort; code/LUT builds are map-only Arrow passes
     "ann_pq_rerank": 6,
+    # same cascade with the candidate set cut to the probed inverted
+    # lists first (broadcast probe join + code equi-join, map-side)
+    "ann_ivfpq_rerank": 6,
     # distinct-word collapse + doc agg (encoded vocab broadcasts at test
     # scale; word-keyed shuffle join at corpus scale) + sort
     "doc_bpe_encoding": 2,
