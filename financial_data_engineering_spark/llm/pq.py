@@ -325,6 +325,41 @@ def _pool_and_rerank(
     )
 
 
+def pq_serve_from_books(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    dim: int = 64,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """The SERVE half of the flat-PQ cascade against already-trained
+    codebooks (the build/serve split the IVF index draws — a corpus
+    lifetime amortizes one training over many query batches): encode (or
+    take ``encoded`` (vec_id, m, code) rows — the persisted-index shape),
+    ADC-scan via the broadcast lookup table, pool-cut, cosine-rerank."""
+    codes = (
+        encoded
+        if encoded is not None
+        else pq_code_rows(corpus, books, id_col=id_col, vec_col=vec_col, dim=dim)
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    lut = _adc_lut(queries, books, id_col=id_col, vec_col=vec_col, dim=dim)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("contrib_e6").alias("adc_e6"))
+    )
+    return _pool_and_rerank(
+        adc, queries, corpus,
+        id_col=id_col, vec_col=vec_col, k=k, pool=pool, dim=dim,
+    )
+
+
 def pq_adc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -358,18 +393,8 @@ def pq_adc_rerank_topk(
         n_iters=n_iters,
         dim=dim,
     )
-    codes = pq_code_rows(
-        proj, books, id_col=id_col, vec_col=vec_col, dim=dim
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    lut = _adc_lut(queries, books, id_col=id_col, vec_col=vec_col, dim=dim)
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("contrib_e6").alias("adc_e6"))
-    )
-    return _pool_and_rerank(
-        adc, queries, corpus,
+    return pq_serve_from_books(
+        queries, proj, books,
         id_col=id_col, vec_col=vec_col, k=k, pool=pool, dim=dim,
     )
 
