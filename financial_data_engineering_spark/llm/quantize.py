@@ -99,13 +99,19 @@ def code_arrays(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, codes) — each vector's int8 code sequence as an ordered
-    long array, the representation quantized retrieval scores against
-    (llm/similarity.py ``quantized_rerank_topk``). Identical code
-    arithmetic to :func:`quantization_stats` (same floor(v+0.5) steps,
-    so the oracle replays the codes bit-for-bit); the array assembles
-    via array_sort over (position, code) structs in the same
-    one-exchange window+groupBy plan."""
+    """(vec_id, codes, mn_e4, d_e4, csum) — each vector's int8 code
+    sequence as an ordered long array PLUS the integer-fixed affine
+    frame that dequantizes it: ``mn_e4`` = floor(mn·10⁴ + 0.5), ``d_e4``
+    = floor((mx−mn)·10⁴ + 0.5), and the code checksum. Component j
+    dequantizes (up to the e4 fix) to ``(mn_e4·255 + code_j·d_e4)`` in
+    1/(255·10⁴) units — all integers, so a dequantized DOT between two
+    vectors expands into exact int64 arithmetic over (code_dot, csum,
+    mn_e4, d_e4) and never re-touches the float column (see
+    llm/similarity.py quantized_rerank_topk). Identical code arithmetic
+    to :func:`quantization_stats` (same floor(v+0.5) steps, so the
+    oracle replays everything bit-for-bit); the array assembles via
+    array_sort over (position, code) structs in the same one-exchange
+    window+groupBy plan."""
     ex = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(vec_col).alias("j", "x"),
@@ -121,6 +127,8 @@ def code_arrays(
     c = b.select(
         "vec_id",
         "j",
+        "mn",
+        "mx",
         F.when(
             F.col("mx") > F.col("mn"),
             F.floor(
@@ -136,5 +144,10 @@ def code_arrays(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "code"))),
             lambda s: s["code"],
-        ).alias("codes")
+        ).alias("codes"),
+        F.floor(F.first("mn") * 10_000 + F.lit(0.5)).cast("long").alias("mn_e4"),
+        F.floor((F.first("mx") - F.first("mn")) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("d_e4"),
+        F.sum("code").alias("csum"),
     )

@@ -167,15 +167,19 @@ def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_quantized_rerank", oracle=QUANT_RERANK_ORACLE)
 def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized retrieval cascade (llm/similarity.py
-    quantized_rerank_topk): stage 1 ranks the whole corpus by the EXACT
-    integer dot product of int8 code arrays — the 4x-smaller
-    representation a 100 TB corpus scans instead of float32 — and keeps
-    RERANK_POOL candidates per query; stage 2 reranks only that
-    shortlist with full-precision cosine (bit-identical to
+    quantized_rerank_topk): stage 1 ranks the whole corpus by the
+    DEQUANTIZED integer dot of int8 code arrays — the 4x-smaller
+    representation a 100 TB corpus scans instead of float32; the
+    per-vector affine frame is fixed to integers at code build, so the
+    dequantized pairwise dot expands into the raw code dot plus O(1)
+    per-vector corrections, exact int64 end-to-end AND a faithful dot
+    proxy (recall@5 24-25/25 vs the raw code dot's 2/25 — NOTES.md) —
+    and keeps RERANK_POOL candidates per query; stage 2 reranks only
+    that shortlist with full-precision cosine (bit-identical to
     knn_brute_force_cosine's scorer). The oracle replays both stages:
-    codes via the floor(v+0.5) scalar quantizer the quantization audit
-    pins, the integer code-dot (no float at stage 1 on either engine),
-    and the rounded-cosine rerank."""
+    codes and affine frame via the floor(v+0.5) quantizer the
+    quantization audit pins, the integer dequantized dot (no float at
+    stage 1 on either engine), and the rounded-cosine rerank."""
     emb = load(spark, "embeddings", sf_dir)
     return sim.quantized_rerank_topk(
         emb.filter(F.col("vec_id") < _N_QUERIES),

@@ -175,31 +175,42 @@ WITH ex AS (
            max(x) OVER (PARTITION BY vec_id) AS mx
     FROM ex
 ), c AS (
-    SELECT vec_id, j,
+    SELECT vec_id, j, mn, mx,
            CASE WHEN mx > mn
                 THEN CAST(floor(((x - mn) * 255 / (mx - mn)) + 0.5) AS BIGINT)
                 ELSE 0 END AS code
     FROM b
 ), codes AS (
-    SELECT vec_id, list(code ORDER BY j) AS cs FROM c GROUP BY vec_id
+    SELECT vec_id, list(code ORDER BY j) AS cs,
+           CAST(floor(min(mn) * 10000 + 0.5) AS BIGINT) AS mn_e4,
+           CAST(floor((min(mx) - min(mn)) * 10000 + 0.5) AS BIGINT) AS d_e4,
+           CAST(sum(code) AS BIGINT) AS csum
+    FROM c GROUP BY vec_id
 ), q AS (
-    SELECT vec_id AS query_id, cs AS qc FROM codes
+    SELECT vec_id AS query_id, cs AS qc,
+           mn_e4 AS qmn, d_e4 AS qd, csum AS qsum
+    FROM codes
     WHERE vec_id < {{_N_QUERIES}}
 ), sab AS (
     SELECT q.query_id, co.vec_id AS neighbor_id,
-           CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
-                j -> qc[CAST(j AS INT)] * cs[CAST(j AS INT)])) AS BIGINT)
-               AS code_dot
+           CAST({255 * 255 * EMB_DIM} * qmn * co.mn_e4
+                + 255 * (qmn * co.d_e4 * co.csum
+                         + co.mn_e4 * qd * qsum)
+                + qd * co.d_e4
+                  * CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                        j -> qc[CAST(j AS INT)] * cs[CAST(j AS INT)]))
+                    AS BIGINT)
+               AS BIGINT) AS dq_dot
     FROM q, codes co WHERE co.vec_id != q.query_id
 ), pool AS (
     SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY code_dot DESC, neighbor_id) AS prank
+        PARTITION BY query_id ORDER BY dq_dot DESC, neighbor_id) AS prank
     FROM sab
 ), short AS (
-    SELECT query_id, neighbor_id, code_dot FROM pool
+    SELECT query_id, neighbor_id, dq_dot FROM pool
     WHERE prank <= {{RERANK_POOL}}
 ), rer AS (
-    SELECT s.query_id, s.neighbor_id, s.code_dot,
+    SELECT s.query_id, s.neighbor_id, s.dq_dot,
            round(list_cosine_similarity(qe.embedding::DOUBLE[],
                                         ce.embedding::DOUBLE[]), 4) AS cos
     FROM short s
@@ -210,14 +221,13 @@ WITH ex AS (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
     FROM rer
 )
-SELECT query_id, rank, neighbor_id, cos, code_dot
+SELECT query_id, rank, neighbor_id, cos, dq_dot
 FROM ranked WHERE rank <= {{_TOP_K}}
 ORDER BY query_id, rank
 """.format(
     _N_QUERIES=_N_QUERIES,
     RERANK_POOL=RERANK_POOL,
     _TOP_K=_TOP_K,
-    EMB_DIM=EMB_DIM,
 )
 
 
