@@ -58,6 +58,10 @@ from financial_data_engineering_spark.operators.sketch import (
     kmv_distinct_from_hashes,
     kmv_group_sketches,
 )
+from financial_data_engineering_spark.operators.graph import (
+    copurchase_edges,
+    pagerank_integer,
+)
 
 __all__ = [
     "anti_join_orphans",
@@ -70,6 +74,7 @@ __all__ = [
     "count_min_build",
     "count_min_estimate",
     "count_min_merge",
+    "copurchase_edges",
     "dense_row_ids",
     "ewma_band_fold",
     "ewma_band_merge",
@@ -87,6 +92,7 @@ __all__ = [
     "misra_gries_topk",
     "mixture_quotas",
     "mixture_rebalance",
+    "pagerank_integer",
     "pattern_run_counts",
     "point_in_interval_join",
     "quantile_sketch",

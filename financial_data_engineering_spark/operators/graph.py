@@ -1,0 +1,121 @@
+"""Distributed graph analytics over edge DataFrames.
+
+``pagerank_integer`` is the canonical distributed iterative algorithm —
+per round, one edge-side join + one groupBy-sum over the EDGE set and a
+left join back to the |V|-row rank table — expressed in fixed-point
+integer arithmetic so every round is bit-deterministic and the whole
+K-round computation can be replayed exactly by a SQL oracle (the same
+unrolled-CTE move the BPE trainer uses, queries/text.py).
+
+Why integer fixed-point: float PageRank accumulates in whatever order
+the shuffle delivers partial sums, so two runs (or two engines) legally
+differ in the last bits and a value-hash gate cannot pin them. With
+BIGINT ranks scaled to 1e12 and per-edge floor division, addition is
+associative-commutative exactly, so the result is engine-independent.
+The floored remainders (and the rank mass of nodes with no out-edges)
+leak from the system rather than being redistributed — a documented,
+deterministic variant; ranks ORDER correctly, which is what a
+curation/importance pipeline consumes.
+
+Scale shape (the part that must survive 100 TB): the per-round cost is
+proportional to |E| (join + aggregate on dst), never |V|^2; the rank
+table is |V| rows; rounds are a constant K. Each round's frame is cut
+from its lineage through ``materialize()`` — without it the logical
+plan nests every prior round and analyzer time grows superlinearly
+(the connected-components lesson, llm/dedup.py). Loop parallelism is
+sized from the materialized edge count, not session defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.partitioning import materialize
+
+#: Total rank mass, damping numerator/denominator — shared with the
+#: oracle generator (queries/graph.py) so query and oracle cannot drift.
+PR_SCALE = 1_000_000_000_000
+PR_D_NUM = 85
+PR_D_DEN = 100
+PR_ROUNDS = 6
+
+
+def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Weighted co-occurrence edges: (src, dst, w) where ``w`` counts the
+    baskets in which both items appear. Symmetric by construction (both
+    directions emitted). The self-join runs on the basket key — shuffle
+    cost |rows|, pair fan-out bounded by per-basket item counts (TPC-H
+    orders hold ≤7 lineitems, so the quadratic term is a small constant)."""
+    items = li.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = PR_ROUNDS,
+    rank_alias: str = "pagerank_e12",
+) -> DataFrame:
+    """K rounds of damped PageRank in exact BIGINT fixed-point.
+
+    ``nodes``: one column ``node`` (includes isolated nodes — they hold
+    the teleport base). ``edges``: columns ``src, dst, w`` (positive
+    weights). Update rule, all integer::
+
+        r_0(v)     = PR_SCALE // N
+        r_{k+1}(v) = (15 * PR_SCALE) // (100 * N)
+                     + sum over in-edges (u,v):
+                         (r_k(u) * 85 * w_uv) // (100 * out_w(u))
+
+    Per-edge floor division makes every term engine-exact; overflow
+    headroom: r <= 1e12, so r*85*w stays under int64 for any w < 1e5
+    (co-purchase weights are basket counts, far below).
+    """
+    edges_ck = materialize(edges.select("src", "dst", "w"))
+    n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
+    outw = edges_ck.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = materialize(
+        edges_ck.join(outw, "src").repartition(n_parts, "dst")
+    )
+    nodes_ck = materialize(
+        nodes.select("node").distinct().repartition(n_parts, "node")
+    )
+    n = nodes_ck.count()
+    # Seeds must be LongType literals: an int32 seed overflows in ANSI
+    # constant folding the moment it meets `* 85 * w`.
+    ranks = nodes_ck.withColumn("r", F.lit(PR_SCALE // n).cast("long"))
+    base = (15 * PR_SCALE) // (100 * n)
+    for _ in range(rounds):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(f"(r * {PR_D_NUM} * w) div ({PR_D_DEN} * ow)")
+                ).alias("c")
+            )
+        )
+        ranks = materialize(
+            nodes_ck.join(contrib, nodes_ck["node"] == contrib["dst"], "left")
+            .select(
+                nodes_ck["node"],
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("c"), F.lit(0).cast("long"))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("node"), F.col("r").alias(rank_alias))

@@ -1,0 +1,96 @@
+"""Graph-analytics queries: iterative algorithms whose trip count is a
+query constant, so the DuckDB oracle can unroll the rounds into chained
+CTEs and hash-pin every iteration (the bpe_learned_merges pattern).
+
+Reference scope note: the reference engine (src/, 1,591 LoC) has no
+graph module; this family extends the engine the way a training-data
+curation pipeline uses link analysis — importance scores for sampling
+weights — with the Spark-first shape (edge-proportional joins, |V|-row
+state, materialized rounds) that survives a 100 TB edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.operators.graph import (
+    PR_D_DEN,
+    PR_D_NUM,
+    PR_ROUNDS,
+    PR_SCALE,
+    copurchase_edges,
+    pagerank_integer,
+)
+from financial_data_engineering_spark.queries.registry import register
+from financial_data_engineering_spark.tables import load
+
+
+def _pagerank_oracle(rounds: int = PR_ROUNDS) -> str:
+    """Unroll the K PageRank rounds into chained CTEs, generated from
+    the SAME constants the Spark operator uses (drift-proof). Every
+    sum is cast back to BIGINT: DuckDB promotes integer sums to
+    HUGEINT, which the driver's dtype-sensitive hash would flag."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
+        " FROM lineitem)",
+        "nodes AS (SELECT DISTINCT item AS node FROM li)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """edges AS (
+        SELECT a.item AS src, b.item AS dst, count(*) AS w
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    )""",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges"
+        " GROUP BY 1)",
+        "e AS (SELECT src, dst, w, ow FROM edges JOIN outw USING (src))",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""r{k} AS (
+        SELECT node,
+               CAST((15 * {PR_SCALE}) // ({PR_D_DEN} * n)
+                    + coalesce(c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT dst,
+                   CAST(sum((r * {PR_D_NUM} * w) // ({PR_D_DEN} * ow))
+                        AS BIGINT) AS c
+            FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+            GROUP BY dst
+        ) c{k} ON node = dst
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node AS partkey, r AS pagerank_e12
+    FROM r{rounds}
+    ORDER BY partkey
+    """
+
+
+@register("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph: parts are nodes, and an
+    edge (a, b) weighted by the number of orders containing both links
+    every pair that shares a basket — link-analysis importance for
+    sampling/curation weighting.
+
+    Six damped rounds in exact BIGINT fixed-point (operators/graph.py:
+    pagerank_integer): per round one |E|-side join + groupBy(dst) sum +
+    a left join back to the |V|-row rank table, each round materialized
+    through ``materialize()`` so the logical plan stays flat (the
+    connected-components lesson). The oracle unrolls the identical
+    arithmetic into six chained CTEs generated from the same constants.
+    Isolated parts (single-part orders only) hold the teleport base;
+    floored remainders leak deterministically rather than being
+    redistributed — the engine-exact variant a value-hash gate can pin.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node"))
+    ranks = pagerank_integer(nodes, edges)
+    return ranks.select(
+        F.col("node").alias("partkey"), "pagerank_e12"
+    ).orderBy("partkey")

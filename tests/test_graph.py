@@ -1,0 +1,137 @@
+"""Graph analytics: integer-exact PageRank vs a pure-Python reference.
+
+The oracle gate (tools/check_correctness.py) pins the full co-purchase
+query against DuckDB; these tests pin the OPERATOR on hand-built and
+random graphs, including the contracts the gate can't see: exact mass
+accounting and isolated-node handling.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from financial_data_engineering_spark.operators.graph import (
+    PR_D_DEN,
+    PR_D_NUM,
+    PR_SCALE,
+    copurchase_edges,
+    pagerank_integer,
+)
+
+
+def _py_pagerank(nodes, edges, rounds):
+    """Reference replay of the exact integer update rule."""
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: PR_SCALE // n for v in nodes}
+    base = (15 * PR_SCALE) // (PR_D_DEN * n)
+    for _ in range(rounds):
+        nxt = {v: base for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += (r[s] * PR_D_NUM * w) // (PR_D_DEN * outw[s])
+        r = nxt
+    return r
+
+
+def _run(spark, nodes, edges, rounds=4):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        row["node"]: row["pagerank_e12"]
+        for row in pagerank_integer(ndf, edf, rounds=rounds).collect()
+    }
+    assert got == _py_pagerank(nodes, edges, rounds)
+    return got
+
+
+def test_pagerank_matches_reference_on_line_graph(spark):
+    nodes = [1, 2, 3, 4]
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    _run(spark, nodes, edges)
+
+
+def test_pagerank_isolated_node_holds_teleport_base(spark):
+    nodes = [1, 2, 99]
+    edges = [(1, 2, 3), (2, 1, 3)]
+    got = _run(spark, nodes, edges)
+    # 99 has no in-edges: after any round its rank is exactly the base.
+    assert got[99] == (15 * PR_SCALE) // (PR_D_DEN * len(nodes))
+
+
+def test_pagerank_mass_never_exceeds_scale(spark):
+    """Floored remainders and dangling nodes LEAK mass, never mint it:
+    the total rank stays at or below PR_SCALE every round."""
+    rng = random.Random(7)
+    nodes = list(range(1, 13))
+    pairs = {
+        (rng.randrange(1, 13), rng.randrange(1, 13)) for _ in range(30)
+    }
+    edges = [(s, d, rng.randrange(1, 4)) for s, d in pairs if s != d]
+    got = _run(spark, nodes, edges, rounds=6)
+    assert sum(got.values()) <= PR_SCALE
+
+
+def test_copurchase_edges_symmetric_weighted(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11), (2, 10), (2, 11), (2, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    edges = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges(li, "l_orderkey", "l_partkey").collect()
+    }
+    # duplicate (1, 11) lineitem collapses; both orders pair 10-11.
+    assert edges[(10, 11)] == 2 and edges[(11, 10)] == 2
+    assert edges[(10, 12)] == 1 and edges[(12, 11)] == 1
+    assert (10, 10) not in edges
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    ndf = spark.createDataFrame([(v,) for v in [1, 2, 3]], "node long")
+    edf = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    plan = (
+        pagerank_integer(ndf, edf, rounds=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_more_inlinks_rank_higher(spark):
+    # hub: everyone links to 1; 1 links out to 2.
+    nodes = [1, 2, 3, 4, 5]
+    edges = [(v, 1, 1) for v in (2, 3, 4, 5)] + [(1, 2, 1)]
+    got = _run(spark, nodes, edges, rounds=6)
+    # the 1<->2 cycle holds nearly all the mass (finite-K parity decides
+    # which of the two leads, so assert the pair, not one node)...
+    leaders = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(leaders) == {1, 2}
+    # ...and the base-only leaves tie exactly.
+    assert got[3] == got[4] == got[5]
+    assert min(got[1], got[2]) > got[3]
+
+
+def test_pagerank_sf_small_is_deterministic(spark):
+    from financial_data_engineering_spark.queries.graph import (
+        part_copurchase_pagerank,
+    )
+
+    a = part_copurchase_pagerank(spark, "/root/testdata/sf0.001")
+    b = part_copurchase_pagerank(spark, "/root/testdata/sf0.001")
+    ra = [tuple(r) for r in a.collect()]
+    rb = [tuple(r) for r in b.collect()]
+    assert ra == rb
+    assert len(ra) > 0
+    total = sum(v for _, v in ra)
+    assert total <= PR_SCALE
+    # the graph is dense enough that most mass survives the leak
+    assert total > PR_SCALE // 2
+    assert a.schema["pagerank_e12"].dataType.typeName() == "long"

@@ -48,6 +48,10 @@ SHUFFLE_BUDGET = {
     "customers_without_orders": 2,
     "date_dimension": 2,
     "dedup_component_groups": 2,
+    # K rounds run against materialized (lineage-cut) inputs, so the
+    # returned plan is the final rank table + presentation sort; the
+    # per-round joins/aggregates are costed in the operator docstring
+    "part_copurchase_pagerank": 1,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
     # span explode (map-side) -> one span-keyed agg -> TakeOrdered
