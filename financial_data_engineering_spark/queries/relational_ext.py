@@ -11,8 +11,102 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_data_engineering_spark.operators import topk
+from financial_data_engineering_spark.operators.cdc import apply_changelog
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
+
+
+@register(
+    "customer_cdc_merge",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS maxk FROM customer),
+    chg AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_custkey + maxk ELSE o_custkey END AS custkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'I'
+                    WHEN o_orderpriority = '5-LOW' THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_e2,
+               o_orderdate, o_orderkey
+        FROM orders CROSS JOIN mx
+    ),
+    last AS (
+        SELECT custkey, op, acctbal_e2
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM chg)
+        WHERE rn = 1
+    ),
+    snap AS (SELECT c_custkey AS custkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+             FROM customer)
+    SELECT coalesce(s.custkey, l.custkey) AS custkey,
+           CASE WHEN l.custkey IS NULL THEN 'kept'
+                WHEN s.custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
+           coalesce(l.acctbal_e2, s.acctbal_e2) AS acctbal_e2
+    FROM snap s FULL JOIN last l ON s.custkey = l.custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY custkey
+    """,
+)
+def customer_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics against a plain-parquet snapshot: replay an
+    insert/update/delete changelog onto the customer table with
+    last-writer-wins resolution (operators/cdc.py apply_changelog) — the
+    CDC-ingestion / incremental-maintenance primitive table formats give
+    you and this engine composes from an argmax window over the CHANGE
+    set plus one full-outer key join (the snapshot is never windowed).
+
+    The changelog is derived deterministically from orders: urgent
+    orders INSERT a new account (key shifted past the snapshot key
+    space by max custkey — the 1-row max attaches as a constant-key
+    broadcast join, no collect), low-priority orders DELETE the
+    account, the rest UPDATE the balance to the order total; the
+    (o_orderdate, o_orderkey) pair is the required total order. Deletes
+    on keys with a later update resurrect correctly because only the
+    final change per key is applied.
+    """
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    mx = (
+        customer.agg(F.max("c_custkey").alias("maxk"))
+        .withColumn("_k", F.lit("_"))
+    )
+    changes = (
+        orders.withColumn("_k", F.lit("_"))
+        .join(F.broadcast(mx), "_k")
+        .select(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_custkey") + F.col("maxk"),
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("custkey"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("I"))
+            .when(F.col("o_orderpriority") == "5-LOW", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_e2"),
+            "o_orderdate",
+            "o_orderkey",
+        )
+    )
+    snap = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_e2"),
+    )
+    merged = apply_changelog(
+        snap,
+        changes,
+        "custkey",
+        ["o_orderdate", "o_orderkey"],
+        payload=["acctbal_e2"],
+    )
+    return merged.orderBy("custkey")
 
 @register(
     "order_week_shipments",

@@ -52,6 +52,8 @@ SHUFFLE_BUDGET = {
     # returned plan is the final rank table + presentation sort; the
     # per-round joins/aggregates are costed in the operator docstring
     "part_copurchase_pagerank": 1,
+    # changelog window shuffle + two full-outer sides + presentation sort
+    "customer_cdc_merge": 4,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
     # span explode (map-side) -> one span-keyed agg -> TakeOrdered
@@ -302,6 +304,10 @@ NLJ_WHITELIST = {
     # stage 1 of the quantized cascade: broadcast of <= _N_QUERIES code
     # rows against the corpus code scan, same contract as the kNN scorer
     "ann_quantized_rerank": 1,
+    # the 1-row max-custkey aggregate attaches to the changelog as an
+    # IdentityBroadcastMode NLJ (Catalyst folds the constant-key
+    # equality away) — broadcast of exactly one row, never data x data
+    "customer_cdc_merge": 1,
 }
 
 
