@@ -62,11 +62,22 @@ from financial_data_engineering_spark.operators.graph import (
     copurchase_edges,
     pagerank_integer,
 )
+from financial_data_engineering_spark.operators.cdc import (
+    apply_changelog,
+    last_change_per_key,
+)
+from financial_data_engineering_spark.operators.zorder import (
+    cell_histogram,
+    layout_skipping_stats,
+    morton_interleave,
+)
 
 __all__ = [
     "anti_join_orphans",
+    "apply_changelog",
     "argmax_per_group",
     "asof_join",
+    "cell_histogram",
     "blocked_name_match_stats",
     "bloom_build",
     "bloom_merge",
@@ -87,7 +98,10 @@ __all__ = [
     "kmv_distinct",
     "kmv_distinct_from_hashes",
     "kmv_group_sketches",
+    "last_change_per_key",
+    "layout_skipping_stats",
     "locf_daily_fill",
+    "morton_interleave",
     "merge_summaries",
     "misra_gries_topk",
     "mixture_quotas",

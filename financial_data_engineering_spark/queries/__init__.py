@@ -23,6 +23,7 @@ from financial_data_engineering_spark.queries import dimensional  # noqa: E402,F
 from financial_data_engineering_spark.queries import events  # noqa: E402,F401
 from financial_data_engineering_spark.queries import finance  # noqa: E402,F401
 from financial_data_engineering_spark.queries import graph  # noqa: E402,F401
+from financial_data_engineering_spark.queries import layout  # noqa: E402,F401
 from financial_data_engineering_spark.queries import multimodal  # noqa: E402,F401
 from financial_data_engineering_spark.queries import quality  # noqa: E402,F401
 from financial_data_engineering_spark.queries import relational  # noqa: E402,F401

@@ -26,6 +26,7 @@ GATE_WINDOW = [
     "ann_ivfpq_rerank",  # never
     "part_copurchase_pagerank",  # never
     "customer_cdc_merge",  # never
+    "lineitem_zorder_skipping",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

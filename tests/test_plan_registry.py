@@ -54,6 +54,10 @@ SHUFFLE_BUDGET = {
     "part_copurchase_pagerank": 1,
     # changelog window shuffle + two full-outer sides + presentation sort
     "customer_cdc_merge": 4,
+    # four layout/dim arms aggregate the materialized <= 256-row cell
+    # histogram (control-plane); the single corpus-side aggregate ran
+    # at materialize time
+    "lineitem_zorder_skipping": 8,
     "dedup_embedding_cosine": 2,
     "dedup_exact_survivors": 2,
     # span explode (map-side) -> one span-keyed agg -> TakeOrdered
