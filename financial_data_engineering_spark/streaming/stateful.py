@@ -1197,3 +1197,77 @@ def running_rolling_band(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CDC_OUTPUT = "user_id long, n_changes long, present boolean, val_e2 long"
+
+#: per-key CDC state: (ts, id) high-water mark for ordered replay, row
+#: presence after the latest change, its value, and a change counter
+#: (the monotone column final-snapshot consumers pick the last update
+#: by). O(1) per key — a CDC snapshot never needs the change history.
+CDC_STATE = (
+    "last_micros long, last_id long, present boolean, val_e2 long, "
+    "n_changes long"
+)
+
+
+def _fold_cdc_snapshot(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay this batch's changes in (ts, event_id)
+    order past the high-water mark; op 'D' marks the row absent, any
+    other op upserts the payload — the same last-writer-wins rule as
+    the batch operator (operators/cdc.py), advanced one change at a
+    time."""
+    if state.exists:
+        last_us, last_id, present, val, n = state.get
+    else:
+        last_us = last_id = val = None
+        present, n = False, 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, op, v in zip(
+            batch["ts"], batch["event_id"], batch["op"], batch["val_e2"]
+        ):
+            micros, ident = int(ts.value // 1000), int(eid)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # late vs state: last-writer-wins is order-bound
+            if op == "D":
+                present, val = False, None
+            else:
+                present, val = True, int(v)
+            n += 1
+            last_us, last_id = micros, ident
+    state.update((last_us, last_id, present, val, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_changes": [n],
+            "present": [present],
+            "val_e2": [val],
+        }
+    )
+
+
+def running_cdc_snapshot(changes: DataFrame) -> DataFrame:
+    """Continuously-maintained CDC snapshot — the streaming twin of
+    ``apply_changelog`` (operators/cdc.py): every micro-batch emits the
+    updated row state for each touched key, so downstream consumers
+    always hold the latest upsert/delete resolution without replaying
+    the changelog. Input needs (user_id, ts, event_id, op, val_e2);
+    deletes keep the key in state (present=false) so a later change
+    resurrects it with the same arithmetic as the batch full-outer
+    merge (parity-tested against apply_changelog over the same
+    changelog in tests/test_streaming.py)."""
+    return changes.groupBy("user_id").applyInPandasWithState(
+        _fold_cdc_snapshot,
+        outputStructType=CDC_OUTPUT,
+        stateStructType=CDC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

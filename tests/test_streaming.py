@@ -824,3 +824,83 @@ def test_running_rolling_band_matches_batch_query(spark, events_dir, tmp_path):
     want = q.all_queries()["user_value_rolling_band"](spark, SF_SMALL)
     cols = ["user_id", "n_events", "n_eval", "n_above", "n_below"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_cdc_snapshot_matches_batch_merge(spark, events_dir, tmp_path):
+    """Streaming CDC twin: the events file becomes a changelog (error =
+    delete, anything else = upsert of the value), split into two
+    time-ordered micro-batches; the final update per key must equal
+    apply_changelog over the same changelog in one batch — including
+    keys whose final op is a delete (present=false in the stream,
+    absent from the batch merge)."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "cdc_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.operators.cdc import apply_changelog
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_cdc_snapshot,
+    )
+
+    def as_changelog(events):
+        return events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("long").alias("val_e2"),
+        )
+
+    stream = running_cdc_snapshot(
+        as_changelog(
+            st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+        )
+    )
+    st.run_to_memory_sink(stream, "cdc_updates", output_mode="update")
+    final = spark.sql(
+        """SELECT user_id, present, val_e2 FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_changes DESC) AS rn
+               FROM cdc_updates) WHERE rn = 1"""
+    )
+
+    empty_snap = spark.createDataFrame([], "user_id long, val_e2 long")
+    batch = apply_changelog(
+        empty_snap,
+        as_changelog(spark.read.parquet(src)),
+        "user_id",
+        ["ts", "event_id"],
+        payload=["val_e2"],
+    )
+    # surviving keys: value-exact parity (all must be inserts — the
+    # snapshot started empty)
+    got_present = _rows(final.filter("present"), ["user_id", "val_e2"])
+    want = _rows(batch, ["user_id", "val_e2"])
+    assert _rows(batch.filter("status <> 'inserted'"), ["user_id"]) == []
+    assert got_present == want
+    # deleted keys: present=false in the stream, absent from the merge
+    all_keys = {r["user_id"] for r in final.collect()}
+    batch_keys = {r[0] for r in want}
+    deleted = {
+        r["user_id"] for r in final.filter("NOT present").collect()
+    }
+    assert deleted == all_keys - batch_keys
+    assert deleted  # the fixture really exercises the delete path
