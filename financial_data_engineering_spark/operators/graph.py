@@ -46,7 +46,14 @@ def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame
     baskets in which both items appear. Symmetric by construction (both
     directions emitted). The self-join runs on the basket key — shuffle
     cost |rows|, pair fan-out bounded by per-basket item counts (TPC-H
-    orders hold ≤7 lineitems, so the quadratic term is a small constant)."""
+    orders hold ≤7 lineitems, so the quadratic term is a small constant).
+
+    Skew hazard at open-world scale: one pathological basket with 10^5
+    items is 10^10 pairs. The cap belongs at INGESTION (filter baskets
+    above a domain bound before edge building), not here — a runtime
+    guard would cost an extra full aggregate pass per call, the exact
+    probe-scan anti-pattern the round-8 review retired from the EWMA
+    path."""
     items = li.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
@@ -119,3 +126,70 @@ def pagerank_integer(
             )
         )
     return ranks.select(F.col("node"), F.col("r").alias(rank_alias))
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph given as
+    a SYMMETRIC directed edge list (both (a,b) and (b,a) present, no
+    self-loops) — the local clustering signal of community structure.
+
+    Strategy is the degree-ordered orientation (MapReduce triangle
+    counting à la Suri & Vassilvitskii): orient every undirected edge
+    from the endpoint with smaller (degree, node) rank to the larger,
+    so each node's OUT-degree is bounded by ~sqrt(|E|) on any graph —
+    the wedge join (the quadratic step) then never explodes on a hub
+    node, which is what kills the naive a<b orientation on power-law
+    graphs at 100 TB. Wedges (u→v, u→w) close into a triangle iff the
+    oriented edge (v→w) exists; each triangle is found exactly once
+    (at its rank-minimal corner), then credited to all three corners.
+
+    The count is orientation-invariant, so the SQL oracle can replay
+    the NAIVE node-ordered formulation — the gate then verifies the
+    optimized strategy against the textbook definition rather than
+    against itself. Joins shuffle on edge endpoints only; no collect.
+    """
+    # the edge frame feeds FIVE plan branches (two degree joins, both
+    # wedge sides, the closure probe): materialize it once or the
+    # caller's pair-generation lineage re-executes per branch
+    edges_ck = materialize(edges.select("src", "dst"))
+    deg = edges_ck.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranked = (
+        edges_ck.join(deg.withColumnRenamed("n", "src"), "src")
+        .withColumnRenamed("deg", "sdeg")
+        .join(
+            deg.select(F.col("n").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+    )
+    # keep each undirected edge once, oriented by (deg, node) rank;
+    # materialized: it feeds both wedge sides and the closure probe
+    oriented = materialize(
+        ranked.filter(
+            (F.col("sdeg") < F.col("ddeg"))
+            | (
+                (F.col("sdeg") == F.col("ddeg"))
+                & (F.col("src") < F.col("dst"))
+            )
+        ).select("src", "dst")
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    # closure: (v, w) oriented either way collapses to one lookup
+    # because wedges constrain v < w and orientation is a total order —
+    # the closing edge is (v→w) or (w→v); check both oriented rows via
+    # the symmetric-normalized form
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    ).distinct()
+    tris = wedges.join(closing, ["v", "w"])
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

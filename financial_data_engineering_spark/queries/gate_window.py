@@ -27,6 +27,7 @@ GATE_WINDOW = [
     "part_copurchase_pagerank",  # never
     "customer_cdc_merge",  # never
     "lineitem_zorder_skipping",  # never
+    "part_copurchase_triangles",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

@@ -135,3 +135,74 @@ def test_pagerank_sf_small_is_deterministic(spark):
     # the graph is dense enough that most mass survives the leak
     assert total > PR_SCALE // 2
     assert a.schema["pagerank_e12"].dataType.typeName() == "long"
+
+
+def _py_triangles(edges_undirected):
+    """Per-node triangle counts by brute-force combination check."""
+    from itertools import combinations
+
+    adj = {}
+    for a, b in edges_undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = dict.fromkeys(adj, 0)
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    return {n: c for n, c in counts.items() if c}
+
+
+def _run_triangles(spark, undirected):
+    from financial_data_engineering_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_participation(edf).collect()
+    }
+    assert got == _py_triangles(undirected)
+    return got
+
+
+def test_triangles_k4(spark):
+    # K4: 4 triangles, every node in exactly 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _run_triangles(spark, k4)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_triangle_plus_tail(spark):
+    got = _run_triangles(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1}  # tail node 4 is triangle-free
+
+
+def test_triangles_random_graph_matches_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = range(1, 25)
+    undirected = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(1, 25), rng.randrange(1, 25))
+                for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    _run_triangles(spark, undirected)
+
+
+def test_triangles_hub_graph_stays_bounded(spark):
+    """Star graph (hub of degree 20, no closures): degree orientation
+    points every edge INTO the hub, so the hub contributes zero wedges
+    and the result is empty — the power-law safety property."""
+    star = [(99, i) for i in range(1, 21)]
+    got = _run_triangles(spark, star)
+    assert got == {}

@@ -54,6 +54,9 @@ SHUFFLE_BUDGET = {
     "part_copurchase_pagerank": 1,
     # changelog window shuffle + two full-outer sides + presentation sort
     "customer_cdc_merge": 4,
+    # degree-oriented wedge join + closure probe + corner rollup over
+    # the materialized edge/orientation frames
+    "part_copurchase_triangles": 14,
     # four layout/dim arms aggregate the materialized <= 256-row cell
     # histogram (control-plane); the single corpus-side aggregate ran
     # at materialize time
