@@ -40,6 +40,11 @@ PR_D_NUM = 85
 PR_D_DEN = 100
 PR_ROUNDS = 6
 
+#: Bounded cheapest-path (min-plus Bellman-Ford) contract constants,
+#: shared with the oracle generator (queries/graph.py).
+BF_ROUNDS = 4
+BF_COST_SCALE = 1_000_000
+
 
 def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Weighted co-occurrence edges: (src, dst, w) where ``w`` counts the
@@ -126,6 +131,56 @@ def pagerank_integer(
             )
         )
     return ranks.select(F.col("node"), F.col("r").alias(rank_alias))
+
+
+def cheapest_paths_bounded(
+    sources: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = BF_ROUNDS,
+    cost_alias: str = "cost",
+) -> DataFrame:
+    """K rounds of min-plus relaxation (bounded Bellman-Ford) from a
+    source set: the cheapest cost reachable over paths of at most K
+    edges. ``sources``: one column ``node``; ``edges``: ``src, dst, c``
+    with non-negative BIGINT costs.
+
+    The min-plus semiring is the reason this gates exactly: ``min`` and
+    ``+`` over BIGINT are associative/commutative whatever order the
+    shuffle delivers rows, so the K-round result is engine-independent
+    and a SQL oracle replays it by unrolling K ``UNION ALL`` + ``min``
+    CTEs — no float accumulation anywhere (contrast float Dijkstra,
+    which a value-hash gate could not pin).
+
+    Scale shape: per round, one join of the |V_reached|-row frontier
+    against the edge set (shuffle on ``src``) and one groupBy-min over
+    (node) — cost proportional to the edges incident to reached nodes,
+    never |V|². Rounds are a constant K; each round's state is cut from
+    its lineage with ``materialize()`` (the pagerank/components lesson).
+    Unreached nodes are simply absent — no infinity sentinel to encode.
+    On a cluster the edge frame would be bucketed by ``src`` so every
+    relaxation reuses one partitioning; AQE handles frontier skew."""
+    e = materialize(edges.select("src", "dst", "c"))
+    dist = materialize(
+        sources.select("node").distinct().withColumn(
+            "cost", F.lit(0).cast("long")
+        )
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("c")).alias("cost"),
+            )
+        )
+        dist = materialize(
+            dist.select("node", "cost")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select("node", F.col("cost").alias(cost_alias))
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:

@@ -28,6 +28,7 @@ GATE_WINDOW = [
     "customer_cdc_merge",  # never
     "lineitem_zorder_skipping",  # never
     "part_copurchase_triangles",  # never
+    "part_copurchase_cheapest_path",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

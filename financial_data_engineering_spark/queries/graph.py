@@ -15,10 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_data_engineering_spark.operators.graph import (
+    BF_COST_SCALE,
+    BF_ROUNDS,
     PR_D_DEN,
     PR_D_NUM,
     PR_ROUNDS,
     PR_SCALE,
+    cheapest_paths_bounded,
     copurchase_edges,
     pagerank_integer,
     triangle_participation,
@@ -94,6 +97,70 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_integer(nodes, edges)
     return ranks.select(
         F.col("node").alias("partkey"), "pagerank_e12"
+    ).orderBy("partkey")
+
+
+def _cheapest_path_oracle(rounds: int = BF_ROUNDS) -> str:
+    """Unroll the K min-plus relaxation rounds into chained CTEs from
+    the SAME constants the Spark operator uses. min/+ over BIGINT is
+    order-exact, so no rounding discipline is needed; sums never leave
+    BIGINT (cost ≤ K·BF_COST_SCALE ≈ 4e6)."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
+        " FROM lineitem)",
+        f"""e AS (
+        SELECT a.item AS src, b.item AS dst,
+               CAST({BF_COST_SCALE} // count(*) AS BIGINT) AS c
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    )""",
+        "d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS cost FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""d{k} AS (
+        SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+            SELECT node, cost FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d{k - 1}.cost + e.c AS cost
+            FROM e JOIN d{k - 1} ON e.src = d{k - 1}.node
+        ) u GROUP BY node
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node AS partkey, cost AS path_cost
+    FROM d{rounds}
+    ORDER BY partkey
+    """
+
+
+@register("part_copurchase_cheapest_path", oracle=_cheapest_path_oracle())
+def part_copurchase_cheapest_path(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-source cheapest path over the co-purchase graph, bounded
+    at {BF_ROUNDS} edges: edge cost is inverse tie strength
+    (BF_COST_SCALE // shared-basket count), the source is the smallest
+    partkey in the edge set, and the emitted cost is the cheapest
+    ≤K-edge path — the "affinity distance" a recommender or curation
+    sampler uses to spread picks away from an anchor item.
+
+    Min-plus Bellman-Ford rounds (operators/graph.py
+    cheapest_paths_bounded): per round one frontier-against-edges join
+    plus a groupBy-min, every value BIGINT so the relaxation is exact
+    under any shuffle order; the oracle unrolls the identical rounds
+    into chained CTEs generated from the same constants (drift-proof).
+    """
+    li = load(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey").select(
+        "src",
+        "dst",
+        F.expr(f"CAST({BF_COST_SCALE} div w AS LONG)").alias("c"),
+    )
+    src = edges.agg(F.min("src").alias("node"))
+    dist = cheapest_paths_bounded(src, edges, cost_alias="path_cost")
+    return dist.select(
+        F.col("node").alias("partkey"), "path_cost"
     ).orderBy("partkey")
 
 

@@ -206,3 +206,62 @@ def test_triangles_hub_graph_stays_bounded(spark):
     star = [(99, i) for i in range(1, 21)]
     got = _run_triangles(spark, star)
     assert got == {}
+
+
+def _py_cheapest(sources, edges, rounds):
+    """Reference replay of the bounded min-plus relaxation."""
+    dist = {v: 0 for v in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, c in edges:
+            if s in dist and (d not in nxt or dist[s] + c < nxt[d]):
+                nxt[d] = dist[s] + c
+        dist = nxt
+    return dist
+
+
+def _run_cheapest(spark, sources, edges, rounds=4):
+    from financial_data_engineering_spark.operators.graph import (
+        cheapest_paths_bounded,
+    )
+
+    sdf = spark.createDataFrame([(v,) for v in sources], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, c long")
+    got = {
+        r["node"]: r["cost"]
+        for r in cheapest_paths_bounded(sdf, edf, rounds=rounds).collect()
+    }
+    assert got == _py_cheapest(sources, edges, rounds)
+    return got
+
+
+def test_cheapest_path_prefers_two_cheap_hops(spark):
+    # direct edge costs 10; the detour 3+3 wins
+    edges = [(1, 2, 10), (1, 3, 3), (3, 2, 3)]
+    got = _run_cheapest(spark, [1], edges)
+    assert got == {1: 0, 2: 6, 3: 3}
+
+
+def test_cheapest_path_round_bound_cuts_long_paths(spark):
+    # line 1-2-3-4-5, unit costs: rounds=2 reaches only node 3
+    edges = [(i, i + 1, 1) for i in range(1, 5)]
+    got = _run_cheapest(spark, [1], edges, rounds=2)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_cheapest_path_multi_source_takes_min(spark):
+    edges = [(1, 5, 7), (2, 5, 4)]
+    got = _run_cheapest(spark, [1, 2], edges)
+    assert got[5] == 4
+
+
+def test_cheapest_path_random_graph_matches_reference(spark):
+    rng = random.Random(23)
+    edges = sorted(
+        {
+            (rng.randrange(1, 30), rng.randrange(1, 30))
+            for _ in range(150)
+        }
+    )
+    edges = [(s, d, rng.randrange(1, 50)) for s, d in edges if s != d]
+    _run_cheapest(spark, [1, 2], edges)

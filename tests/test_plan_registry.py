@@ -52,6 +52,9 @@ SHUFFLE_BUDGET = {
     # returned plan is the final rank table + presentation sort; the
     # per-round joins/aggregates are costed in the operator docstring
     "part_copurchase_pagerank": 1,
+    # K min-plus rounds run against materialized inputs (same shape as
+    # pagerank); returned plan is the final dist table + presentation sort
+    "part_copurchase_cheapest_path": 1,
     # changelog window shuffle + two full-outer sides + presentation sort
     "customer_cdc_merge": 4,
     # degree-oriented wedge join + closure probe + corner rollup over
