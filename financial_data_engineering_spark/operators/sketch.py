@@ -9,10 +9,11 @@ values, and estimate the cardinality as ``(k-1) / R_k`` where ``R_k`` is the
 k-th smallest hash normalized to [0, 1) (Bar-Yossef et al. 2002,
 Beyer et al. "On Synopses for Distinct-Value Estimation" SIGMOD'07).
 
-Unlike HyperLogLog (whose register layout and float corrections differ per
-implementation), KMV is exactly replayable in ANSI SQL — md5 prefix, sort,
-limit, one integer division — so the DuckDB oracle pins the estimator
-bit-for-bit. All arithmetic is integer: the estimate is
+Unlike off-the-shelf HyperLogLog (whose register layout and float
+corrections differ per implementation), KMV is trivially replayable in ANSI
+SQL — md5 prefix, sort, limit, one integer division — so the DuckDB oracle
+pins the estimator bit-for-bit. (operators/hll.py shows the same can be
+done for HLL by pinning the layout and estimator order explicitly.) All arithmetic is integer: the estimate is
 ``(k-1)·2^48 div h_k``, no doubles anywhere.
 
 Scale design: the only shuffle is the hash-distinct, whose volume is bounded

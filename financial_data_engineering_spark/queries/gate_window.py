@@ -29,6 +29,8 @@ GATE_WINDOW = [
     "lineitem_zorder_skipping",  # never
     "part_copurchase_triangles",  # never
     "part_copurchase_cheapest_path",  # never
+    "hll_distinct_orders",  # never
+    "hll_priority_union",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

@@ -51,8 +51,8 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customers in the order fact, estimated by the KMV bottom-k
     sketch and audited against the exact distinct in the same row. The
     estimator is pure integer arithmetic over md5-prefix hashes — both
-    engines replay it bit-for-bit (sketches with engine-private layouts,
-    e.g. HyperLogLog, can't be oracle-checked like this).
+    engines replay it bit-for-bit (hll_distinct_orders does the same for
+    HLL by pinning its layout and estimator order explicitly).
 
     The tk/ex/est CTE structure in the oracle mirrors the operator's
     bottom-k / exact / combine stages one-to-one."""
@@ -185,3 +185,146 @@ def event_type_cm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hll_oracle_fragments() -> dict[str, str]:
+    """DuckDB renderings of the shared HLL expression fragments
+    (operators/hll.py) — same constants, same evaluation order."""
+    from financial_data_engineering_spark.operators import hll as H
+
+    rho = H.RHO_SQL.format(bitlen=f"bin(h % {H.HLL_W_MOD})")
+    raw = H.EST_RAW_SQL.format(div="//")
+    return {
+        "rho": rho,
+        "raw": raw,
+        "lc": H.EST_LC_SQL,
+        "w_mod": str(H.HLL_W_MOD),
+        "m": str(H.HLL_M),
+        "rmax": str(H.HLL_RMAX),
+        "thresh": str(H.HLL_LC_THRESHOLD),
+    }
+
+
+def _hll_est_ctes(f: dict[str, str]) -> str:
+    """The register→estimate CTE chain, shared by both HLL oracles;
+    expects a ``regs(grp, bucket, reg)`` CTE upstream. Sums are cast
+    back to BIGINT (DuckDB promotes to HUGEINT, which the driver's
+    dtype-sensitive hash would flag)."""
+    return f"""
+    agg AS (
+        SELECT grp, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << ({f["rmax"]} - reg)) AS BIGINT)
+                   AS s_present
+        FROM regs GROUP BY grp
+    ),
+    sv AS (
+        SELECT grp, ({f["m"]} - n_present) AS v_zero,
+               CAST(s_present + ({f["m"]} - n_present)
+                    * (CAST(1 AS BIGINT) << {f["rmax"]}) AS BIGINT) AS s
+        FROM agg
+    ),
+    fin AS (
+        SELECT grp,
+               CASE WHEN ({f["raw"]}) <= {f["thresh"]} AND v_zero > 0
+                    THEN {f["lc"]}
+                    ELSE CAST(({f["raw"]}) AS BIGINT) END AS hll_estimate
+        FROM sv
+    )"""
+
+
+def _hll_distinct_orders_oracle() -> str:
+    f = _hll_oracle_fragments()
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    regs AS (
+        SELECT 1 AS grp, h // {f["w_mod"]} AS bucket,
+               max({f["rho"]}) AS reg
+        FROM hashes GROUP BY 1, 2
+    ),
+    {_hll_est_ctes(f)},
+    ex AS (SELECT count(*) AS n_exact FROM hashes)
+    SELECT CAST({f["m"]} AS BIGINT) AS hll_m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(hll_estimate AS BIGINT) AS hll_estimate,
+           CAST(CASE WHEN n_exact > 0 THEN
+                    (2 * abs(hll_estimate - n_exact) * 10000 + n_exact)
+                    // (2 * n_exact)
+                ELSE 0 END AS BIGINT) AS err_e4
+    FROM fin, ex
+    """
+
+
+def _hll_priority_union_oracle() -> str:
+    f = _hll_oracle_fragments()
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    pregs AS (
+        SELECT grp, h // {f["w_mod"]} AS bucket,
+               max({f["rho"]}) AS reg
+        FROM hashes GROUP BY 1, 2
+    ),
+    regs AS (
+        SELECT * FROM pregs
+        UNION ALL
+        SELECT '__ALL__' AS grp, bucket, max(reg) FROM pregs GROUP BY 2, 1
+    ),
+    {_hll_est_ctes(f)},
+    ex AS (
+        SELECT grp, count(*) AS n_exact FROM hashes GROUP BY 1
+        UNION ALL
+        SELECT '__ALL__', count(DISTINCT h) FROM hashes
+    )
+    SELECT fin.grp AS o_orderpriority,
+           CAST({f["m"]} AS BIGINT) AS hll_m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(hll_estimate AS BIGINT) AS hll_estimate,
+           CAST(CASE WHEN n_exact > 0 THEN
+                    (2 * abs(hll_estimate - n_exact) * 10000 + n_exact)
+                    // (2 * n_exact)
+                ELSE 0 END AS BIGINT) AS err_e4
+    FROM fin JOIN ex ON fin.grp = ex.grp
+    ORDER BY o_orderpriority
+    """
+
+
+@register("hll_distinct_orders", oracle=_hll_distinct_orders_oracle())
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct orders estimated by the integer-contract HyperLogLog
+    (operators/hll.py), audited against the exact distinct in the same
+    row — the kmv_distinct_customers shape, so the two sketch families
+    read side by side. This entry retires the old claim that HLL can't
+    be oracle-checked: with the register layout and estimator order
+    pinned (and linear counting's 255-value ln domain exhaustively
+    verified cross-engine in tests), DuckDB replays it bit-for-bit.
+
+    One shuffle to the ≤m-row register table; the exact count rides the
+    same distinct-hash pass and attaches as a broadcast scalar."""
+    from financial_data_engineering_spark.operators.hll import hll_distinct
+
+    return hll_distinct(load(spark, "orders", sf_dir), "o_orderkey")
+
+
+@register("hll_priority_union", oracle=_hll_priority_union_oracle())
+def hll_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority HLL register tables and their element-wise-max merge
+    ('__ALL__'), each audited against its exact count. The merge is the
+    100 TB property: registers are FIXED SIZE (m = 256 per group) and
+    combine in a reduce tree with no resort, so the merged row is built
+    from m·|groups| register rows alone — never rescanning the fact —
+    and equals the single global sketch exactly.
+
+    The per-priority sets (~300 keys at sf0.001) exercise the linear-
+    counting branch while the merged set (~1500) takes the raw
+    estimator — both correction regimes gate at every scale factor."""
+    from financial_data_engineering_spark.operators.hll import hll_group_union
+
+    return hll_group_union(
+        load(spark, "orders", sf_dir), "o_orderpriority", "o_orderkey"
+    ).orderBy("o_orderpriority")

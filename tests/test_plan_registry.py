@@ -55,6 +55,13 @@ SHUFFLE_BUDGET = {
     # K min-plus rounds run against materialized inputs (same shape as
     # pagerank); returned plan is the final dist table + presentation sort
     "part_copurchase_cheapest_path": 1,
+    # distinct-hash shuffle -> register groupBy -> one-row fold; the
+    # exact audit count rides the register table's cnt column (no rescan)
+    "hll_distinct_orders": 3,
+    # per-group + merged register folds and the one global-exact
+    # re-aggregation of the deduped hash frame; all branches after the
+    # first distinct move <= m rows per group
+    "hll_priority_union": 10,
     # changelog window shuffle + two full-outer sides + presentation sort
     "customer_cdc_merge": 4,
     # degree-oriented wedge join + closure probe + corner rollup over
@@ -318,6 +325,10 @@ NLJ_WHITELIST = {
     # IdentityBroadcastMode NLJ (Catalyst folds the constant-key
     # equality away) — broadcast of exactly one row, never data x data
     "customer_cdc_merge": 1,
+    # the merged row's exact-count audit attaches the 1-row global
+    # distinct aggregate to the 1-row merged-estimate fold — broadcast
+    # of exactly one row against one row (operators/hll.py)
+    "hll_priority_union": 1,
 }
 
 
