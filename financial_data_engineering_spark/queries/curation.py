@@ -796,3 +796,130 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+#: BM25 ranking contract constants, shared verbatim between the Spark
+#: expressions and the oracle. Float literals use E-notation ONLY (a bare
+#: ``0.5`` parses as DECIMAL in both engines and decimal rules differ);
+#: k1 = 1.2, b = 0.75 appear pre-multiplied into the expressions below.
+BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
+BM25_TOP_K = 25
+#: idf: the Lucene/ATIRE positive form ln(1 + (N − df + ½)/(df + ½)).
+_BM25_IDF = (
+    "ln(1E0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)"
+    " / (CAST(df AS DOUBLE) + 0.5E0))"
+)
+#: tf normalization: tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+_BM25_TFN = (
+    "(CAST(tf AS DOUBLE) * 2.2E0) / (CAST(tf AS DOUBLE)"
+    " + 1.2E0 * (0.25E0 + 0.75E0 * CAST(dl AS DOUBLE) / avgdl))"
+)
+#: per-(doc, term) contribution, quantized to an e9 integer BEFORE the
+#: per-doc sum so the cross-row accumulation is exact integer addition
+#: (float sums legally differ by shuffle order; the tfidf lesson).
+_BM25_CONTRIB = (
+    f"CAST(round({_BM25_IDF} * {_BM25_TFN} * 1E9) AS BIGINT)"
+)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tok2 AS (
+        SELECT * FROM tok WHERE term != ''
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ), tfq AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok2 WHERE term IN ({terms})
+        GROUP BY 1, 2
+    ), dfq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1
+    ), contrib AS (
+        SELECT doc_id,
+               {_BM25_CONTRIB} AS c_e9
+        FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ), scored AS (
+        SELECT doc_id, CAST(sum(c_e9) AS BIGINT) AS score_e9,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM contrib GROUP BY 1
+    ), ranked AS (
+        SELECT doc_id, score_e9, n_terms,
+               row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_e9, n_terms
+    FROM ranked WHERE rank <= {BM25_TOP_K}
+    ORDER BY rank
+    """
+
+
+@register("doc_bm25_topk", oracle=_bm25_oracle())
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the document corpus for a fixed query-term
+    set: Lucene-form idf, k1 = 1.2 / b = 0.75 length normalization, and
+    the top-{BM25_TOP_K} documents by total score — the lexical-ranking
+    half of a retrieval stack (ann_rrf_fusion holds the dense half).
+
+    Determinism contract: every float constant is an E-notation DOUBLE
+    literal (decimal literals parse as DECIMAL with engine-specific
+    division rules), the idf/tfn expression trees are shared strings
+    rendered into both engines, and each (doc, term) contribution is
+    quantized to an e9 integer BEFORE the per-doc sum so the cross-row
+    accumulation is exact integer addition under any shuffle order.
+
+    Scale shape: the token stream explodes once and feeds two keyed
+    aggregates — per-doc length (needed for normalization anyway) and
+    per-(doc, query-term) tf, the latter FILTERED to the query terms
+    before the shuffle so its volume is the posting lists', not the
+    corpus's (at 100 TB the posting lists come from an inverted-index
+    table and this plan's join shape is unchanged). df and the global
+    (N, avgdl) attach as broadcasts (|terms| rows and 1 row); the top-k
+    is TakeOrderedAndProject, never a global sort."""
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+        ).alias("avgdl"),
+    )
+    tfq = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_CONTRIB).alias("c_e9"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_e9").cast("bigint").alias("score_e9"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_e9"), F.asc("doc_id")).limit(
+        BM25_TOP_K
+    )
+    w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "score_e9",
+        "n_terms",
+    ).orderBy("rank")

@@ -31,6 +31,7 @@ GATE_WINDOW = [
     "part_copurchase_cheapest_path",  # never
     "hll_distinct_orders",  # never
     "hll_priority_union",  # never
+    "doc_bm25_topk",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

@@ -55,6 +55,10 @@ SHUFFLE_BUDGET = {
     # K min-plus rounds run against materialized inputs (same shape as
     # pagerank); returned plan is the final dist table + presentation sort
     "part_copurchase_cheapest_path": 1,
+    # token explode feeds the dl and posting-list aggregates (the second
+    # filtered to |query terms| before its shuffle); df/avgdl broadcast;
+    # the top-k is TakeOrderedAndProject + a 25-row re-rank window
+    "doc_bm25_topk": 10,
     # distinct-hash shuffle -> register groupBy -> one-row fold; the
     # exact audit count rides the register table's cnt column (no rescan)
     "hll_distinct_orders": 3,
@@ -329,6 +333,9 @@ NLJ_WHITELIST = {
     # distinct aggregate to the 1-row merged-estimate fold — broadcast
     # of exactly one row against one row (operators/hll.py)
     "hll_priority_union": 1,
+    # the 1-row (N, avgdl) corpus-stats aggregate attaches to the
+    # posting-list scores as a broadcast scalar (the tfidf contract)
+    "doc_bm25_topk": 1,
 }
 
 
