@@ -446,6 +446,71 @@ def running_kmv_distinct(
     )
 
 
+HLL_OUTPUT = "bucket int, reg long"
+
+#: per-bucket HLL state: ONE integer — the running max rho. The sketch's
+#: whole state is m such integers; no per-key growth anywhere.
+HLL_STATE = "reg long"
+
+
+def _fold_hll(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: fold this batch's rho slice into the bucket's
+    register with ``max`` — associative, commutative, idempotent, so
+    replayed duplicates and any micro-batch order produce the identical
+    register (exact equality with the batch sketch, pinned by test)."""
+    reg = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        if len(pdf):
+            reg = max(reg, int(pdf["rho"].max()))
+    state.update((int(reg),))
+    yield pd.DataFrame({"bucket": [int(key[0])], "reg": [reg]})
+
+
+def running_hll_registers(items: DataFrame, item_col: str) -> DataFrame:
+    """Streaming HyperLogLog — the stateful twin of
+    ``operators.hll.hll_registers``. Keys hash and bucket with the SAME
+    pinned expressions as the batch operator (bucket = top p bits, rho
+    from the base-2 string length), then group BY BUCKET: the state is
+    one register integer per bucket — m integers total, the textbook
+    O(m) streaming sketch — and registers only grow, so the latest
+    snapshot per bucket is just ``max(reg)`` over the update stream.
+    Feeding the final snapshot to ``hll_estimate_from_registers``
+    reproduces the batch estimate BIT-IDENTICALLY over the same key set
+    (max is order-free). The exact-count audit column is the one thing
+    bounded state cannot carry — the batch operator's ``cnt`` needs the
+    distinct keys themselves — so the twin emits registers only."""
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.operators.hll import (
+        HLL_W_MOD,
+        RHO_SQL,
+    )
+    from financial_data_engineering_spark.operators.sketch import kmv_hash
+
+    rho = RHO_SQL.format(
+        bitlen=f"conv(CAST(h % {HLL_W_MOD} AS STRING), 10, 2)"
+    )
+    rows = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(kmv_hash(F.col(item_col)).alias("h"))
+        .select(
+            F.expr(f"h div {HLL_W_MOD}").cast("int").alias("bucket"),
+            F.expr(rho).cast("long").alias("rho"),
+        )
+    )
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _fold_hll,
+        outputStructType=HLL_OUTPUT,
+        stateStructType=HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TWAP_OUTPUT = (
     "user_id long, n_segments long, span_us long, twap_e2 long"
 )

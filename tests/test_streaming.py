@@ -904,3 +904,54 @@ def test_running_cdc_snapshot_matches_batch_merge(spark, events_dir, tmp_path):
     }
     assert deleted == all_keys - batch_keys
     assert deleted  # the fixture really exercises the delete path
+
+
+def test_running_hll_registers_match_batch_sketch(spark, events_dir, tmp_path):
+    """Streaming HLL twin: registers only grow (max-fold), so the final
+    per-bucket snapshot must equal the batch register table exactly —
+    replayed duplicates across micro-batches included — and therefore
+    the estimate reproduces bit-identically."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from financial_data_engineering_spark.operators.hll import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_hll_registers,
+    )
+
+    replay_dir = tmp_path / "hll_batches"
+    replay_dir.mkdir()
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "a.parquet")
+    _sh.copy(f"{events_dir}/events.parquet", replay_dir / "b.parquet")
+
+    stream = running_hll_registers(
+        st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1),
+        "user_id",
+    )
+    st.run_to_memory_sink(stream, "hll_updates", output_mode="update")
+    # registers are monotone, so max(reg) per bucket IS the final state
+    latest = spark.sql(
+        "SELECT bucket, max(reg) AS reg FROM hll_updates GROUP BY bucket"
+    )
+
+    from financial_data_engineering_spark.tables import load
+
+    ev = load(spark, "events", SF_SMALL)
+    batch_regs = hll_registers(ev, "user_id")
+    want_regs = {
+        (r["bucket"], r["reg"]) for r in batch_regs.collect()
+    }
+    got_regs = {(r["bucket"], r["reg"]) for r in latest.collect()}
+    assert got_regs == want_regs
+
+    est_stream = hll_estimate_from_registers(
+        latest.withColumn("cnt", F.lit(0)), []
+    ).collect()[0]["hll_estimate"]
+    est_batch = hll_estimate_from_registers(batch_regs, []).collect()[0][
+        "hll_estimate"
+    ]
+    assert est_stream == est_batch
