@@ -496,3 +496,129 @@ def doc_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     merges = [(left, right) for left, right in ENCODE_MERGES]
     return bpe_apply_merges(docs, merges).orderBy("doc_id")
+
+
+#: Bigram-LM quality contract: per-token log-probability quantized to an
+#: e6 integer per bigram ROW (before any cross-row sum), and a low-quality
+#: doc defined by sum(lp_e6) < LM_LOWQ_MEAN_E6 · n_bigrams — the
+#: multiplied form avoids dividing negatives, where Spark's `div`
+#: (truncate toward zero) and DuckDB's `//` (floor) disagree.
+LM_LOWQ_MEAN_E6 = -3_430_000
+_LM_LP_E6 = (
+    "CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1E6)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "source_bigram_lm_quality",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source, z[1] AS w1, z[2] AS w2
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+                       AS z
+            FROM arrs
+        ) u
+    ), c2t AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ), c1t AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1
+    ), lp AS (
+        SELECT doc_id, source, {_LM_LP_E6} AS lp_e6
+        FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+    ), per_doc AS (
+        SELECT doc_id, source,
+               CAST(sum(lp_e6) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM lp GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           CAST(-((-CAST(sum(s) AS BIGINT)) // CAST(sum(nb) AS BIGINT))
+                AS BIGINT) AS mean_lp_e6,
+           CAST(sum(CASE WHEN s < {LM_LOWQ_MEAN_E6} * nb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_quality
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring for training-data curation: train a
+    bigram LM on the corpus itself (maximum-likelihood conditional
+    counts), score every document by its mean per-token log-probability,
+    and roll up per source — low-LM-probability documents are the
+    incoherent/garbled tail a curation pipeline filters before training.
+
+    Determinism contract: each bigram row's log-probability quantizes to
+    an e6 integer BEFORE any cross-row sum (integer addition is exact
+    under any shuffle order); the per-source mean divides NEGATED
+    positives because Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors — they agree only on non-negative operands;
+    and the low-quality test multiplies the threshold through instead of
+    dividing (``sum < T·n``).
+
+    Scale shape: bigrams come from one array zip per document (no
+    self-join, no window); the model is two keyed aggregates over the
+    bigram stream; scoring joins the stream against the (w1, w2) and
+    (w1) count tables on their natural keys — at open-world vocabulary
+    these are shuffle hash joins on conditioned keys, and AQE broadcasts
+    them when the vocabulary is small (as here). Per-doc then per-source
+    rollups reuse the doc partitioning."""
+    docs = load(spark, "documents", sf_dir)
+    arr = F.filter(tx.tokens(F.col("text")), lambda t: t != F.lit(""))
+    bg = (
+        docs.select("doc_id", "source", arr.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(
+                        F.col("toks"), 2, F.size("toks") - 1
+                    ).alias("w2"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "source", F.col("z.w1"), F.col("z.w2"))
+    )
+    c2t = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1t = c2t.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    per_doc = (
+        bg.join(c2t, ["w1", "w2"])
+        .join(c1t, "w1")
+        .select("doc_id", "source", F.expr(_LM_LP_E6).alias("lp_e6"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("lp_e6").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(-((-CAST(sum(s) AS BIGINT)) div CAST(sum(nb) AS BIGINT)) AS BIGINT)")
+            .alias("mean_lp_e6"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN s < {LM_LOWQ_MEAN_E6} * nb THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )

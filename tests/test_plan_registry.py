@@ -55,6 +55,9 @@ SHUFFLE_BUDGET = {
     # K min-plus rounds run against materialized inputs (same shape as
     # pagerank); returned plan is the final dist table + presentation sort
     "part_copurchase_cheapest_path": 1,
+    # bigram stream -> c2/c1 model aggregates -> score joins (AQE
+    # broadcasts the count tables here) -> per-doc -> per-source rollup
+    "source_bigram_lm_quality": 8,
     # token explode feeds the dl and posting-list aggregates (the second
     # filtered to |query terms| before its shuffle); df/avgdl broadcast;
     # the top-k is TakeOrderedAndProject + a 25-row re-rank window
