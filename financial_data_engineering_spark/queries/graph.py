@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from financial_data_engineering_spark.operators.graph import (
     BF_COST_SCALE,
@@ -210,3 +211,120 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("partkey"), "n_triangles")
         .orderBy("partkey")
     )
+
+
+#: association-rule contract: directional rules a -> b over order
+#: baskets, minimum co-support, top-k by integer-exact lift.
+AR_MIN_SUPPORT = 3
+AR_TOP_K = 25
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM li),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+    pair AS (
+        SELECT a.item AS ante, b.item AS cons,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= {AR_MIN_SUPPORT}
+    ),
+    scored AS (
+        SELECT ante, cons, c_ab,
+               CAST((c_ab * 1000000) // ca.c AS BIGINT) AS conf_e6,
+               CAST((c_ab * n * 1000000) // (ca.c * cb.c) AS BIGINT)
+                   AS lift_e6
+        FROM pair
+        JOIN ic ca ON ca.item = ante
+        JOIN ic cb ON cb.item = cons
+        CROSS JOIN nb
+    ),
+    ranked AS (
+        SELECT *, row_number()
+               OVER (ORDER BY lift_e6 DESC, ante, cons) AS rank
+        FROM scored
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, ante, cons, c_ab AS support,
+           conf_e6, lift_e6
+    FROM ranked WHERE rank <= {AR_TOP_K}
+    ORDER BY rank
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directional
+    rules ante → cons with co-support ≥ {AR_MIN_SUPPORT}, scored by
+    integer-exact confidence (c_ab·10⁶ div c_a) and lift
+    (c_ab·N·10⁶ div (c_a·c_b)) — the classic cross-sell/affinity
+    analytics a recommender derives from the same co-purchase pairs the
+    graph family consumes (copurchase_edges IS the rule-support table).
+
+    All-integer scoring means no rounding discipline is needed anywhere;
+    overflow headroom: c_ab·N·10⁶ stays under 2^63 for any basket count
+    below ~10¹² per pair weight. The support floor prunes the pair table
+    BEFORE the count joins (HAVING pushes into the aggregate), so the
+    scored set is the frequent-pair table, not the full quadratic
+    fan-out; the top-k is TakeOrderedAndProject plus a {AR_TOP_K}-row
+    re-rank window."""
+    li = load(spark, "lineitem", sf_dir)
+    pairs = (
+        copurchase_edges(li, "l_orderkey", "l_partkey")
+        .filter(F.col("w") >= AR_MIN_SUPPORT)
+        .select(
+            F.col("src").alias("ante"),
+            F.col("dst").alias("cons"),
+            F.col("w").alias("c_ab"),
+        )
+    )
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    ic = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nb = items.agg(
+        F.countDistinct("basket").cast("bigint").alias("n")
+    )
+    scored = (
+        pairs.join(
+            ic.select(F.col("item").alias("ante"), F.col("c").alias("ca")),
+            "ante",
+        )
+        .join(
+            ic.select(F.col("item").alias("cons"), F.col("c").alias("cb")),
+            "cons",
+        )
+        .join(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("c_ab").cast("bigint").alias("support"),
+            F.expr("CAST((c_ab * 1000000) div ca AS BIGINT)").alias(
+                "conf_e6"
+            ),
+            F.expr(
+                "CAST((c_ab * n * 1000000) div (ca * cb) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_e6"), F.asc("ante"), F.asc("cons")
+    ).limit(AR_TOP_K)
+    w = Window.orderBy(F.desc("lift_e6"), F.asc("ante"), F.asc("cons"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "ante",
+        "cons",
+        "support",
+        "conf_e6",
+        "lift_e6",
+    ).orderBy("rank")

@@ -55,6 +55,9 @@ SHUFFLE_BUDGET = {
     # K min-plus rounds run against materialized inputs (same shape as
     # pagerank); returned plan is the final dist table + presentation sort
     "part_copurchase_cheapest_path": 1,
+    # basket distinct + pair aggregate + item-count joins on both rule
+    # sides + the top-k TakeOrdered and its 25-row re-rank
+    "part_association_rules": 13,
     # bigram stream -> c2/c1 model aggregates -> score joins (AQE
     # broadcasts the count tables here) -> per-doc -> per-source rollup
     "source_bigram_lm_quality": 8,
@@ -339,6 +342,9 @@ NLJ_WHITELIST = {
     # the 1-row (N, avgdl) corpus-stats aggregate attaches to the
     # posting-list scores as a broadcast scalar (the tfidf contract)
     "doc_bm25_topk": 1,
+    # the 1-row basket-count aggregate attaches to the frequent-pair
+    # scores as a broadcast scalar (the tfidf contract)
+    "part_association_rules": 1,
 }
 
 
