@@ -259,3 +259,21 @@ def test_market_bars_pipeline(spark, tmp_path):
     assert glob.glob(f"{tmp_path}/ticks_clustered/*.parquet")
     assert glob.glob(f"{tmp_path}/bars_monthly/bar_month=*/")
     assert glob.glob(f"{tmp_path}/brand_report/*.parquet")
+
+
+def test_hybrid_retrieval_pipeline(spark, tmp_path):
+    from examples.hybrid_retrieval_pipeline import FUSED_K, main
+
+    out = main(output_dir=str(tmp_path))
+    assert out["n_survivors"] > 0
+    assert out["n_survivors"] <= out["n_docs"]
+    assert out["n_bm25_hits"] > 0
+    assert out["n_dense_hits"] > 0
+    assert out["n_fused"] == FUSED_K
+    # PRF centers the dense query on lexical hits, so the two lists
+    # must overlap somewhere in the fused top-k
+    assert out["n_in_both_lists"] > 0
+    assert out["fused_ranks_contiguous"]
+    import glob
+
+    assert glob.glob(f"{tmp_path}/fused_hits/*.parquet")
