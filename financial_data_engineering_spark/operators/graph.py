@@ -166,17 +166,41 @@ def cheapest_paths_bounded(
             "cost", F.lit(0).cast("long")
         )
     )
+    # frontier relaxation (not Jacobi): only nodes IMPROVED in the
+    # previous round re-expand. A node whose cost did not change was
+    # already expanded at that cost, so its contributions are in `dist`
+    # — the K-round result is identical to relaxing the whole reached
+    # set every round (pinned by the Jacobi pure-Python reference in
+    # tests), but late rounds on a low-diameter graph shuffle only the
+    # few still-improving rows instead of the entire reached set. At
+    # 100 TB this is the difference between K edge-scans proportional
+    # to the frontier's incident edges and K full |V_reached|⋈|E|
+    # relaxations on an already-converged graph.
+    frontier = dist
     for _ in range(rounds):
         relaxed = (
-            e.join(dist, e["src"] == dist["node"])
+            e.join(frontier, e["src"] == frontier["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("cost") + F.col("c")).alias("cost"),
             )
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        old = dist.select(
+            F.col("node"), F.col("cost").alias("old_cost")
+        )
+        frontier = materialize(
+            relaxed.join(old, "node", "left")
+            .filter(
+                F.col("old_cost").isNull()
+                | (F.col("cost") < F.col("old_cost"))
+            )
+            .select("node", "cost")
         )
         dist = materialize(
             dist.select("node", "cost")
-            .unionByName(relaxed)
+            .unionByName(frontier)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
