@@ -37,23 +37,23 @@ def _pagerank_oracle(rounds: int = PR_ROUNDS) -> str:
     sum is cast back to BIGINT: DuckDB promotes integer sums to
     HUGEINT, which the driver's dtype-sensitive hash would flag."""
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
         " FROM lineitem)",
-        "nodes AS (SELECT DISTINCT item AS node FROM li)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT item AS node FROM li)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        """edges AS (
+        """edges AS MATERIALIZED (
         SELECT a.item AS src, b.item AS dst, count(*) AS w
         FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
         GROUP BY 1, 2
     )""",
-        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges"
+        "outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges"
         " GROUP BY 1)",
-        "e AS (SELECT src, dst, w, ow FROM edges JOIN outw USING (src))",
+        "e AS MATERIALIZED (SELECT src, dst, w, ow FROM edges JOIN outw USING (src))",
         f"r0 AS (SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r"
         " FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, rounds + 1):
-        ctes.append(f"""r{k} AS (
+        ctes.append(f"""r{k} AS MATERIALIZED (
         SELECT node,
                CAST((15 * {PR_SCALE}) // ({PR_D_DEN} * n)
                     + coalesce(c, 0) AS BIGINT) AS r
@@ -107,9 +107,9 @@ def _cheapest_path_oracle(rounds: int = BF_ROUNDS) -> str:
     order-exact, so no rounding discipline is needed; sums never leave
     BIGINT (cost ≤ K·BF_COST_SCALE ≈ 4e6)."""
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item"
         " FROM lineitem)",
-        f"""e AS (
+        f"""e AS MATERIALIZED (
         SELECT a.item AS src, b.item AS dst,
                CAST({BF_COST_SCALE} // count(*) AS BIGINT) AS c
         FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
@@ -118,7 +118,7 @@ def _cheapest_path_oracle(rounds: int = BF_ROUNDS) -> str:
         "d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS cost FROM e)",
     ]
     for k in range(1, rounds + 1):
-        ctes.append(f"""d{k} AS (
+        ctes.append(f"""d{k} AS MATERIALIZED (
         SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
             SELECT node, cost FROM d{k - 1}
             UNION ALL
@@ -168,15 +168,15 @@ def part_copurchase_cheapest_path(
 @register(
     "part_copurchase_triangles",
     oracle="""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         FROM lineitem
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.item AS a, b.item AS b
         FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT ab.a AS x, ab.b AS y, bc.b AS z
         FROM e ab
         JOIN e bc ON ab.b = bc.a
@@ -222,7 +222,7 @@ AR_TOP_K = 25
 @register(
     "part_association_rules",
     oracle=f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         FROM lineitem
     ),
