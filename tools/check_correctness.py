@@ -14,6 +14,7 @@ so a strict-green query cannot flip red on rounding grounds.
 
 from __future__ import annotations
 
+import gc
 import hashlib
 import sys
 
@@ -134,6 +135,14 @@ def main() -> int:
             s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
             spark.catalog.clearCache()  # drop operator-persisted intermediates
+            # localCheckpoint blocks are NOT catalog-cached: they release
+            # only when the driver-side references die and ContextCleaner
+            # runs. Without this, a multi-query session accumulates every
+            # materialized frame (the sf10 spot gate OOM-killed the JVM at
+            # 82 GB RSS on exactly this).
+            del sdf
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
