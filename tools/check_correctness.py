@@ -118,6 +118,12 @@ def main() -> int:
     spark = get_spark("correctness-check")
 
     con = duckdb.connect()
+    # cap the oracle engine so it SPILLS under pressure instead of
+    # failing: DuckDB's default limit is 80% of physical RAM, which is a
+    # lie once the Spark JVM holds a large heap in the same box (the
+    # sf10 doc_bpe_encoding oracle died on exactly this).
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='.tmp/duckdb_spill'")
     for t in TPCH_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
