@@ -15,6 +15,7 @@ so a strict-green query cannot flip red on rounding grounds.
 from __future__ import annotations
 
 import gc
+import os
 import hashlib
 import sys
 
@@ -122,7 +123,9 @@ def main() -> int:
     # failing: DuckDB's default limit is 80% of physical RAM, which is a
     # lie once the Spark JVM holds a large heap in the same box (the
     # sf10 doc_bpe_encoding oracle died on exactly this).
-    con.execute("SET memory_limit='32GB'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('FDES_DUCKDB_MEM', '32GB')}'"
+    )
     con.execute("SET temp_directory='.tmp/duckdb_spill'")
     for t in TPCH_TABLES:
         con.execute(
