@@ -45,6 +45,9 @@ PR_ROUNDS = 6
 BF_ROUNDS = 4
 BF_COST_SCALE = 1_000_000
 
+#: Label-propagation contract: K synchronous rounds, ties by min label.
+LPA_ROUNDS = 4
+
 
 def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Weighted co-occurrence edges: (src, dst, w) where ``w`` counts the
@@ -214,6 +217,58 @@ def cheapest_paths_bounded(
             .agg(F.min("cost").alias("cost"))
         )
     return dist.select("node", F.col("cost").alias(cost_alias))
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = LPA_ROUNDS,
+    label_alias: str = "community",
+) -> DataFrame:
+    """K synchronous rounds of weighted label propagation — community
+    detection by majority vote: each round, every node adopts the label
+    carrying the largest total edge weight among its neighbors, ties
+    broken by the SMALLEST label. Seeds are the node ids themselves;
+    isolated nodes keep their seed.
+
+    Synchronous rounds + the min-label tiebreak are what make this
+    gate-exact: the per-(node, label) weight sums are integer (exact
+    under any shuffle order) and the argmax is a total order, so a SQL
+    oracle replays each round verbatim (asynchronous LPA — the common
+    single-machine formulation — is update-order-dependent and could
+    never be hash-pinned).
+
+    Scale shape: per round one |E|-row join against the |V|-row label
+    table, one integer groupBy over (dst, label), and one argmax window
+    partitioned by dst (|V| distinct keys — high-cardinality, never a
+    global sort). Rounds materialize through ``materialize()``; edge
+    partitioning follows the caller's frame."""
+    e = materialize(edges.select("src", "dst", "w"))
+    labels = materialize(
+        nodes.select("node").distinct().withColumn("lbl", F.col("node"))
+    )
+    from pyspark.sql.window import Window
+
+    w_arg = Window.partitionBy("dst").orderBy(
+        F.desc("wsum"), F.asc("lbl")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy("dst", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = materialize(
+            labels.join(votes, "node", "left").select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
+    return labels.select("node", F.col("lbl").alias(label_alias))
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:

@@ -34,6 +34,7 @@ GATE_WINDOW = [
     "doc_bm25_topk",  # never
     "source_bigram_lm_quality",  # never
     "part_association_rules",  # never
+    "part_copurchase_communities",  # never
     "doc_repetition_flags",  # r6
     "doc_chunks",  # r6
     "tfidf_top_terms",  # r6

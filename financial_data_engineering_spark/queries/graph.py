@@ -18,12 +18,14 @@ from pyspark.sql.window import Window
 from financial_data_engineering_spark.operators.graph import (
     BF_COST_SCALE,
     BF_ROUNDS,
+    LPA_ROUNDS,
     PR_D_DEN,
     PR_D_NUM,
     PR_ROUNDS,
     PR_SCALE,
     cheapest_paths_bounded,
     copurchase_edges,
+    label_propagation,
     pagerank_integer,
     triangle_participation,
 )
@@ -328,3 +330,73 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conf_e6",
         "lift_e6",
     ).orderBy("rank")
+
+
+def _labelprop_oracle(rounds: int = LPA_ROUNDS) -> str:
+    """Unroll the K synchronous label-propagation rounds into chained
+    MATERIALIZED CTEs from the SAME constants the Spark operator uses
+    (each level referenced once per round — without MATERIALIZED,
+    DuckDB's inlining re-evaluates the whole chain; the cheapest-path
+    lesson). Weight sums are integer, the argmax a total order."""
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,"
+        " l_partkey AS item FROM lineitem)",
+        """e AS MATERIALIZED (
+        SELECT a.item AS src, b.item AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT item AS node, item AS lbl"
+        " FROM li)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+        SELECT l{k - 1}.node,
+               CAST(coalesce(v.new_lbl, l{k - 1}.lbl) AS BIGINT) AS lbl
+        FROM l{k - 1} LEFT JOIN (
+            SELECT dst, lbl AS new_lbl FROM (
+                SELECT e.dst, l.lbl,
+                       row_number() OVER (
+                           PARTITION BY e.dst
+                           ORDER BY CAST(sum(e.w) AS BIGINT) DESC, l.lbl
+                       ) AS rn
+                FROM e JOIN l{k - 1} l ON e.src = l.node
+                GROUP BY e.dst, l.lbl
+            ) r WHERE rn = 1
+        ) v ON l{k - 1}.node = v.dst
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node AS partkey, lbl AS community
+    FROM l{rounds}
+    ORDER BY partkey
+    """
+
+
+@register("part_copurchase_communities", oracle=_labelprop_oracle())
+def part_copurchase_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection over the co-purchase graph by K rounds of
+    SYNCHRONOUS weighted label propagation: each round every part adopts
+    the label with the largest total co-purchase weight among its
+    neighbors, ties to the smallest label — cross-sell clusters for
+    assortment/curation grouping, completing the graph family's four
+    lenses (importance, density, distance, community).
+
+    Synchronous rounds + integer weight sums + the min-label tiebreak
+    make LPA hash-pinnable (asynchronous LPA is update-order-dependent
+    and never would be); the oracle unrolls the identical rounds from
+    the same constants. Per round: one |E| join, one integer groupBy,
+    one argmax window partitioned by the high-cardinality node key
+    (operators/graph.py label_propagation)."""
+    li = load(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node"))
+    return (
+        label_propagation(nodes, edges)
+        .select(F.col("node").alias("partkey"), "community")
+        .orderBy("partkey")
+    )

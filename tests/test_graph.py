@@ -265,3 +265,70 @@ def test_cheapest_path_random_graph_matches_reference(spark):
     )
     edges = [(s, d, rng.randrange(1, 50)) for s, d in edges if s != d]
     _run_cheapest(spark, [1, 2], edges)
+
+
+def _py_labelprop(nodes, edges, rounds):
+    """Reference replay of synchronous min-tiebreak label propagation."""
+    lbl = {v: v for v in nodes}
+    for _ in range(rounds):
+        votes = {}
+        for s, d, w in edges:
+            votes.setdefault(d, {}).setdefault(lbl[s], 0)
+            votes[d][lbl[s]] += w
+        nxt = dict(lbl)
+        for d, vv in votes.items():
+            best = max(vv.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[d] = best[0]
+        lbl = nxt
+    return lbl
+
+
+def _run_labelprop(spark, nodes, edges, rounds=4):
+    from financial_data_engineering_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(ndf, edf, rounds=rounds).collect()
+    }
+    assert got == _py_labelprop(nodes, edges, rounds)
+    return got
+
+
+def test_labelprop_two_cliques_converge_to_two_communities(spark):
+    # two triangles bridged by one weak edge
+    cliq = lambda ns: [
+        (a, b, 3) for a in ns for b in ns if a != b
+    ]
+    edges = cliq([1, 2, 3]) + cliq([7, 8, 9]) + [(3, 7, 1), (7, 3, 1)]
+    got = _run_labelprop(spark, [1, 2, 3, 7, 8, 9], edges)
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[7], got[8], got[9]}) == 1
+    assert got[1] != got[7]
+
+
+def test_labelprop_isolated_node_keeps_seed(spark):
+    got = _run_labelprop(spark, [1, 2, 42], [(1, 2, 1), (2, 1, 1)])
+    assert got[42] == 42
+
+
+def test_labelprop_tie_breaks_to_min_label(spark):
+    # node 5 hears labels 1 and 2 with equal weight -> adopts 1
+    edges = [(1, 5, 2), (2, 5, 2)]
+    got = _run_labelprop(spark, [1, 2, 5], edges, rounds=1)
+    assert got[5] == 1
+
+
+def test_labelprop_random_graph_matches_reference(spark):
+    rng = random.Random(7)
+    pairs = sorted(
+        {
+            (rng.randrange(1, 25), rng.randrange(1, 25))
+            for _ in range(100)
+        }
+    )
+    edges = [(s, d, rng.randrange(1, 5)) for s, d in pairs if s != d]
+    _run_labelprop(spark, list(range(1, 25)), edges)

@@ -55,6 +55,9 @@ SHUFFLE_BUDGET = {
     # K min-plus rounds run against materialized inputs (same shape as
     # pagerank); returned plan is the final dist table + presentation sort
     "part_copurchase_cheapest_path": 1,
+    # K label-propagation rounds run against materialized inputs;
+    # returned plan is the final label table + presentation sort
+    "part_copurchase_communities": 1,
     # basket distinct + pair aggregate + item-count joins on both rule
     # sides + the top-k TakeOrdered and its 25-row re-rank
     "part_association_rules": 13,
