@@ -19,59 +19,11 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r06.json": "b6990091b8fffb4e",
     "CORRECTNESS_r07.json": "7e81c5463a3be4ca",
     "CORRECTNESS_r08.json": "40bd3ea0cbecf26f",
+    "CORRECTNESS_r09.json": "820a2ddda5274b96",
 }
 
 GATE_WINDOW = [
-    "ann_pq_rerank",  # never
-    "ann_ivfpq_rerank",  # never
-    "part_copurchase_pagerank",  # never
-    "customer_cdc_merge",  # never
-    "lineitem_zorder_skipping",  # never
-    "part_copurchase_triangles",  # never
-    "part_copurchase_cheapest_path",  # never
-    "hll_distinct_orders",  # never
-    "hll_priority_union",  # never
-    "doc_bm25_topk",  # never
-    "source_bigram_lm_quality",  # never
-    "part_association_rules",  # never
-    "part_copurchase_communities",  # never
-    "doc_repetition_flags",  # r6
-    "doc_chunks",  # r6
-    "tfidf_top_terms",  # r6
-    "pii_scrub_stats",  # r6
-    "doc_dense_ids",  # r6
-    "eval_contamination",  # r6
-    "dedup_simhash",  # r6
-    "dedup_embedding_cosine",  # r6
-    "dedup_winnowing",  # r6
-    "dedup_exact_survivors",  # r6
-    "dedup_minhash_lsh",  # r6
-    "dedup_ngram_jaccard",  # r6
-    "dedup_simhash_pairs",  # r6
-    "dedup_component_groups",  # r6
-    "user_sessions",  # r6
-    "events_value_histogram",  # r6
-    "user_retention_cohorts",  # r6
-    "multimodal_decode_stats",  # r6
-    "event_type_counts",  # r6
-    "customers_without_orders",  # r6
-    "top_part_nouns",  # r6
-    "customer_padded_keys",  # r6
-    "order_week_shipments",  # r6
-    "lineitem_price_quantiles",  # r6
-    "customer_overlapping_orders",  # r6
-    "shipping_priority_revenue",  # r6
-    "region_local_supplier_volume",  # r6
-    "part_brand_vwap",  # r7
-    "customer_order_gaps",  # r7
-    "user_value_twap",  # r7
-    "dedup_bloom_screen",  # r7
-    "part_brand_ohlc_monthly",  # r7
-    "user_value_ohlc",  # r7
-    "part_brand_rolling_band",  # r7
-    "part_brand_ewma_band",  # r7
-    "order_priority_delayed_counts",  # r7
-    "event_type_cm_audit",  # r7
+    "bpe_learned_merges",  # never
     "part_brand_max_drawdown",  # r7
     "user_value_ewma_band",  # r7
     "user_value_max_drawdown",  # r7
@@ -138,7 +90,6 @@ GATE_WINDOW = [
     "order_priority_share",  # r8
     "priority_fulfillment_latency",  # r8
     "bpe_merge_candidates",  # r8
-    "bpe_learned_merges",  # r8
     "event_value_dispersion",  # r8
     "lineitem_measure_unpivot",  # r8
     "ann_ivf_from_index",  # r8
@@ -162,4 +113,54 @@ GATE_WINDOW = [
     "doc_pack_bins",  # r8
     "source_vocab_stats",  # r8
     "top_bigrams",  # r8
+    "ann_pq_rerank",  # r9
+    "ann_ivfpq_rerank",  # r9
+    "part_copurchase_pagerank",  # r9
+    "customer_cdc_merge",  # r9
+    "lineitem_zorder_skipping",  # r9
+    "part_copurchase_triangles",  # r9
+    "part_copurchase_cheapest_path",  # r9
+    "hll_distinct_orders",  # r9
+    "hll_priority_union",  # r9
+    "doc_bm25_topk",  # r9
+    "source_bigram_lm_quality",  # r9
+    "part_association_rules",  # r9
+    "part_copurchase_communities",  # r9
+    "doc_repetition_flags",  # r9
+    "doc_chunks",  # r9
+    "tfidf_top_terms",  # r9
+    "pii_scrub_stats",  # r9
+    "doc_dense_ids",  # r9
+    "eval_contamination",  # r9
+    "dedup_simhash",  # r9
+    "dedup_embedding_cosine",  # r9
+    "dedup_winnowing",  # r9
+    "dedup_exact_survivors",  # r9
+    "dedup_minhash_lsh",  # r9
+    "dedup_ngram_jaccard",  # r9
+    "dedup_simhash_pairs",  # r9
+    "dedup_component_groups",  # r9
+    "user_sessions",  # r9
+    "events_value_histogram",  # r9
+    "user_retention_cohorts",  # r9
+    "multimodal_decode_stats",  # r9
+    "event_type_counts",  # r9
+    "customers_without_orders",  # r9
+    "top_part_nouns",  # r9
+    "customer_padded_keys",  # r9
+    "order_week_shipments",  # r9
+    "lineitem_price_quantiles",  # r9
+    "customer_overlapping_orders",  # r9
+    "shipping_priority_revenue",  # r9
+    "region_local_supplier_volume",  # r9
+    "part_brand_vwap",  # r9
+    "customer_order_gaps",  # r9
+    "user_value_twap",  # r9
+    "dedup_bloom_screen",  # r9
+    "part_brand_ohlc_monthly",  # r9
+    "user_value_ohlc",  # r9
+    "part_brand_rolling_band",  # r9
+    "part_brand_ewma_band",  # r9
+    "order_priority_delayed_counts",  # r9
+    "event_type_cm_audit",  # r9
 ]

@@ -20,8 +20,12 @@ policy names:
    invariant: every query green in round N or N-1.
 
 A driver row counts as green when it has no error and row count, schema,
-and value hash all match; a ``no_oracle`` row counts as checked (the
-rows-only check is the strongest the driver can run for it).
+and value hash all match. A ``no_oracle`` row counts as checked ONLY for
+queries that still have no registered oracle (the rows-only check is the
+strongest the driver can run for those); for a query that HAS an oracle
+today, a historical ``no_oracle`` row means the oracle was missing or
+broken at the time — it must not satisfy the freshness policy (the
+round-9 verdict's bpe_learned_merges finding).
 
 The full ordering (every registered query) is written to
 ``financial_data_engineering_spark/queries/gate_window.py`` together
@@ -72,9 +76,19 @@ def _digest(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()[:16]
 
 
-def _is_checked(row: dict) -> bool:
+def _oracled_names() -> set[str]:
+    """Names that currently have a registered DuckDB oracle."""
+    import financial_data_engineering_spark.queries as q  # noqa: F401
+
+    return set(q.all_oracles())
+
+
+def _is_checked(row: dict, has_oracle: bool) -> bool:
     if row.get("err") == "no_oracle":
-        return bool(row.get("spark_rows"))
+        # Rows-only is the strongest possible check ONLY for queries
+        # that still have no oracle; otherwise the row records a gap
+        # that has since been closed and must re-verify (r9 verdict).
+        return not has_oracle and bool(row.get("spark_rows"))
     return (
         not row.get("err")
         and bool(row.get("rows_match"))
@@ -86,12 +100,13 @@ def _is_checked(row: dict) -> bool:
 def last_green_rounds(paths: list[str] | None = None) -> dict[str, int]:
     """name -> latest round with a green (or no-oracle checked) row."""
     latest: dict[str, int] = {}
+    oracled = _oracled_names()
     for path in correctness_files() if paths is None else paths:
         rnd = _round_of(path)
         if rnd is None:
             continue
         for name, row in json.load(open(path)).items():
-            if _is_checked(row):
+            if _is_checked(row, name in oracled):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
