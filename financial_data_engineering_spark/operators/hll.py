@@ -50,7 +50,12 @@ HLL_M = 1 << HLL_P
 HLL_W_BITS = KMV_HASH_BITS - HLL_P
 HLL_W_MOD = 1 << HLL_W_BITS
 HLL_RMAX = HLL_W_BITS + 1
-#: 0.7213 / (1 + 1.079/m) at m = 256, as a rational constant.
+#: Rational approximation of alpha(m) ≈ 0.7213 / (1 + 1.079/m), which
+#: at m = 256 is 0.7182726… (71827/1e5 to 5 places). 71824 rounds the
+#: intermediate 0.7213/1.0042 differently and carries a +0.004% bias —
+#: negligible against HLL's ~6.5% standard error at p=8, and pinned
+#: identically into the operator, the DuckDB oracle, and the Python
+#: test reference, so it is kept for hash stability.
 HLL_ALPHA_NUM = 71824
 HLL_ALPHA_DEN = 100_000
 #: linear-counting cutover: raw estimate ≤ 2.5·m (Flajolet et al. 2007).
@@ -199,17 +204,30 @@ def hll_group_union(
     )
     per_group = hll_estimate_from_registers(pregs, [group_col])
     all_est = hll_estimate_from_registers(merged, [group_col])
-    exact_all = (
-        hashed.select("h")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("true_exact"))
+    # Sentinel-collision guard: a REAL group equal to ``all_label``
+    # would silently collide with the merged row. Detect it inside the
+    # exact-count aggregate (same pass, no extra scan) and raise at
+    # execution time via CASE+raise_error — the declarative equivalent
+    # of an eager refusal guard.
+    exact_all = hashed.agg(
+        F.count_distinct("h").alias("true_exact"),
+        F.max((F.col(group_col) == F.lit(all_label)).cast("int")).alias(
+            "grp_clash"
+        ),
+    )
+    guarded_exact = F.expr(
+        "CASE WHEN grp_clash = 0 THEN true_exact ELSE"
+        " CAST(raise_error(concat('hll_group_union: group value collides"
+        " with all_label sentinel ', "
+        f"{all_label!r}"
+        ")) AS BIGINT) END"
     )
     all_row = (
         all_est.join(F.broadcast(exact_all))
         .select(
             group_col,
             "hll_m",
-            F.col("true_exact").cast("bigint").alias("n_exact"),
+            guarded_exact.cast("bigint").alias("n_exact"),
             "hll_estimate",
             F.expr(
                 "CASE WHEN true_exact > 0 THEN"

@@ -817,6 +817,21 @@ _BM25_TFN = (
 #: per-(doc, term) contribution, quantized to an e9 integer BEFORE the
 #: per-doc sum so the cross-row accumulation is exact integer addition
 #: (float sums legally differ by shuffle order; the tfidf lesson).
+#:
+#: ACCEPTED RISK (r9 ADVICE): unlike the HLL linear-counting term —
+#: whose 255-value ln domain is verified exhaustively across engines —
+#: the ln argument here is data-dependent and unbounded, so the JVM
+#: and DuckDB libm could in principle diverge by 1 ulp on an input
+#: whose product lands exactly on a .5e-9 rounding boundary. Measure
+#: zero: a double has ~15.95 significant digits, the quantizer keeps
+#: 9-10, and a boundary hit needs the ~6 remaining digits to be
+#: exactly 5000000…, so per-row P ≈ 1e-6 · P(1-ulp divergence); both
+#: engines target correctly-rounded ln on x86-64 (crlibm-class), making
+#: the joint probability negligible even at 1e12 rows. The same
+#: reasoning covers the bigram-LM e6 quantizer (queries/text.py
+#: _LM_LP_E6, 3 spare digits ≥ its smaller scale). If a gate EVER
+#: hash-flakes on bm25/bigram rows, re-derive from integer count
+#: ratios as HLL does rather than chasing libm.
 _BM25_CONTRIB = (
     f"CAST(round({_BM25_IDF} * {_BM25_TFN} * 1E9) AS BIGINT)"
 )

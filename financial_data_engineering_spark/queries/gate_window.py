@@ -24,6 +24,9 @@ GATE_WINDOW_INPUTS = {
 
 GATE_WINDOW = [
     "bpe_learned_merges",  # never
+    "hll_distinct_orders",  # r9
+    "hll_priority_union",  # r9
+    "source_bigram_lm_quality",  # r9
     "part_brand_max_drawdown",  # r7
     "user_value_ewma_band",  # r7
     "user_value_max_drawdown",  # r7
@@ -120,10 +123,7 @@ GATE_WINDOW = [
     "lineitem_zorder_skipping",  # r9
     "part_copurchase_triangles",  # r9
     "part_copurchase_cheapest_path",  # r9
-    "hll_distinct_orders",  # r9
-    "hll_priority_union",  # r9
     "doc_bm25_topk",  # r9
-    "source_bigram_lm_quality",  # r9
     "part_association_rules",  # r9
     "part_copurchase_communities",  # r9
     "doc_repetition_flags",  # r9

@@ -575,8 +575,12 @@ def source_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups reuse the doc partitioning."""
     docs = load(spark, "documents", sf_dir)
     arr = F.filter(tx.tokens(F.col("text")), lambda t: t != F.lit(""))
+    # A doc with <2 tokens has no bigrams; Spark's slice errors on a
+    # negative length (size-1 = -1 for empty arrays) where DuckDB's
+    # list slicing returns [], so filter BEFORE slicing.
     bg = (
         docs.select("doc_id", "source", arr.alias("toks"))
+        .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             "source",

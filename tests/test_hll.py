@@ -134,3 +134,16 @@ def test_group_union_all_row_matches_global_estimate(spark):
     est, _ = _estimate(spark, range(800))
     assert rows["__ALL__"]["hll_estimate"] == est
     assert rows["__ALL__"]["n_exact"] == 800
+
+
+def test_group_union_rejects_sentinel_collision(spark):
+    """A real group equal to the all_label sentinel must raise, not
+    silently collide with the merged row (r9 ADVICE)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("__ALL__", 1), ("a", 2)], "grp string, k long"
+    )
+    with pytest.raises(PySparkException, match="all_label sentinel"):
+        hll_group_union(df, "grp", "k").collect()

@@ -764,3 +764,30 @@ def test_ivfpq_rerank_scores_match_brute_force(spark):
     for qid in (0, 1):
         ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bigram_lm_quality_tolerates_empty_documents(spark, tmp_path):
+    """Docs whose text tokenizes to zero or one token must contribute
+    no bigrams rather than crash Spark's slice with a negative length
+    (r9 ADVICE: DuckDB's list slicing is graceful, Spark's errors)."""
+    import pandas as pd
+
+    from financial_data_engineering_spark.queries import text as qtext
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "   ", "one", "alpha beta alpha"],
+            "lang": ["en"] * 4,
+            "source": ["s1", "s1", "s2", "s2"],
+            "n_chars": [0, 3, 3, 16],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in qtext.source_bigram_lm_quality(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "s1" not in rows  # no bigrams at all from empty/whitespace
+    assert rows["s2"]["n_bigrams"] == 2

@@ -57,7 +57,15 @@ OUT_PATH = "financial_data_engineering_spark/queries/gate_window.py"
 #: must therefore re-verify at the head of the next window. Add in the
 #: same commit as the semantic change; remove once a CORRECTNESS file
 #: shows the new green row.
-FORCE_FIRST: list[str] = []
+FORCE_FIRST: list[str] = [
+    # r10: empty-doc slice guard added (output identical on data
+    # without empty docs, but the plan changed — re-verify).
+    "source_bigram_lm_quality",
+    # r10: sentinel-collision guard folded into the exact-count
+    # aggregate (distinct().count() -> count_distinct + CASE guard).
+    "hll_priority_union",
+    "hll_distinct_orders",
+]
 
 
 def _round_of(path: str) -> int | None:
