@@ -560,50 +560,56 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     *,
-    max_iters: int = 20,
+    max_iters: int = 25,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
-    components of the pair graph via min-label propagation — the step
-    between candidate pairs and survivor selection that a real dedup
-    pipeline needs (A~B and B~C must collapse to one group even when A~C
-    was never emitted).
+    components of the pair graph — the step between candidate pairs and
+    survivor selection that a real dedup pipeline needs (A~B and B~C
+    must collapse to one group even when A~C was never emitted).
 
-    Each round every node takes the minimum label among itself and its
-    neighbors (one edge-side join + groupBy-min + one label join — three
-    shuffles over the EDGE set, never the corpus); convergence is reached
-    after O(component diameter) rounds, and near-dup components are
-    near-cliques with tiny diameters, so 2-5 rounds is typical. For
-    galaxy-scale graphs swap in the large-star/small-star formulation
-    (same DataFrame ops, better worst-case rounds); the contract and
-    output stay identical. Deterministic: labels are ids, min is min.
+    Kernel: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — a
+    public algorithm). Each round rewrites the edge set itself instead
+    of propagating labels one hop:
 
-    Two runtime adaptations keep the per-round cost proportional to the
-    GRAPH, not the session defaults:
+    - *large-star*, per node u with neighborhood Γ(u): connect every
+      strictly LARGER neighbor to m = min(Γ(u) ∪ {u}) — one
+      symmetrize + map-side-combinable min aggregate + one join.
+    - *small-star*, per node u over its smaller neighbors S(u): point
+      u and all of S(u) at min(S(u)) — same shape, no symmetrize.
 
-    - The loop's frames are repartitioned to a width sized from the
-      materialized edge count (the count is control-plane: the edges are
-      already checkpointed). A 300-edge graph iterates in 1-partition
-      jobs instead of 32-task rounds; a billion-edge graph still fans
-      out.
-    - The fixpoint test exploits monotonicity: labels only ever
-      decrease, so sum(label) strictly decreases until the fixpoint —
-      one tiny aggregate per round (summed as decimal(38,0), exact for
-      any graph size) instead of a self-join + filter + count, removing
-      a per-round shuffle join.
+    Both steps preserve connectivity and strictly shrink a potential
+    function, converging to min-centered STARS in **O(log² n) rounds
+    worst-case (O(log n) observed)** — vs the min-label loop this
+    replaces, whose round count was O(component diameter): a 100-TB
+    web-ish pair graph with one long chain meant hundreds of
+    materialized full passes. A 65-node path converges in 7 rounds here
+    (incl. the fixpoint-confirming round, pinned by test) where
+    min-label needs 64. Near-dup components are
+    near-cliques, so typical inputs still finish in 2-4 rounds; the win
+    is the WORST case no longer being data-shaped. Skew-safe: hub
+    nodes hit min aggregates (partial-combined), never a collect.
 
-    Each round's result is materialized with ``materialize()`` (reliable
-    checkpointing off-local) — the mandatory move for iterative
-    DataFrame algorithms: persist() caches
-    the physical data but the LOGICAL plan still nests every prior round,
-    and analyzer/optimizer time grows superlinearly in that depth
-    (measured: 2.6 s → 317 s per round by iteration 5 on a 292-edge
-    graph; checkpointed, every round is flat).
+    Runtime adaptations shared with the old kernel: the loop's frames
+    are repartitioned to a width sized from the materialized edge count
+    (control-plane — the edges are already checkpointed), and each
+    round's edge set is ``materialize()``d — persist() would cache data
+    but nest every prior round's LOGICAL plan, with analyzer time
+    superlinear in that depth (measured: 2.6 s → 317 s per round by
+    iteration 5 on a 292-edge graph; checkpointed, every round is
+    flat). Convergence is an EXACT edge-set fixpoint test (new ⊆ old
+    via exceptAll-limit-1 plus equal distinct counts ⇒ equal sets —
+    at the fixpoint the star set is invariant under both steps), and a
+    non-converged exit now RAISES instead of silently returning
+    partial labels (the old kernel's quiet failure mode on
+    long-diameter graphs).
 
-    Returns (node, component) — component = the minimum id in the node's
-    component; only nodes that appear in an edge are labeled."""
-    # Materialize the edge list BEFORE symmetrizing: the union's two
-    # branches would otherwise each evaluate the caller's (possibly
-    # expensive) pair-generation lineage.
+    Returns (node, component) — component = the minimum id in the
+    node's component; only nodes that appear in an edge are labeled
+    (self-loop-only nodes label themselves)."""
+    # Materialize the edge list BEFORE deriving anything: the canonical
+    # projection and the node universe would otherwise each re-evaluate
+    # the caller's (possibly expensive) pair-generation lineage.
     edges_ck = materialize(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
@@ -612,44 +618,90 @@ def connected_components(
     # materialized, and every subsequent round pays per-task scheduling
     # on exactly this width.
     n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
-    sym = materialize(
-        edges_ck.unionByName(
-            edges_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(n_parts, "dst")
-    )
-    labels = materialize(
-        sym.select(F.col("src").alias("node"))
+    # Node universe, for singleton parity (a self-loop-only node must
+    # still label itself — the min-label kernel did so implicitly).
+    nodes = materialize(
+        edges_ck.select(F.col("src").alias("node"))
+        .unionByName(edges_ck.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .repartition(n_parts, "node")
     )
-    prev_sum = None
+    # Canonical directed larger→smaller edges, self-loops dropped.
+    e = materialize(
+        edges_ck.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(n_parts, "u")
+    )
+    e_count = e.count()
+    converged = e_count == 0
+    rounds = 0
     for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = materialize(
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                labels["node"].alias("node"),
-                F.least(
-                    labels["label"],
-                    F.coalesce(F.col("nbr_label"), labels["label"]),
-                ).alias("label"),
-            )
-        )
-        # Monotone fixpoint: labels never increase, so the (exact,
-        # overflow-free) label sum is strictly decreasing until converged.
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels = new_labels
-        if label_sum == prev_sum:
+        if converged:
             break
-        prev_sum = label_sum
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+        rounds += 1
+        # LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for every
+        # neighbor v > u. Each canonical edge (u,v) is seen from both
+        # endpoints but emits exactly once (from the smaller side), so
+        # the edge count never grows.
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(m_large, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .repartition(n_parts, "u")
+        )
+        # SMALL-STAR over the larger→smaller edges: point u and all its
+        # smaller neighbors at the minimum of those neighbors.
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = materialize(
+            large.join(m_small, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                m_small.select(F.col("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+            .repartition(n_parts, "u")
+        )
+        # Exact fixpoint test: both sets are distinct, so new ⊆ old
+        # (exceptAll finds no witness) with equal counts ⇒ equal sets.
+        new_count = new_e.count()
+        if new_count == e_count:
+            converged = new_e.exceptAll(e).limit(1).count() == 0
+        e, e_count = new_e, new_count
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "large-star/small-star rounds — raise max_iters "
+            "(O(log² n) rounds suffice for any n this side of 2^40)"
+        )
+    # Test instrumentation only: rounds taken by the last invocation
+    # (the path-graph round-count bound is pinned by test against it).
+    connected_components.last_rounds = rounds
+    # Fixpoint is a set of min-centered stars: leaves are the u side;
+    # every NON-leaf node (star center or self-loop-only singleton)
+    # labels itself, so one left join against the leaves covers the
+    # whole universe. Materialized so callers see a flat scan (the
+    # registry plan audit budgets the post-loop plan).
+    leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return materialize(
+        nodes.join(leaves, "node", "left").select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
 
 
 def exact_survivors(

@@ -791,3 +791,58 @@ def test_bigram_lm_quality_tolerates_empty_documents(spark, tmp_path):
     }
     assert "s1" not in rows  # no bigrams at all from empty/whitespace
     assert rows["s2"]["n_bigrams"] == 2
+
+
+def test_connected_components_path_graph_logarithmic_rounds(spark):
+    """A 65-node path is the adversarial input for the old min-label
+    kernel (O(diameter) = 64 rounds, silently truncated at 20); the
+    large-star/small-star kernel must converge in O(log n) rounds and
+    label every node with the path minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+    assert dd.connected_components.last_rounds <= 7
+
+
+def test_connected_components_random_graph_matches_dsu_reference(spark):
+    """Deterministic pseudo-random graph vs a pure-Python union-find."""
+    import hashlib
+
+    n, m = 200, 150
+    pairs = []
+    for i in range(m):
+        h = hashlib.md5(f"cc-{i}".encode()).hexdigest()
+        pairs.append((int(h[:8], 16) % n, int(h[8:16], 16) % n))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in pairs:
+        touched.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in sorted(touched)}
+    # union-find roots are not necessarily component minima; normalize
+    comp_min = {}
+    for x, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expect = {x: comp_min[r] for x, r in expect.items()}
+
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == expect
