@@ -24,6 +24,9 @@ GATE_WINDOW_INPUTS = {
 
 GATE_WINDOW = [
     "bpe_learned_merges",  # never
+    "customer_order_count_distribution",  # never
+    "suppliers_kept_order_waiting",  # never
+    "inactive_rich_customers_by_nation",  # never
     "hll_distinct_orders",  # r9
     "hll_priority_union",  # r9
     "source_bigram_lm_quality",  # r9

@@ -719,3 +719,239 @@ def order_priority_delayed_counts(
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — the outer-join count distribution: how many
+    customers placed exactly N (non-urgent) orders, INCLUDING the
+    zero-order customers only an outer join can see (the corpus has no
+    o_comment, so the priority filter stands in for Q13's comment
+    exclusion).
+
+    Plan note (outer-join skew): the textbook formulation left-joins
+    customer to the raw orders fact and aggregates twice, so a hot
+    customer fans its join row count to its order count. Here orders
+    pre-aggregate to one (custkey, cnt) row FIRST — the join input is
+    bounded by |customer| regardless of order skew, the exclusion
+    filter is pushed below the aggregate, and the left join then maps
+    missing customers to cnt 0. The second aggregate (count-of-counts)
+    groups on c_count whose cardinality is tiny, AFTER the data has
+    already collapsed to one row per customer — not a skew hazard."""
+    customer = load(spark, "customer", sf_dir).select("c_custkey")
+    orders = load(spark, "orders", sf_dir)
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        customer.join(per_cust, "c_custkey", "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "suppliers_kept_order_waiting",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    qual AS (
+        SELECT l1.l_orderkey, l1.l_suppkey
+        FROM late l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+    )
+    SELECT s.s_name AS supplier, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM qual q
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, supplier
+    LIMIT 25
+    """,
+)
+def suppliers_kept_order_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 shape — the dual correlated-semijoin chain: suppliers
+    who were the SOLE late shipper on a finished multi-supplier order
+    (the corpus has no commit/receipt dates, so "late" = shipped >90
+    days after the order date, the same stand-in the Q4 analog uses;
+    counted once per (order, supplier) so the metric is
+    orders-kept-waiting, not lines).
+
+    Plan notes: EXISTS compiles to LEFT SEMI and NOT EXISTS to LEFT
+    ANTI, both hash joins keyed on l_orderkey with the supplier
+    inequality as a residual condition — the two probes share the same
+    shuffle key as the late-set build, so AQE coalesces the chain into
+    co-partitioned stages with no extra exchange. The late set is
+    DISTINCT (order, supplier) pairs — bounded by the fact's key space,
+    built once and reused for both the probe side and the anti side.
+    supplier and nation are broadcast dims; the final top-25 is a
+    TakeOrderedAndProject over a |suppliers|-row aggregate, ordered
+    totally (numwait desc, unique supplier name asc)."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    orders = load(spark, "orders", sf_dir)
+    supplier = load(spark, "supplier", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        load(spark, "lineitem", sf_dir)
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = li.alias("l2")
+    l3 = late.alias("l3")
+    qual = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "leftsemi",
+        )
+        .alias("l1")
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "leftanti",
+        )
+    )
+    agg = (
+        qual.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("s_name").alias("supplier"), F.col("n_name").alias("nation")
+        )
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return topk(agg, [F.desc("numwait"), F.asc("supplier")], 25)
+
+
+@register(
+    "inactive_rich_customers_by_nation",
+    oracle="""
+    WITH sub AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+        FROM customer WHERE c_nationkey % 5 IN (0, 2)
+    ),
+    stats AS (
+        SELECT CAST(sum(bal_e2) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sub WHERE bal_e2 > 0
+    ),
+    cand AS (
+        SELECT c_custkey, c_nationkey, bal_e2
+        FROM sub CROSS JOIN stats
+        WHERE bal_e2 * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = sub.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '2000-06-01 00:00:00')
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_e2) AS BIGINT) AS totacctbal_e2
+    FROM cand JOIN nation n ON cand.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def inactive_rich_customers_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — scalar-avg subquery + anti-join: customers in a
+    nation subset (the stand-in for Q22's phone country codes) with an
+    above-average positive balance and NO order since mid-2000 (every
+    customer in this corpus has SOME order, so Q22's never-ordered
+    predicate becomes gone-inactive — same anti-join, non-empty answer),
+    rolled up per nation.
+
+    Plan notes: the scalar subquery is a 1-row (sum, count) aggregate
+    broadcast-cross-joined to the filtered customers — Spark never
+    re-executes it per row — and the above-average test is the exact
+    integer cross-multiplication ``bal_e2 · n > s`` (no float average,
+    no cross-engine summation-order hazard). NOT EXISTS is a LEFT ANTI
+    join against orders pre-filtered to the recent window — the filter
+    is pushed into the parquet scan, so the anti build side shrinks
+    from |orders| to the recent slice before any shuffle. nation is a
+    broadcast dim; output is |nation-subset| rows."""
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    sub = customer.filter((F.col("c_nationkey") % 5).isin(0, 2)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+    )
+    stats = sub.filter(F.col("bal_e2") > 0).agg(
+        F.sum("bal_e2").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    cand = (
+        sub.join(F.broadcast(stats))
+        .filter(F.col("bal_e2") * F.col("n") > F.col("s"))
+        .join(recent, "c_custkey", "leftanti")
+    )
+    return (
+        cand.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_e2").alias("totacctbal_e2"),
+        )
+        .orderBy("nation")
+    )

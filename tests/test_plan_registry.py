@@ -290,6 +290,16 @@ SHUFFLE_BUDGET = {
     "doc_bpe_encoding": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
+    # Q13 shape: orders pre-aggregate + left join to customer + the
+    # count-of-counts aggregate; presentation sort folds into the tiny
+    # final agg's exchange
+    "customer_order_count_distribution": 3,
+    # Q21 shape: late-set build join + distinct, semi + anti probes on
+    # the shared orderkey shuffle, supplier/nation broadcast, top-25
+    "suppliers_kept_order_waiting": 5,
+    # Q22 shape: 1-row scalar-stats exchange + nation rollup + sort;
+    # the anti side broadcasts at test scale (shuffles at corpus scale)
+    "inactive_rich_customers_by_nation": 3,
     # per-user lead window + rollup reusing its partitioning + sort
     "user_value_twap": 2,
     "order_week_shipments": 3,
@@ -348,6 +358,10 @@ NLJ_WHITELIST = {
     # the 1-row basket-count aggregate attaches to the frequent-pair
     # scores as a broadcast scalar (the tfidf contract)
     "part_association_rules": 1,
+    # Q22's scalar-avg subquery: the 1-row (sum, count) aggregate
+    # attaches to the filtered customers as an IdentityBroadcastMode
+    # NLJ carrying the integer cross-multiplication predicate
+    "inactive_rich_customers_by_nation": 1,
 }
 
 
