@@ -268,3 +268,73 @@ class TestZorderedLayout:
         eligible = [r for r in y_ranges if r[0] <= 41 <= r[1]]
         # every file spans the whole y domain
         assert len(eligible) == len(y_ranges) > 1
+
+
+class TestZorderModelVsFooters:
+    """The r9 verdict's remaining layout ask: the arithmetic skipping
+    MODEL (operators/zorder.py layout_skipping_stats, which the
+    lineitem_zorder_skipping query gates) verified against the REAL
+    parquet footers of a write_zordered_parquet output — layout claims
+    stop being model-only."""
+
+    def test_predicted_skipping_equals_footer_derived(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from financial_data_engineering_spark.operators.zorder import (
+            Z_BITS,
+            Z_FILE_SHIFT,
+            cell_histogram,
+            layout_skipping_stats,
+            morton_interleave,
+        )
+        from financial_data_engineering_spark.transform.clustered import (
+            write_zordered_parquet,
+        )
+
+        # 16x16 grid with 4 rows per cell and x,y in [0, 2^Z_BITS):
+        # the bucketizer is the identity, so the model's uniform
+        # cell->file assignment is exactly realizable by the writer.
+        side = 1 << Z_BITS
+        grid = spark.range(0, side * side * 4).select(
+            (F.col("id") % side).alias("x"),
+            ((F.col("id") / side).cast("long") % side).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        n_files = 1 << (2 * Z_BITS - Z_FILE_SHIFT)
+        cells = cell_histogram(grid, F.col("x"), F.col("y"))
+        model = {
+            r["dim"]: (r["n_files"], r["files_scanned"], r["rows_scanned"])
+            for r in layout_skipping_stats(
+                cells,
+                "zorder",
+                morton_interleave(F.col("bx"), F.col("by"), Z_BITS),
+                Z_FILE_SHIFT,
+            ).collect()
+        }
+
+        out = str(tmp_path / "zordered")
+        write_zordered_parquet(
+            grid, out, "x", "y", bits=Z_BITS, num_files=n_files
+        )
+        for col_index, dim in ((0, "bx"), (1, "by")):
+            nf, spans, rows_scanned = 0, 0, 0
+            for f in glob.glob(f"{out}/*.parquet"):
+                meta = pq.ParquetFile(f).metadata
+                if meta.num_rows == 0:
+                    continue
+                nf += 1
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(col_index).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                span = max(maxs) - min(mins) + 1
+                spans += span
+                rows_scanned += meta.num_rows * span
+            # model == reality, exactly: same file count, same total
+            # file opens over all slice queries, same rows read
+            assert (nf, spans, rows_scanned) == model[dim]
