@@ -29,8 +29,39 @@ from financial_data_engineering_spark.operators.graph import (
     pagerank_integer,
     triangle_participation,
 )
+from financial_data_engineering_spark.llm.caching import persist_tracked
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
+
+#: Session-scoped shared co-purchase edge frames, keyed by
+#: (applicationId, sf_dir). All five graph-family queries consume the
+#: SAME (src, dst, w) frame; rebuilt per query it costs ~2 s at sf0.1
+#: (basket self-join + aggregate) times five. Entries persist through
+#: the caching.py contract, so ``release_intermediates()`` (which
+#: bench.py already calls after every measured query, keeping per-query
+#: timings independent) releases the blocks; a released entry is
+#: detected via its cleared storage level and rebuilt on next use.
+#: Library sessions running the family back-to-back WITHOUT releasing
+#: pay the build once (suite delta measured in reports/bench/NOTES.md).
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (src, dst, w) co-purchase edge frame for ``sf_dir``, shared
+    across the graph family within one session. Testdata is immutable
+    within a session, so (appId, sf_dir) fully determines the frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None and (
+        cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    ):
+        return cached
+    li = load(spark, "lineitem", sf_dir)
+    edges = persist_tracked(
+        copurchase_edges(li, "l_orderkey", "l_partkey")
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 def _pagerank_oracle(rounds: int = PR_ROUNDS) -> str:
@@ -95,7 +126,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributed — the engine-exact variant a value-hash gate can pin.
     """
     li = load(spark, "lineitem", sf_dir)
-    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    edges = shared_copurchase_edges(spark, sf_dir)
     nodes = li.select(F.col("l_partkey").alias("node"))
     ranks = pagerank_integer(nodes, edges)
     return ranks.select(
@@ -154,8 +185,7 @@ def part_copurchase_cheapest_path(
     under any shuffle order; the oracle unrolls the identical rounds
     into chained CTEs generated from the same constants (drift-proof).
     """
-    li = load(spark, "lineitem", sf_dir)
-    edges = copurchase_edges(li, "l_orderkey", "l_partkey").select(
+    edges = shared_copurchase_edges(spark, sf_dir).select(
         "src",
         "dst",
         F.expr(f"CAST({BF_COST_SCALE} div w AS LONG)").alias("c"),
@@ -204,8 +234,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive node-ordered a<b<c definition: the count is
     orientation-invariant, so the gate verifies the scale-optimal
     strategy against the textbook one instead of against itself."""
-    li = load(spark, "lineitem", sf_dir)
-    edges = copurchase_edges(li, "l_orderkey", "l_partkey").select(
+    edges = shared_copurchase_edges(spark, sf_dir).select(
         "src", "dst"
     )
     return (
@@ -275,7 +304,7 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank window."""
     li = load(spark, "lineitem", sf_dir)
     pairs = (
-        copurchase_edges(li, "l_orderkey", "l_partkey")
+        shared_copurchase_edges(spark, sf_dir)
         .filter(F.col("w") >= AR_MIN_SUPPORT)
         .select(
             F.col("src").alias("ante"),
@@ -393,7 +422,7 @@ def part_copurchase_communities(
     one argmax window partitioned by the high-cardinality node key
     (operators/graph.py label_propagation)."""
     li = load(spark, "lineitem", sf_dir)
-    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    edges = shared_copurchase_edges(spark, sf_dir)
     nodes = li.select(F.col("l_partkey").alias("node"))
     return (
         label_propagation(nodes, edges)

@@ -332,3 +332,27 @@ def test_labelprop_random_graph_matches_reference(spark):
     )
     edges = [(s, d, rng.randrange(1, 5)) for s, d in pairs if s != d]
     _run_labelprop(spark, list(range(1, 25)), edges)
+
+
+def test_shared_copurchase_edges_reuses_and_rebuilds_after_release(spark):
+    """The session-scoped edge frame is one object until released
+    through the caching.py contract, after which it rebuilds (a
+    released entry must never be served unpersisted)."""
+    from financial_data_engineering_spark.llm.caching import (
+        release_intermediates,
+    )
+    from financial_data_engineering_spark.queries.graph import (
+        shared_copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = shared_copurchase_edges(spark, sf)
+    b = shared_copurchase_edges(spark, sf)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    release_intermediates()
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    c = shared_copurchase_edges(spark, sf)
+    assert c is not a
+    assert c.storageLevel.useMemory or c.storageLevel.useDisk
+    release_intermediates()
