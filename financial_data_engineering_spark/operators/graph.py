@@ -104,12 +104,19 @@ def pagerank_integer(
     # parallelism, scale up only past ~1M edge triples per partition
     # (an edge row is three longs — the old 50k-row target made 480
     # partitions of ~1 MB at sf1, and 6 rounds of sub-second tasks were
-    # pure scheduler overhead; measured 44.5 -> ~33 s at sf1). At
-    # 10^12 edges the same formula reaches the 4096 cap.
+    # pure scheduler overhead; measured 44.5 -> ~33 s at sf1). The cap
+    # scales with the session's parallelism (128x shuffle.partitions,
+    # never below 4096): a fixed 4096 at the docstring's 10^12-edge
+    # example would mean ~244M rows (~6 GB) per partition per round,
+    # but a cluster sized for that graph configures
+    # spark.sql.shuffle.partitions in the thousands, lifting the cap
+    # proportionally; AQE's runtime coalescing/splitting remains the
+    # backstop for whatever the static formula still gets wrong.
     base_parts = int(
         edges_ck.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    n_parts = max(base_parts, min(4096, edges_ck.count() // 1_000_000 + 1))
+    cap = max(4096, 128 * base_parts)
+    n_parts = max(base_parts, min(cap, edges_ck.count() // 1_000_000 + 1))
     outw = edges_ck.groupBy("src").agg(F.sum("w").alias("ow"))
     e = materialize(
         edges_ck.join(outw, "src").repartition(n_parts, "dst")
