@@ -27,6 +27,8 @@ GATE_WINDOW = [
     "customer_order_count_distribution",  # never
     "suppliers_kept_order_waiting",  # never
     "inactive_rich_customers_by_nation",  # never
+    "part_value_concentration",  # never
+    "top_quarter_supplier",  # never
     "hll_distinct_orders",  # r9
     "hll_priority_union",  # r9
     "source_bigram_lm_quality",  # r9

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from financial_data_engineering_spark.operators import topk
 from financial_data_engineering_spark.operators.cdc import apply_changelog
+from financial_data_engineering_spark.partitioning import materialize
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
@@ -954,4 +955,126 @@ def inactive_rich_customers_by_nation(
             F.sum("bal_e2").alias("totacctbal_e2"),
         )
         .orderBy("nation")
+    )
+
+
+@register(
+    "part_value_concentration",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS value_e2
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM per_part
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey, value_e2
+    FROM per_part CROSS JOIN tot
+    WHERE value_e2 * n_parts * 2 > total_e2 * 3
+    ORDER BY value_e2 DESC, partkey
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — the share-of-total HAVING: parts whose total
+    lineitem value exceeds 1.5x the per-part average (Q11's
+    fraction-of-global-stock threshold, as the exact integer
+    cross-multiplication ``v·n·2 > total·3`` — no float division on
+    either engine).
+
+    Plan notes: ONE aggregation produces the per-part values; the
+    global (total, count) is a second aggregate OVER THAT RESULT — a
+    |parts|-row frame, not a second fact scan — attached back as a
+    1-row broadcast. At 100 TB the fact is read once, and Q11's
+    classic trap (recomputing the global sum per group via a
+    correlated subquery) never appears in the plan."""
+    li = load(spark, "lineitem", sf_dir)
+    per_part = materialize(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("value_e2")
+        )
+    )
+    tot = per_part.agg(
+        F.sum("value_e2").alias("total_e2"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(
+            F.col("value_e2") * F.col("n_parts") * 2
+            > F.col("total_e2") * 3
+        )
+        .select(F.col("l_partkey").alias("partkey"), "value_e2")
+        .orderBy(F.desc("value_e2"), "partkey")
+    )
+
+
+@register(
+    "top_quarter_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                   AS revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT CAST(max(revenue_e4) AS BIGINT) AS max_rev FROM rev)
+    SELECT s.s_name AS supplier, r.revenue_e4
+    FROM rev r
+    CROSS JOIN mx
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.revenue_e4 = max_rev
+    ORDER BY supplier
+    """,
+)
+def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — max-over-aggregate-view: the supplier(s) whose
+    1996-Q1 revenue equals the quarter's maximum (ALL ties emitted, the
+    Q15 contract a bare top-1 limit would violate).
+
+    Plan notes: per-row revenue quantizes to an e4 integer BEFORE the
+    per-supplier sum (exact under any shuffle order — the tfidf
+    lesson), the 1-row max is an aggregate over the |suppliers|-row
+    view joined back as a broadcast (never a global window over the
+    fact), the date filter pushes to the parquet scan, and supplier is
+    a broadcast dim. The view frame is materialized because both the
+    max and the equality filter consume it."""
+    li = load(spark, "lineitem", sf_dir)
+    supplier = load(spark, "supplier", sf_dir)
+    rev = materialize(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4")
+        )
+    )
+    mx = rev.agg(F.max("revenue_e4").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("revenue_e4") == F.col("max_rev"))
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(F.col("s_name").alias("supplier"), "revenue_e4")
+        .orderBy("supplier")
     )

@@ -300,6 +300,12 @@ SHUFFLE_BUDGET = {
     # Q22 shape: 1-row scalar-stats exchange + nation rollup + sort;
     # the anti side broadcasts at test scale (shuffles at corpus scale)
     "inactive_rich_customers_by_nation": 3,
+    # Q11 shape: post-loop plan over the materialized per-part view —
+    # 1-row total exchange + presentation sort
+    "part_value_concentration": 2,
+    # Q15 shape: post-loop plan over the materialized revenue view —
+    # 1-row max exchange + presentation sort
+    "top_quarter_supplier": 2,
     # per-user lead window + rollup reusing its partitioning + sort
     "user_value_twap": 2,
     "order_week_shipments": 3,
@@ -362,6 +368,11 @@ NLJ_WHITELIST = {
     # attaches to the filtered customers as an IdentityBroadcastMode
     # NLJ carrying the integer cross-multiplication predicate
     "inactive_rich_customers_by_nation": 1,
+    # Q11's 1-row (total, count) broadcast against the per-part view
+    # (inequality predicate keeps it an IdentityBroadcastMode NLJ;
+    # Q15's max attaches as an EQUI-condition, so Catalyst plans it as
+    # a BroadcastHashJoin on revenue_e4 = max_rev — no NLJ entry)
+    "part_value_concentration": 1,
 }
 
 
