@@ -93,3 +93,40 @@ def apply_changelog(
             for p in payload
         ],
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    order: Sequence[str],
+    *,
+    payload: Sequence[str] = (),
+    version_alias: str = "version",
+    valid_from_alias: str = "valid_from",
+    valid_to_alias: str = "valid_to",
+    current_alias: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a changelog: one
+    row per (key, change) carrying the payload AT that version,
+    half-open validity ``[valid_from, valid_to)`` (``valid_to`` NULL on
+    the current version), a 1-based ``version`` number, and an
+    ``is_current`` flag — the dimension shape a point-in-time (as-of)
+    fact join consumes (operators/asof.py), and the history the
+    last-writer-wins merge (``apply_changelog``) deliberately discards.
+
+    ``order`` must be a total order per key (the apply_changelog
+    contract); its FIRST column is the change timestamp that becomes
+    the validity boundary. One window partitioned by the KEY — key
+    cardinality scales with the data, so parallelism does too (no
+    low-card hazard); no joins, no second pass.
+    """
+    ts = order[0]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    return changes.select(
+        key,
+        *payload,
+        F.row_number().over(w).alias(version_alias),
+        F.col(ts).alias(valid_from_alias),
+        F.lead(ts).over(w).alias(valid_to_alias),
+        F.lead(ts).over(w).isNull().alias(current_alias),
+    )

@@ -29,6 +29,7 @@ GATE_WINDOW = [
     "inactive_rich_customers_by_nation",  # never
     "part_value_concentration",  # never
     "top_quarter_supplier",  # never
+    "customer_scd2_history",  # never
     "hll_distinct_orders",  # r9
     "hll_priority_union",  # r9
     "source_bigram_lm_quality",  # r9

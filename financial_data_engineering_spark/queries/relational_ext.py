@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_data_engineering_spark.operators import topk
-from financial_data_engineering_spark.operators.cdc import apply_changelog
+from financial_data_engineering_spark.operators.cdc import (
+    apply_changelog,
+    scd2_intervals,
+)
 from financial_data_engineering_spark.partitioning import materialize
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
@@ -1078,3 +1081,51 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("supplier"), "revenue_e4")
         .orderBy("supplier")
     )
+
+
+@register(
+    "customer_scd2_history",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_e2,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM orders
+    ORDER BY custkey, version
+    """,
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (J-family extension): the
+    order stream as a per-customer version history — each order opens a
+    new version carrying its total, valid over the half-open
+    [valid_from, valid_to) interval, NULL-terminated on the current
+    version. This is the dimension table a point-in-time fact join
+    (operators/asof.py) consumes, and the history that the
+    last-writer-wins CDC merge (customer_cdc_merge) deliberately
+    discards — together they are the two halves of warehouse change
+    tracking.
+
+    Plan: ONE window partitioned by custkey (cardinality scales with
+    the data — no low-card hazard, no join, no second pass; row_number
+    and both lead() calls share the single sort). The presentation sort
+    reuses nothing downstream; at 100 TB the unsorted frame IS the
+    dimension you'd write, clustered by (custkey, valid_from) for the
+    as-of join's range locality."""
+    orders = load(spark, "orders", sf_dir)
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_e2"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return scd2_intervals(
+        changes,
+        "custkey",
+        ["o_orderdate", "o_orderkey"],
+        payload=["total_e2"],
+    ).orderBy("custkey", "version")

@@ -4,6 +4,8 @@ operator's contract corners directly."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from financial_data_engineering_spark.operators.cdc import apply_changelog
 
 
@@ -75,3 +77,36 @@ def test_merge_plan_windows_only_the_changelog(spark):
     # pushdown over the same frame, not a second window)
     assert plan.count("Window [") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_intervals_versions_and_validity(spark):
+    """Versions number 1..n per key in order; valid_to chains to the
+    next version's valid_from (half-open, no gaps/overlaps); only the
+    last version is current; payload rides each version unchanged."""
+    from financial_data_engineering_spark.operators.cdc import (
+        scd2_intervals,
+    )
+
+    chg = spark.createDataFrame(
+        [
+            (1, 10, "2020-01-01", 100),
+            (1, 20, "2020-03-01", 101),
+            (1, 15, "2020-02-01", 102),
+            (2, 99, "2020-06-01", 103),
+        ],
+        "k long, val long, ts string, seq long",
+    ).select("k", "val", F.to_timestamp("ts").alias("ts"), "seq")
+    rows = sorted(
+        scd2_intervals(chg, "k", ["ts", "seq"], payload=["val"]).collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [r["version"] for r in k1] == [1, 2, 3]
+    assert [r["val"] for r in k1] == [10, 15, 20]  # ts order, not input
+    # half-open chain: each valid_to is the next valid_from
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert k1[2]["valid_to"] is None
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    (k2,) = [r for r in rows if r["k"] == 2]
+    assert (k2["version"], k2["is_current"]) == (1, True)

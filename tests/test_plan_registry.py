@@ -306,6 +306,9 @@ SHUFFLE_BUDGET = {
     # Q15 shape: post-loop plan over the materialized revenue view —
     # 1-row max exchange + presentation sort
     "top_quarter_supplier": 2,
+    # SCD2 build: ONE custkey window (row_number + both leads share the
+    # sort) + presentation sort
+    "customer_scd2_history": 2,
     # per-user lead window + rollup reusing its partitioning + sort
     "user_value_twap": 2,
     "order_week_shipments": 3,
