@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from financial_data_engineering_spark import queries as q
 from financial_data_engineering_spark.llm.caching import release_intermediates
+from financial_data_engineering_spark.queries.graph import release_shared_edges
 from financial_data_engineering_spark.session import get_spark
 
 HEADLINE = [
@@ -114,6 +115,9 @@ def main() -> None:
             # contributor to late-run slowdown in the r6 driver pass),
             # then clear whatever else was cached.
             release_intermediates()
+            # the graph family's session-shared edge frame must not
+            # leak across measurement boundaries either
+            release_shared_edges()
             spark.catalog.clearCache()
         return round(time.perf_counter() - start, 3)
 

@@ -29,20 +29,27 @@ from financial_data_engineering_spark.operators.graph import (
     pagerank_integer,
     triangle_participation,
 )
-from financial_data_engineering_spark.llm.caching import persist_tracked
+from financial_data_engineering_spark.partitioning import materialize
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
 
 #: Session-scoped shared co-purchase edge frames, keyed by
 #: (applicationId, sf_dir). All five graph-family queries consume the
 #: SAME (src, dst, w) frame; rebuilt per query it costs ~2 s at sf0.1
-#: (basket self-join + aggregate) times five. Entries persist through
-#: the caching.py contract, so ``release_intermediates()`` (which
-#: bench.py already calls after every measured query, keeping per-query
-#: timings independent) releases the blocks; a released entry is
-#: detected via its cleared storage level and rebuilt on next use.
-#: Library sessions running the family back-to-back WITHOUT releasing
-#: pay the build once (suite delta measured in reports/bench/NOTES.md).
+#: (basket self-join + aggregate) times five. Entries are
+#: ``materialize()``d, NOT persist()ed — measured at sf0.1, label
+#: propagation over a pre-checkpointed frame runs 3.7 s vs 8.5 s over
+#: a persisted one (an InMemoryRelation scan re-enters the iterative
+#: operators' own localCheckpoint much slower than a flat scan), and
+#: the downstream operators' internal materialize-of-a-checkpoint is a
+#: ~0.3 s block copy instead of a full recompute. bench.py calls
+#: ``release_shared_edges()`` after every measured query so per-query
+#: timings stay independent; library sessions running the family
+#: back-to-back without releasing pay the build once (suite delta in
+#: reports/bench/NOTES.md). Dropping the dict reference is the
+#: release: the ContextCleaner reclaims the checkpoint blocks once the
+#: JVM-side reference is garbage-collected, and entries are bounded at
+#: one ~60 MB frame per (session, sf_dir).
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -52,16 +59,21 @@ def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a session, so (appId, sf_dir) fully determines the frame."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EDGE_CACHE.get(key)
-    if cached is not None and (
-        cached.storageLevel.useMemory or cached.storageLevel.useDisk
-    ):
+    if cached is not None:
         return cached
     li = load(spark, "lineitem", sf_dir)
-    edges = persist_tracked(
-        copurchase_edges(li, "l_orderkey", "l_partkey")
-    )
+    edges = materialize(copurchase_edges(li, "l_orderkey", "l_partkey"))
     _EDGE_CACHE[key] = edges
     return edges
+
+
+def release_shared_edges() -> int:
+    """Drop every shared edge frame; returns how many were dropped.
+    bench.py calls this per measured query (timing independence); the
+    checkpoint blocks free once the dropped references are GC'd."""
+    n = len(_EDGE_CACHE)
+    _EDGE_CACHE.clear()
+    return n
 
 
 def _pagerank_oracle(rounds: int = PR_ROUNDS) -> str:

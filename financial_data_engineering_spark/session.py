@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan the output partitioning of CACHED frames too:
+        # without this, a persist() pins its plan's static shuffle width
+        # (32 here) even when AQE would coalesce it — measured on the
+        # co-purchase edge frame: 32 fixed partitions instead of 16
+        # AQE-coalesced, so every persist_tracked consumer (dedup
+        # inverted indexes, banded signatures, ANN projections)
+        # inherits the static width and pays sub-second-task scheduler
+        # overhead downstream.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g, not "all the RAM": in local mode executor work shares the
