@@ -31,6 +31,7 @@ from financial_data_engineering_spark.queries import relational_ext  # noqa: E40
 from financial_data_engineering_spark.queries import similarity  # noqa: E402,F401
 from financial_data_engineering_spark.queries import sketch  # noqa: E402,F401
 from financial_data_engineering_spark.queries import text  # noqa: E402,F401
+from financial_data_engineering_spark.queries import tpch_shapes  # noqa: E402,F401
 
 #: Driver gate policy: the driver verifies a bounded (~50) window from
 #: the registry head each round, so registry order IS verification
