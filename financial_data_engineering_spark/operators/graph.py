@@ -48,6 +48,11 @@ BF_COST_SCALE = 1_000_000
 #: Label-propagation contract: K synchronous rounds, ties by min label.
 LPA_ROUNDS = 4
 
+#: Bounded k-core peeling contract: degree threshold and round count,
+#: shared with the oracle generator (queries/graph.py).
+KCORE_K = 70
+KCORE_ROUNDS = 4
+
 
 def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Weighted co-occurrence edges: (src, dst, w) where ``w`` counts the
@@ -276,6 +281,55 @@ def label_propagation(
             )
         )
     return labels.select("node", F.col("lbl").alias(label_alias))
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    *,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    degree_alias: str = "core_degree",
+) -> DataFrame:
+    """K rounds of k-core peeling over a SYMMETRIC directed edge list
+    (both directions present, no self-loops): each round drops every
+    node whose degree in the CURRENT surviving subgraph is below ``k``,
+    then restricts the edge set to survivors. After ``rounds`` rounds,
+    returns the surviving nodes with their degree inside the surviving
+    subgraph — the density-tier signal a curation pipeline uses to keep
+    the well-connected cluster and shed the periphery (the exact k-core
+    is this peeling run to fixpoint).
+
+    Why bounded rounds: exact k-core converges in a data-dependent
+    number of rounds (a peeling chain can be O(|V|) long — the same
+    hazard that moved connected components to large-star/small-star).
+    A constant K keeps the round count — and therefore the unrolled SQL
+    oracle — fixed, and each round is a monotone set intersection, so
+    the K-round result is engine-exact with no tiebreaks or floats
+    anywhere: survivors are a pure degree-threshold set.
+
+    Scale shape: per round one groupBy(src) count over the current edge
+    set plus two LEFT SEMI joins (src side, dst side) against the
+    survivor list — cost proportional to the shrinking |E_r|, state is
+    only the edge set itself (no |V|-row table to carry). Rounds
+    materialize through ``materialize()`` so the plan stays flat; the
+    symmetric edge list means out-degree IS undirected degree, so no
+    union-of-directions pass is needed."""
+    e = materialize(edges.select("src", "dst"))
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = materialize(
+            e.join(keep, "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias(degree_alias)
+    )
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:

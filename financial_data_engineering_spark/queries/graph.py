@@ -18,6 +18,8 @@ from pyspark.sql.window import Window
 from financial_data_engineering_spark.operators.graph import (
     BF_COST_SCALE,
     BF_ROUNDS,
+    KCORE_K,
+    KCORE_ROUNDS,
     LPA_ROUNDS,
     PR_D_DEN,
     PR_D_NUM,
@@ -25,6 +27,7 @@ from financial_data_engineering_spark.operators.graph import (
     PR_SCALE,
     cheapest_paths_bounded,
     copurchase_edges,
+    kcore_bounded,
     label_propagation,
     pagerank_integer,
     triangle_participation,
@@ -371,6 +374,67 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conf_e6",
         "lift_e6",
     ).orderBy("rank")
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unroll the K peeling rounds into chained MATERIALIZED CTEs from
+    the SAME constants the Spark operator uses. Each round is a pure
+    degree-threshold set intersection — no floats, no tiebreaks — so
+    the K-round survivor set is engine-exact by construction."""
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,"
+        " l_partkey AS item FROM lineitem)",
+        """e0 AS MATERIALIZED (
+        SELECT a.item AS src, b.item AS dst
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst
+        FROM e{r - 1} e
+        WHERE e.src IN (SELECT src FROM k{r})
+          AND e.dst IN (SELECT src FROM k{r})
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT src AS partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{rounds}
+    GROUP BY src
+    ORDER BY partkey
+    """
+
+
+@register("part_copurchase_kcore", oracle=_kcore_oracle())
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the co-purchase graph: {KCORE_ROUNDS}
+    rounds of dropping every part with fewer than {KCORE_K} surviving
+    co-purchase partners, reporting the survivors with their in-core
+    degree — the density tier a curation/recommendation pipeline keeps
+    when it sheds the long-tail periphery, and the fifth lens of the
+    graph family (importance, density, distance, community, CORE).
+
+    Each round is a monotone set intersection over shrinking edges
+    (operators/graph.py kcore_bounded): one degree aggregate + two
+    LEFT SEMI joins, no |V|-row state, rounds materialized. The oracle
+    unrolls the identical rounds from the same constants; survivor
+    sets are engine-exact because nothing is ordered, floated, or
+    tie-broken."""
+    edges = shared_copurchase_edges(spark, sf_dir)
+    return (
+        kcore_bounded(edges.select("src", "dst"))
+        .select(F.col("node").alias("partkey"), "core_degree")
+        .orderBy("partkey")
+    )
 
 
 def _labelprop_oracle(rounds: int = LPA_ROUNDS) -> str:

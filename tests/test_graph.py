@@ -356,3 +356,77 @@ def test_shared_copurchase_edges_reuses_and_rebuilds_after_release(spark):
     c = shared_copurchase_edges(spark, sf)
     assert c is not a
     release_shared_edges()
+
+
+def _py_kcore(undirected, k, rounds):
+    """Reference replay of bounded peeling on an undirected edge set."""
+    edges = {(a, b) for a, b in undirected} | {
+        (b, a) for a, b in undirected
+    }
+    for _ in range(rounds):
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def _run_kcore(spark, undirected, k, rounds=4):
+    from financial_data_engineering_spark.operators.graph import kcore_bounded
+
+    sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_bounded(edf, k=k, rounds=rounds).collect()
+    }
+    assert got == _py_kcore(undirected, k, rounds)
+    return got
+
+
+def test_kcore_k4_survives_k3_peeling(spark):
+    # K4 is a 3-core: every node keeps degree 3, nothing peels.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _run_kcore(spark, k4, k=3)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_tail_peels_and_cascades(spark):
+    # Triangle with a 2-chain tail: k=2 peels the tail end first, then
+    # the cascade removes the next tail node on the following round —
+    # the multi-round behavior the bounded contract exists to capture.
+    g = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _run_kcore(spark, g, k=2, rounds=1) == {
+        # only node 5 (degree 1) peeled so far; node 4 keeps its spot
+        # this round but its reported in-core degree already drops to 1
+        1: 2, 2: 2, 3: 3, 4: 1,
+    }
+    assert _run_kcore(spark, g, k=2, rounds=2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_bounded_stops_short_of_fixpoint(spark):
+    # A 5-chain under k=2 peels one node per round from each end; at
+    # rounds=1 the interior survives, at rounds=3 everything is gone.
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert set(_run_kcore(spark, chain, k=2, rounds=1)) == {2, 3, 4}
+    assert _run_kcore(spark, chain, k=2, rounds=3) == {}
+
+
+def test_kcore_random_graph_matches_reference(spark):
+    rng = random.Random(23)
+    undirected = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(1, 30), rng.randrange(1, 30))
+                for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    for k in (2, 4, 8):
+        _run_kcore(spark, undirected, k=k)
