@@ -30,6 +30,16 @@ GATE_WINDOW = [
     "part_value_concentration",  # never
     "top_quarter_supplier",  # never
     "customer_scd2_history",  # never
+    "part_copurchase_kcore",  # never
+    "nation_pair_trade_volume",  # never
+    "nation_market_share",  # never
+    "profit_by_nation_year",  # never
+    "returned_item_top_customers",  # never
+    "promo_revenue_share",  # never
+    "supplier_cnt_by_part_attrs",  # never
+    "large_volume_customers",  # never
+    "part_disjunctive_revenue",  # never
+    "qualified_part_suppliers",  # never
     "hll_distinct_orders",  # r9
     "hll_priority_union",  # r9
     "source_bigram_lm_quality",  # r9
