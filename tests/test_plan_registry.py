@@ -309,6 +309,37 @@ SHUFFLE_BUDGET = {
     # SCD2 build: ONE custkey window (row_number + both leads share the
     # sort) + presentation sort
     "customer_scd2_history": 2,
+    # Q7 shape: lineitem<->orders is the one fact-fact exchange; the
+    # pre-filtered nation/supplier/customer chains broadcast; + group
+    # agg (the presentation sort folds into the tiny final exchange)
+    "nation_pair_trade_volume": 2,
+    # Q8 shape: fact-fact exchange + unhinted customer join (AQE
+    # broadcasts it at test scale, sound shuffle at 100 TB) + year agg
+    # + presentation sort
+    "nation_market_share": 4,
+    # Q9 shape: part/supplier/nation broadcast; fact-fact exchange +
+    # (nation, year) agg; sort folds into the final exchange
+    "profit_by_nation_year": 2,
+    # Q10 shape: per-custkey agg rides the orderkey join's exchange;
+    # dims attach post-agg; top-20 is TakeOrderedAndProject
+    "returned_item_top_customers": 1,
+    # Q14 shape: fact-fact exchange + 12-row month agg
+    "promo_revenue_share": 2,
+    # Q16 shape: two-phase distinct aggregate (partial distinct +
+    # count) + presentation sort; anti/part sides broadcast
+    "supplier_cnt_by_part_attrs": 3,
+    # Q18 shape: per-order qty agg + TakeOrderedAndProject over the
+    # ~1% survivors (joins broadcast at test scale via AQE)
+    "large_volume_customers": 1,
+    # Q19 shape: broadcast join + 1-row global agg
+    "part_disjunctive_revenue": 1,
+    # Q20 shape: (suppkey, partkey) threshold agg + distinct; the two
+    # semijoins broadcast
+    "qualified_part_suppliers": 3,
+    # K peeling rounds run against materialized inputs (the pagerank
+    # shape); returned plan is the survivor-degree agg + presentation
+    # sort
+    "part_copurchase_kcore": 2,
     # per-user lead window + rollup reusing its partitioning + sort
     "user_value_twap": 2,
     "order_week_shipments": 3,
