@@ -126,6 +126,11 @@ def main() -> int:
     con.execute(
         f"SET memory_limit='{os.environ.get('FDES_DUCKDB_MEM', '32GB')}'"
     )
+    # DuckDB only creates the LEAF directory of temp_directory — a
+    # missing parent fails the first spill with "IO Error: Failed to
+    # create directory" (the r10 sf10 kcore oracle died on this after a
+    # clean checkout dropped the ignored .tmp/). Create the full path.
+    os.makedirs(".tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory='.tmp/duckdb_spill'")
     for t in TPCH_TABLES:
         con.execute(
