@@ -75,6 +75,16 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
       is possible after block loss) and blocks are 2x-replicated; the
       DAG grows across iterations, which is the documented price of
       not configuring ``spark.checkpoint.dir``.
+
+    Block storage level (conf ``spark.fdes.materialize.storageLevel``,
+    local mode only): unset keeps Spark's localCheckpoint default
+    (deserialized MEMORY_AND_DISK). Set a ``StorageLevel`` name —
+    ``MEMORY_AND_DISK_SER`` / ``DISK_ONLY`` — when the working set of
+    live checkpoint blocks outgrows the heap: the r10 sf10 graph-family
+    run held several ~20 GB deserialized round frames alive at once and
+    OOM-killed a 64 GB driver; DISK_ONLY bounds the heap cost of every
+    round at the price of re-reading blocks from local disk — the same
+    trade a cluster makes when it sizes executor storage memory down.
     """
     spark = df.sparkSession
     mode = spark.conf.get("spark.fdes.materialize.mode", "auto")
@@ -82,7 +92,11 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         master = spark.conf.get("spark.master", "")
         mode = "local" if master.startswith("local") else "reliable"
     if mode == "local":
-        return df.localCheckpoint(eager=eager)
+        level_name = spark.conf.get(
+            "spark.fdes.materialize.storageLevel", ""
+        )
+        level = getattr(StorageLevel, level_name) if level_name else None
+        return df.localCheckpoint(eager=eager, storageLevel=level)
     sc = spark.sparkContext
     try:
         ckpt_dir = sc.getCheckpointDir()

@@ -84,7 +84,7 @@ def test_no_bare_local_checkpoint_on_data_paths():
             if ".localCheckpoint(" in line:
                 offenders.append(f"{py.relative_to(SRC.parent)}:{i}")
     assert offenders == [
-        "financial_data_engineering_spark/partitioning.py:85"
+        "financial_data_engineering_spark/partitioning.py:99"
     ], offenders
 
 

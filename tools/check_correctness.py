@@ -117,6 +117,12 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("correctness-check")
+    # Huge-SF evidence runs: push checkpoint blocks to disk (or a
+    # serialized level) so live round frames don't compete with the
+    # query's own execution memory. See partitioning.materialize.
+    level = os.environ.get("FDES_MATERIALIZE_LEVEL")
+    if level:
+        spark.conf.set("spark.fdes.materialize.storageLevel", level)
 
     con = duckdb.connect()
     # cap the oracle engine so it SPILLS under pressure instead of
