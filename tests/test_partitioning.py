@@ -109,3 +109,35 @@ def test_scratch_dir_conf_override(spark):
         assert p.startswith("/shared/scratch/fdes_test_")
     finally:
         spark.conf.unset("spark.fdes.scratch.dir")
+
+
+def test_materialize_storage_level_conf_round_trips(spark):
+    """The huge-SF knob: a StorageLevel name in the conf must reach the
+    checkpointed blocks (DISK_ONLY bounded the r10 sf10 graph run's
+    heap), values must round-trip exactly, and an unset conf must keep
+    Spark's default behavior."""
+    def _live_levels():
+        # df.storageLevel only reflects persist(); checkpoint blocks
+        # show up as the context's persistent RDDs
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return [
+            str(jmap.get(k).getStorageLevel().description())
+            for k in jmap.keySet().toArray()
+        ]
+
+    df = spark.range(50).withColumn("v", F.col("id") * 3)
+    spark.conf.set("spark.fdes.materialize.storageLevel", "DISK_ONLY")
+    try:
+        out = materialize(df)
+        assert _rows(out) == _rows(df)
+        assert any(
+            "Disk" in d and "Memory" not in d for d in _live_levels()
+        ), _live_levels()
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Range" not in plan  # lineage still cut
+    finally:
+        spark.conf.unset("spark.fdes.materialize.storageLevel")
+    # unset again: Spark's default (memory-backed, deserialized) blocks
+    out2 = materialize(df)
+    assert _rows(out2) == _rows(df)
+    assert any("Memory" in d for d in _live_levels()), _live_levels()
