@@ -20,59 +20,10 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r07.json": "7e81c5463a3be4ca",
     "CORRECTNESS_r08.json": "40bd3ea0cbecf26f",
     "CORRECTNESS_r09.json": "820a2ddda5274b96",
+    "CORRECTNESS_r10.json": "a2bb25f96e638674",
 }
 
 GATE_WINDOW = [
-    "bpe_learned_merges",  # never
-    "customer_order_count_distribution",  # never
-    "suppliers_kept_order_waiting",  # never
-    "inactive_rich_customers_by_nation",  # never
-    "part_value_concentration",  # never
-    "top_quarter_supplier",  # never
-    "customer_scd2_history",  # never
-    "part_copurchase_kcore",  # never
-    "nation_pair_trade_volume",  # never
-    "nation_market_share",  # never
-    "profit_by_nation_year",  # never
-    "returned_item_top_customers",  # never
-    "promo_revenue_share",  # never
-    "supplier_cnt_by_part_attrs",  # never
-    "large_volume_customers",  # never
-    "part_disjunctive_revenue",  # never
-    "qualified_part_suppliers",  # never
-    "hll_distinct_orders",  # r9
-    "hll_priority_union",  # r9
-    "source_bigram_lm_quality",  # r9
-    "part_brand_max_drawdown",  # r7
-    "user_value_ewma_band",  # r7
-    "user_value_max_drawdown",  # r7
-    "cross_doc_repeated_spans",  # r7
-    "doc_boilerplate_coverage",  # r7
-    "user_value_rolling_band",  # r7
-    "part_brand_return_stats",  # r7
-    "event_transition_counts",  # r7
-    "user_value_gapfill",  # r7
-    "orders_priority_pivot",  # r7
-    "customer_revenue_deciles",  # r7
-    "nation_revenue_running_share",  # r7
-    "top_parts_per_nation",  # r7
-    "part_fuzzy_name_blocks",  # r7
-    "nations_full_priority_coverage",  # r7
-    "kmv_priority_intersect",  # r7
-    "embedding_label_centroids",  # r7
-    "user_rolling_value_7d",  # r7
-    "lineitem_quantity_mad_outliers",  # r7
-    "ann_rrf_fusion",  # r7
-    "event_props_rollup",  # r7
-    "doc_split_assign",  # r7
-    "doc_mix_rebalance",  # r7
-    "dedup_incremental_new_unique",  # r7
-    "dedup_group_representatives",  # r7
-    "dedup_incremental_minhash",  # r7
-    "date_dimension",  # r7
-    "surrogate_keys_nation",  # r7
-    "fact_orders_star",  # r7
-    "customer_priority_scd2",  # r7
     "lineitem_priority_asof",  # r7
     "hourly_event_rollup",  # r7
     "sliding_event_counts",  # r7
@@ -179,4 +130,54 @@ GATE_WINDOW = [
     "part_brand_ewma_band",  # r9
     "order_priority_delayed_counts",  # r9
     "event_type_cm_audit",  # r9
+    "bpe_learned_merges",  # r10
+    "customer_order_count_distribution",  # r10
+    "suppliers_kept_order_waiting",  # r10
+    "inactive_rich_customers_by_nation",  # r10
+    "part_value_concentration",  # r10
+    "top_quarter_supplier",  # r10
+    "customer_scd2_history",  # r10
+    "part_copurchase_kcore",  # r10
+    "nation_pair_trade_volume",  # r10
+    "nation_market_share",  # r10
+    "profit_by_nation_year",  # r10
+    "returned_item_top_customers",  # r10
+    "promo_revenue_share",  # r10
+    "supplier_cnt_by_part_attrs",  # r10
+    "large_volume_customers",  # r10
+    "part_disjunctive_revenue",  # r10
+    "qualified_part_suppliers",  # r10
+    "hll_distinct_orders",  # r10
+    "hll_priority_union",  # r10
+    "source_bigram_lm_quality",  # r10
+    "part_brand_max_drawdown",  # r10
+    "user_value_ewma_band",  # r10
+    "user_value_max_drawdown",  # r10
+    "cross_doc_repeated_spans",  # r10
+    "doc_boilerplate_coverage",  # r10
+    "user_value_rolling_band",  # r10
+    "part_brand_return_stats",  # r10
+    "event_transition_counts",  # r10
+    "user_value_gapfill",  # r10
+    "orders_priority_pivot",  # r10
+    "customer_revenue_deciles",  # r10
+    "nation_revenue_running_share",  # r10
+    "top_parts_per_nation",  # r10
+    "part_fuzzy_name_blocks",  # r10
+    "nations_full_priority_coverage",  # r10
+    "kmv_priority_intersect",  # r10
+    "embedding_label_centroids",  # r10
+    "user_rolling_value_7d",  # r10
+    "lineitem_quantity_mad_outliers",  # r10
+    "ann_rrf_fusion",  # r10
+    "event_props_rollup",  # r10
+    "doc_split_assign",  # r10
+    "doc_mix_rebalance",  # r10
+    "dedup_incremental_new_unique",  # r10
+    "dedup_group_representatives",  # r10
+    "dedup_incremental_minhash",  # r10
+    "date_dimension",  # r10
+    "surrogate_keys_nation",  # r10
+    "fact_orders_star",  # r10
+    "customer_priority_scd2",  # r10
 ]

@@ -16,8 +16,14 @@ policy names:
    make — list such names here in the same commit as the change, remove
    them once re-verified);
 3. then every verified query, oldest driver-green round first, registry
-   order as the tiebreak — the rotation that keeps the two-round
-   invariant: every query green in round N or N-1.
+   order as the tiebreak.
+
+Freshness invariant (restated r11, per the r10 verdict): with R
+registered queries and a ~50-row driver window, the achievable bound is
+"every query driver-green within the last ceil(R/50) rounds" (4 rounds
+at R=156). The old "green in round N or N-1" wording was only possible
+below ~100 queries; oldest-first rotation is exactly the schedule that
+attains the ceil(R/50) bound.
 
 A driver row counts as green when it has no error and row count, schema,
 and value hash all match. A ``no_oracle`` row counts as checked ONLY for
@@ -58,13 +64,9 @@ OUT_PATH = "financial_data_engineering_spark/queries/gate_window.py"
 #: same commit as the semantic change; remove once a CORRECTNESS file
 #: shows the new green row.
 FORCE_FIRST: list[str] = [
-    # r10: empty-doc slice guard added (output identical on data
-    # without empty docs, but the plan changed — re-verify).
-    "source_bigram_lm_quality",
-    # r10: sentinel-collision guard folded into the exact-count
-    # aggregate (distinct().count() -> count_distinct + CASE guard).
-    "hll_priority_union",
-    "hll_distinct_orders",
+    # (r10 entries source_bigram_lm_quality / hll_priority_union /
+    # hll_distinct_orders cleared: all three hash-matched green in
+    # CORRECTNESS_r10.json.)
 ]
 
 
