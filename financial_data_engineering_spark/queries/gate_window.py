@@ -24,6 +24,9 @@ GATE_WINDOW_INPUTS = {
 }
 
 GATE_WINDOW = [
+    "min_cost_part_suppliers",  # never
+    "discount_band_revenue",  # never
+    "late_shipment_priority_counts",  # never
     "lineitem_priority_asof",  # r7
     "hourly_event_rollup",  # r7
     "sliding_event_counts",  # r7

@@ -1,12 +1,15 @@
-"""The remaining canonical TPC-H plan shapes (Q7-Q10, Q14, Q16, Q18-Q20).
+"""The remaining canonical TPC-H plan shapes (Q2, Q6-Q10, Q12, Q14, Q16,
+Q18-Q20).
 
-Round 9 closed Q13/Q21/Q22; this module rounds out the rest of the
-operator-distinct shapes the benchmark exercises: bidirectional
-nation-pair joins (Q7), conditional-aggregate market share (Q8),
-multi-dim profit rollup (Q9), returned-item top-k (Q10), promo share
-ratio (Q14), distinct-count with NOT-IN exclusion (Q16), HAVING-IN
-semijoin (Q18), disjunctive OR-of-ANDs join predicates (Q19), and the
-nested aggregate-threshold semijoin chain (Q20).
+Round 9 closed Q13/Q21/Q22; round 10 added Q7-Q10/Q14/Q16/Q18-Q20;
+round 11 completes the family with the last three: the correlated
+min-cost-supplier subquery (Q2), the single-scan conditional aggregate
+(Q6), and the shipmode two-way conditional counts (Q12). All 22
+canonical shapes now have analogs (Q1/Q3/Q5 live in
+queries/relational.py as pricing_summary / shipping_priority_revenue /
+region_local_supplier_volume; Q4/Q17 as order_priority_delayed_counts /
+small_quantity_order_revenue; Q11/Q13/Q15/Q21/Q22 in
+relational_ext.py — see COVERAGE.md's plan-shape inventory).
 
 The corpus (TESTDATA.md) lacks partsupp / shipmode / container /
 comment columns, so each analog substitutes a stand-in predicate of the
@@ -634,4 +637,232 @@ def qualified_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
+    )
+
+
+@register(
+    "min_cost_part_suppliers",
+    oracle="""
+    WITH class_parts AS (
+        SELECT p_partkey, p_name
+        FROM part WHERE p_type = 'STANDARD' AND p_size <= 15
+    ),
+    euro_supp AS (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    bridge AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_e2
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM class_parts)
+          AND l.l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, cost_e2,
+               min(cost_e2) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM bridge
+    )
+    SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_e2,
+           s.s_name, n.n_name AS nation,
+           b.l_partkey AS p_partkey, cp.p_name, b.cost_e2
+    FROM best b
+    JOIN supplier s    ON b.l_suppkey = s.s_suppkey
+    JOIN nation n      ON s.s_nationkey = n.n_nationkey
+    JOIN class_parts cp ON b.l_partkey = cp.p_partkey
+    WHERE b.cost_e2 = b.min_cost
+    ORDER BY acctbal_e2 DESC, nation, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated min-cost-supplier subquery: for
+    every part in a size/type class, the EUROPE supplier(s) offering it
+    at the minimum cost, ranked by account balance. The corpus has no
+    partsupp, so lineitem is the part-supplier bridge and "supply cost"
+    is the cheapest line price (cents) that supplier ever charged for
+    that part — deterministic, integer-exact, and correlated per part
+    exactly like ps_supplycost.
+
+    Plan notes: Q2's classic trap is evaluating the correlated min as a
+    second scan of the bridge joined back on (partkey, cost). Here the
+    bridge is built ONCE — lineitem pruned by two broadcast semijoins
+    (class parts, EUROPE suppliers) then aggregated per (part, supp) —
+    and the correlated min rides a partkey window over that aggregate:
+    the window's shuffle reuses rows already in hand, no re-scan, no
+    self-join. partkey is high-cardinality so the window parallelizes;
+    supplier/nation/part attributes attach AFTER the filter has cut the
+    frame to |qualifying (part, supplier)| rows. All ties on the min
+    survive, as in Q2; the sort (acctbal desc, nation, name, partkey)
+    is total because (partkey, suppkey) is the bridge's key. Top-100
+    compiles to TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    class_parts = (
+        load(spark, "part", sf_dir)
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    euro_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    euro_supp = (
+        load(spark, "supplier", sf_dir)
+        .join(F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    bridge = (
+        li.join(
+            F.broadcast(class_parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cost_e2"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = bridge.withColumn("min_cost", F.min("cost_e2").over(w)).filter(
+        F.col("cost_e2") == F.col("min_cost")
+    )
+    supp = load(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    joined = (
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(class_parts), best.l_partkey == class_parts.p_partkey)
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_e2"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "cost_e2",
+        )
+    )
+    return topk(
+        joined,
+        [F.desc("acctbal_e2"), F.asc("nation"), F.asc("s_name"), F.asc("p_partkey")],
+        100,
+    )
+
+
+@register(
+    "discount_band_revenue",
+    oracle="""
+    SELECT CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                 + 100) // 200 AS BIGINT) AS discount_revenue_e2,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04999 AND 0.07001
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the single-scan conditional aggregate: revenue
+    that would be recovered by eliminating a band of discounts (5-7%)
+    on small-quantity lines shipped in one year. The forecasting query:
+    no join, no group — the whole plan is scan + filter + one global
+    sum, the purest pushdown test in the suite.
+
+    Plan notes: all three predicates are plain column-vs-literal ranges
+    so every one reaches the parquet scan as a PushedFilter (the
+    discount band uses widened literals 0.04999/0.07001 rather than
+    round(x*100) arithmetic precisely so the filter stays pushable and
+    engine-exact on discrete 2dp double values); the projection prunes
+    to the four referenced columns. The aggregate is a map-side partial
+    sum into a 1-row exchange. Per-row revenue-at-discount is exact
+    integer e4 (cents x discount percent), halved-up to e2 once."""
+    li = load(spark, "lineitem", sf_dir)
+    disc_rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.04999, 0.07001)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(disc_rev_e4).alias("_rev_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(_e4_to_e2("_rev_e4").alias("discount_revenue_e2"), "n_lines")
+    )
+
+
+@register(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS high_line_count,
+           CAST(count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+    GROUP BY 1
+    ORDER BY l_returnflag
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipmode two-way conditional counts: for each
+    of two shipping classes, how many late lines carried critical
+    (urgent/high) vs non-critical orders. The corpus has no l_shipmode
+    or commit/receipt dates; l_returnflag IN ('A','R') carries the
+    two-class IN filter and "late" is a ship lag over 75 days past the
+    order date — which upgrades Q12's within-lineitem date comparison
+    into a join-straddling residual, the harder variant of the same
+    shape.
+
+    Plan notes: the IN-list and the ship-year range push to the
+    lineitem scan; the lag predicate references both tables so it
+    evaluates as a residual on the orderkey join, not a scan filter —
+    the plan must still push the single-table conjuncts below (the Q12
+    optimizer test). Both CASE-counts ride ONE aggregate pass over the
+    2-value group key; count(CASE WHEN..THEN 1 END) keeps both engines
+    in BIGINT (DuckDB's sum(int) would widen to HUGEINT). The
+    fixed-cardinality groupBy is safe because it sits ABOVE the joins'
+    partial aggregation — map-side combine collapses each partition to
+    <=2 rows before the final 2-row exchange."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag").isin(["A", "R"])
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    critical = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        orders.join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 75 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(critical, 1)).alias("high_line_count"),
+            F.count(F.when(~critical, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -336,6 +336,16 @@ SHUFFLE_BUDGET = {
     # Q20 shape: (suppkey, partkey) threshold agg + distinct; the two
     # semijoins broadcast
     "qualified_part_suppliers": 3,
+    # Q2 shape: bridge (part,supp) agg + partkey min-window reusing the
+    # rows in hand (no second bridge scan); attribute joins broadcast;
+    # top-100 is TakeOrderedAndProject
+    "min_cost_part_suppliers": 2,
+    # Q6 shape: pure scan + pushed range filters + 1-row global agg
+    "discount_band_revenue": 1,
+    # Q12 shape: orderkey fact-fact exchange + 2-row conditional-count
+    # agg (map-side combine collapses below the join first); sort folds
+    # into the tiny final exchange
+    "late_shipment_priority_counts": 2,
     # K peeling rounds run against materialized inputs (the pagerank
     # shape); returned plan is the survivor-degree agg + presentation
     # sort

@@ -177,3 +177,42 @@ def test_spread_by_is_exempt_from_aqe_coalescing(spark):
         .toString()
     )
     assert not re.search(r"RepartitionByExpression \[[^\]]+\], \d+", bare)
+
+
+def test_discount_band_revenue_is_pure_pushdown_scan(spark):
+    """Q6 shape: ALL three range predicates must reach the parquet scan
+    (the discount band is written as plain literals, not round()
+    arithmetic, precisely for this) and the projection must prune the
+    11-column table to the four referenced columns."""
+    df = _df(spark, "discount_band_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert plans.uses_pushed_filter(df, col), col
+    (scan,) = plans.scans(df)
+    assert set(scan.read_columns) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    # scan + filter + 1-row global agg: one exchange, nothing else
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_min_cost_part_suppliers_builds_bridge_once(spark):
+    """Q2 shape: the correlated per-part min must ride a window over the
+    one bridge aggregate — NOT a second scan of lineitem joined back on
+    (partkey, cost). One lineitem scan in the whole plan is the proof."""
+    df = _df(spark, "min_cost_part_suppliers")
+    li_scans = [s for s in plans.scans(df) if "lineitem" in s.location]
+    assert len(li_scans) == 1, plans.plan_text(df)
+    # the two semijoin prunes push nothing lineitem-side (keys arrive by
+    # broadcast), but projection pruning must: 3 columns of 11
+    assert set(li_scans[0].read_columns) == {
+        "l_partkey", "l_suppkey", "l_extendedprice",
+    }
+
+
+def test_late_shipment_pushes_single_table_conjuncts(spark):
+    """Q12 shape: the join-straddling lag residual must not stop the
+    single-table conjuncts (IN-list + ship-year range) from reaching
+    the lineitem scan."""
+    df = _df(spark, "late_shipment_priority_counts")
+    assert plans.uses_pushed_filter(df, "l_returnflag")
+    assert plans.uses_pushed_filter(df, "l_shipdate")
