@@ -52,6 +52,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
+    # Host-load marker, sampled BEFORE the JVM spins up: the r10 closing
+    # bench drifted a uniform 1.19x on a loaded host and the artifact
+    # couldn't prove it — with start/end 1-min loadavg in every history
+    # entry, uniform drift is machine-distinguishable from regression.
+    load_start = _loadavg1()
     spark = get_spark("bench")
 
     registry = q.all_queries()
@@ -275,6 +280,11 @@ def main() -> None:
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # 1-min loadavg at start (pre-JVM: ambient load from OTHER
+        # processes) and end (includes this bench's own executors — read
+        # the start number for neighbor noise, the pair for trend)
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg1(),
     }
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
@@ -307,6 +317,13 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     print(line, flush=True)
+
+
+def _loadavg1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without loadavg
+        return None
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -31,6 +31,8 @@ ids).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -91,12 +93,33 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     if mode == "auto":
         master = spark.conf.get("spark.master", "")
         mode = "local" if master.startswith("local") else "reliable"
-    if mode == "local":
-        level_name = spark.conf.get(
-            "spark.fdes.materialize.storageLevel", ""
+    level_name = spark.conf.get("spark.fdes.materialize.storageLevel", "")
+    if level_name and not isinstance(
+        getattr(StorageLevel, level_name, None), StorageLevel
+    ):
+        valid = sorted(
+            n
+            for n in dir(StorageLevel)
+            if isinstance(getattr(StorageLevel, n), StorageLevel)
         )
+        raise ValueError(
+            f"spark.fdes.materialize.storageLevel={level_name!r} is not a"
+            f" StorageLevel; valid names: {', '.join(valid)}"
+        )
+    if mode == "local":
         level = getattr(StorageLevel, level_name) if level_name else None
         return df.localCheckpoint(eager=eager, storageLevel=level)
+    if level_name:
+        # The knob only affects localCheckpoint blocks; reliable mode
+        # checkpoints to fault-tolerant storage (or a fixed replicated
+        # persist) where the level is not configurable. Warn instead of
+        # silently ignoring a conf the operator set on purpose.
+        warnings.warn(
+            "spark.fdes.materialize.storageLevel is set but materialize"
+            f" mode is 'reliable' — the level {level_name!r} applies only"
+            " to local-mode checkpoint blocks and is ignored here",
+            stacklevel=2,
+        )
     sc = spark.sparkContext
     try:
         ckpt_dir = sc.getCheckpointDir()

@@ -416,12 +416,13 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 @register("part_copurchase_kcore", oracle=_kcore_oracle())
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded k-core peeling over the co-purchase graph: {KCORE_ROUNDS}
-    rounds of dropping every part with fewer than {KCORE_K} surviving
-    co-purchase partners, reporting the survivors with their in-core
-    degree — the density tier a curation/recommendation pipeline keeps
-    when it sheds the long-tail periphery, and the fifth lens of the
-    graph family (importance, density, distance, community, CORE).
+    """Bounded k-core peeling over the co-purchase graph: KCORE_ROUNDS
+    (= 4) rounds of dropping every part with fewer than KCORE_K (= 70)
+    surviving co-purchase partners, reporting the survivors with their
+    in-core degree — the density tier a curation/recommendation
+    pipeline keeps when it sheds the long-tail periphery, and the fifth
+    lens of the graph family (importance, density, distance, community,
+    CORE).
 
     Each round is a monotone set intersection over shrinking edges
     (operators/graph.py kcore_bounded): one degree aggregate + two

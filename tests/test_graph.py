@@ -430,3 +430,20 @@ def test_kcore_random_graph_matches_reference(spark):
     )
     for k in (2, 4, 8):
         _run_kcore(spark, undirected, k=k)
+
+
+def test_kcore_query_docstring_constants_in_sync():
+    """queries/graph.py inlines KCORE_ROUNDS/KCORE_K as literals in the
+    query docstring (a plain string cannot interpolate them); this pin
+    fails if the constants move without the doc."""
+    from financial_data_engineering_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+    from financial_data_engineering_spark.queries.graph import (
+        part_copurchase_kcore,
+    )
+
+    doc = part_copurchase_kcore.__doc__
+    assert f"KCORE_ROUNDS\n    (= {KCORE_ROUNDS})" in doc
+    assert f"KCORE_K (= {KCORE_K})" in doc

@@ -84,7 +84,7 @@ def test_no_bare_local_checkpoint_on_data_paths():
             if ".localCheckpoint(" in line:
                 offenders.append(f"{py.relative_to(SRC.parent)}:{i}")
     assert offenders == [
-        "financial_data_engineering_spark/partitioning.py:99"
+        "financial_data_engineering_spark/partitioning.py:111"
     ], offenders
 
 
@@ -116,28 +116,80 @@ def test_materialize_storage_level_conf_round_trips(spark):
     checkpointed blocks (DISK_ONLY bounded the r10 sf10 graph run's
     heap), values must round-trip exactly, and an unset conf must keep
     Spark's default behavior."""
-    def _live_levels():
+    def _levels_by_id():
         # df.storageLevel only reflects persist(); checkpoint blocks
         # show up as the context's persistent RDDs
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return [
-            str(jmap.get(k).getStorageLevel().description())
+        return {
+            int(k): str(jmap.get(k).getStorageLevel().description())
             for k in jmap.keySet().toArray()
-        ]
+        }
+
+    def _new_levels(before: dict) -> list[str]:
+        # ONLY the RDDs that appeared since `before`: the session-scoped
+        # context can hold blocks from other tests or earlier
+        # materialize calls, which would satisfy either assertion
+        # vacuously (the r10 advisor finding).
+        return [d for i, d in _levels_by_id().items() if i not in before]
 
     df = spark.range(50).withColumn("v", F.col("id") * 3)
     spark.conf.set("spark.fdes.materialize.storageLevel", "DISK_ONLY")
     try:
+        before = _levels_by_id()
         out = materialize(df)
         assert _rows(out) == _rows(df)
-        assert any(
-            "Disk" in d and "Memory" not in d for d in _live_levels()
-        ), _live_levels()
+        new = _new_levels(before)
+        assert new and all(
+            "Disk" in d and "Memory" not in d for d in new
+        ), new
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "Range" not in plan  # lineage still cut
     finally:
         spark.conf.unset("spark.fdes.materialize.storageLevel")
     # unset again: Spark's default (memory-backed, deserialized) blocks
+    before = _levels_by_id()
     out2 = materialize(df)
     assert _rows(out2) == _rows(df)
-    assert any("Memory" in d for d in _live_levels()), _live_levels()
+    new2 = _new_levels(before)
+    assert new2 and all("Memory" in d for d in new2), new2
+
+
+def test_materialize_rejects_typod_storage_level(spark):
+    """A typo'd conf value must raise a ValueError NAMING the conf and
+    the valid StorageLevel names — not a bare AttributeError from
+    getattr (r10 advisor finding)."""
+    import pytest
+
+    df = spark.range(5)
+    spark.conf.set("spark.fdes.materialize.storageLevel", "DISK_ONLYY")
+    try:
+        with pytest.raises(ValueError) as exc:
+            materialize(df)
+        msg = str(exc.value)
+        assert "spark.fdes.materialize.storageLevel" in msg
+        assert "DISK_ONLY" in msg  # valid names listed
+    finally:
+        spark.conf.unset("spark.fdes.materialize.storageLevel")
+
+
+def test_materialize_warns_when_level_ignored_in_reliable_mode(spark):
+    """The storage-level knob only affects local-mode checkpoint blocks;
+    setting it alongside reliable mode must WARN, not silently no-op."""
+    import warnings as _warnings
+
+    df = spark.range(5)
+    spark.conf.set("spark.fdes.materialize.mode", "reliable")
+    spark.conf.set("spark.fdes.materialize.storageLevel", "DISK_ONLY")
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            out = materialize(df)
+            out.unpersist()
+        assert any(
+            "reliable" in str(w.message)
+            and "spark.fdes.materialize.storageLevel" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]
+    finally:
+        spark.conf.unset("spark.fdes.materialize.mode")
+        spark.conf.unset("spark.fdes.materialize.storageLevel")
