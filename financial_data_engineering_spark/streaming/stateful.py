@@ -1336,3 +1336,113 @@ def running_cdc_snapshot(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_OUTPUT = (
+    "user_id long, version long, val_e2 long, valid_from timestamp, "
+    "valid_to timestamp, is_current long, n_observations long, "
+    "n_total long"
+)
+
+#: per-key SCD2 state: the FULL version history as parallel arrays
+#: (value, open-micros, observation count per version) plus the (ts, id)
+#: high-water mark and a monotone total-observation counter. The history
+#: is bounded by |distinct consecutive attribute values|, not |events| —
+#: a dimension's version chain is short by construction (a key that
+#: changes attributes per-event is a fact, not a dimension), so holding
+#: it in the state store is the same O(|dim versions|) a batch build
+#: materializes. valid_to/is_current are DERIVED at emission (next
+#: version's open edge), never stored — so they can never drift from
+#: the chain.
+SCD2_STATE = (
+    "vals array<long>, froms array<long>, nobs array<long>, "
+    "last_us long, last_id long, n_total long"
+)
+
+
+def _fold_scd2_history(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: replay this batch's observations in (ts, id)
+    order past the high-water mark; an observation whose attribute
+    equals the OPEN version's merges into it (n_observations += 1),
+    anything else closes the open version and opens a new one — the
+    same NULL-safe consecutive-collapse rule as the batch operator
+    (transform/scd.py scd2_from_observations), advanced one observation
+    at a time. Emits the key's full updated history (short by the
+    dimension contract above); final-snapshot consumers pick the rows
+    of the max-``n_total`` emission per key."""
+    if state.exists:
+        vals, froms, nobs, last_us, last_id, n_total = state.get
+        vals, froms, nobs = list(vals), list(froms), list(nobs)
+    else:
+        vals, froms, nobs = [], [], []
+        last_us = last_id = None
+        n_total = 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["val_e2"]):
+            micros, ident = int(ts.value // 1000), int(eid)
+            if last_us is not None and (micros, ident) <= (last_us, last_id):
+                continue  # replayed duplicate / late vs state: order-bound
+            val = None if pd.isna(v) else int(v)
+            if not vals or vals[-1] != val:  # NULL-safe: None != x, None == None
+                vals.append(val)
+                froms.append(micros)
+                nobs.append(1)
+            else:
+                nobs[-1] += 1
+            n_total += 1
+            last_us, last_id = micros, ident
+    state.update((vals, froms, nobs, last_us, last_id, n_total))
+    n = len(vals)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * n,
+            "version": list(range(1, n + 1)),
+            "val_e2": vals,
+            "valid_from": [pd.Timestamp(us, unit="us") for us in froms],
+            "valid_to": [
+                pd.Timestamp(froms[i + 1], unit="us") if i + 1 < n else None
+                for i in range(n)
+            ],
+            "is_current": [0] * (n - 1) + [1] if n else [],
+            "n_observations": nobs,
+            "n_total": [n_total] * n,
+        }
+    )
+
+
+def running_scd2_history(observations: DataFrame) -> DataFrame:
+    """Continuously-maintained type-2 dimension — the streaming twin of
+    ``scd2_from_observations`` (transform/scd.py), closing the
+    dimensional layer's last batch-only operator. Input needs
+    (user_id, ts, event_id, val_e2); every micro-batch emits the full
+    updated version history for each touched key, with valid_to /
+    is_current re-derived from the chain so the half-open-interval
+    invariant (probe ``valid_from <= t < valid_to`` matches exactly one
+    version) holds after every batch, not just at the end.
+
+    Ordering contract: observations must arrive in non-decreasing
+    (ts, event_id) order per key ACROSS micro-batches (a time-ordered
+    changelog replay — the CDC twin's contract); anything at or below
+    the high-water mark is dropped, which also makes redelivery
+    idempotent. Parity with the batch build over the same log is
+    pinned in tests/test_streaming.py.
+
+    Scale: state is hash-partitioned by key across the state store
+    (RocksDB on a real deployment); per batch each touched key costs
+    O(|batch slice| + |version chain|) — the chain is short by the
+    dimension contract documented on SCD2_STATE."""
+    return observations.groupBy("user_id").applyInPandasWithState(
+        _fold_scd2_history,
+        outputStructType=SCD2_OUTPUT,
+        stateStructType=SCD2_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -955,3 +955,85 @@ def test_running_hll_registers_match_batch_sketch(spark, events_dir, tmp_path):
         "hll_estimate"
     ]
     assert est_stream == est_batch
+
+
+def test_running_scd2_history_matches_batch_build(spark, events_dir, tmp_path):
+    """Streaming SCD2 twin: the events file becomes an observation log
+    (attr = value cents mod 5, coarse so consecutive observations
+    actually merge), split into two time-ordered micro-batches; the
+    max-n_total emission per key must equal scd2_from_observations over
+    the same log in one batch — version numbering, interval bounds,
+    is_current, and per-version observation counts all included."""
+    import os as _os
+
+    import duckdb
+
+    replay_dir = tmp_path / "scd2_batches"
+    replay_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{events_dir}/events.parquet"
+    cut = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{cut}') "
+        f"TO '{replay_dir}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = _os.path.getmtime(f"{replay_dir}/b.parquet")
+    _os.utime(f"{replay_dir}/a.parquet", (now - 60, now - 60))
+
+    from financial_data_engineering_spark.streaming.stateful import (
+        running_scd2_history,
+    )
+    from financial_data_engineering_spark.transform import (
+        scd2_from_observations,
+    )
+
+    def as_observations(events):
+        return events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.round(F.col("value") * 100).cast("long") % 5).alias("val_e2"),
+        )
+
+    stream = running_scd2_history(
+        as_observations(
+            st.read_event_stream(spark, str(replay_dir), max_files_per_trigger=1)
+        )
+    )
+    st.run_to_memory_sink(stream, "scd2_updates", output_mode="update")
+    final = spark.sql(
+        """SELECT * FROM (
+               SELECT *, max(n_total) OVER (PARTITION BY user_id) AS mx
+               FROM scd2_updates) WHERE n_total = mx"""
+    )
+
+    batch = scd2_from_observations(
+        as_observations(spark.read.parquet(src)),
+        ["user_id"],
+        ["val_e2"],
+        "ts",
+        "event_id",
+    )
+
+    cols = [
+        "user_id", "version", "val_e2", "valid_from", "valid_to",
+        "is_current", "n_observations",
+    ]
+    got, want = _rows(final, cols), _rows(batch, cols)
+    assert got == want
+    # the fixture must exercise BOTH sides of the collapse rule:
+    # multi-version keys and multi-observation versions
+    assert any(r[1] > 1 for r in want)  # a key with >1 version
+    assert any(r[6] > 1 for r in want)  # a version holding >1 observation
+    # mid-stream emissions must already satisfy the half-open invariant
+    # (exactly one current version per key at every emission)
+    bad = spark.sql(
+        """SELECT user_id, n_total FROM scd2_updates
+           GROUP BY user_id, n_total
+           HAVING sum(is_current) <> 1"""
+    )
+    assert bad.count() == 0
