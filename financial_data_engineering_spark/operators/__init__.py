@@ -60,6 +60,8 @@ from financial_data_engineering_spark.operators.sketch import (
 )
 from financial_data_engineering_spark.operators.graph import (
     copurchase_edges,
+    kcore_bounded,
+    kcore_exact,
     pagerank_integer,
 )
 from financial_data_engineering_spark.operators.cdc import (
@@ -95,6 +97,8 @@ __all__ = [
     "grouped_sketch_quantiles",
     "duplicate_row_count",
     "interval_overlap_join",
+    "kcore_bounded",
+    "kcore_exact",
     "kmv_distinct",
     "kmv_distinct_from_hashes",
     "kmv_group_sketches",

@@ -332,6 +332,75 @@ def kcore_bounded(
     )
 
 
+def kcore_exact(
+    edges: DataFrame,
+    *,
+    k: int = KCORE_K,
+    max_iters: int = 100,
+    degree_alias: str = "core_degree",
+) -> DataFrame:
+    """EXACT k-core: the peeling of ``kcore_bounded`` run to fixpoint —
+    drop sub-``k``-degree nodes and restrict the edge set until a round
+    removes nothing. Input contract matches ``kcore_bounded``: a
+    SYMMETRIC directed edge list (both directions present, no
+    self-loops). The result is the graph-theoretic k-core: every
+    surviving node has degree ≥ k INSIDE the surviving subgraph.
+
+    Relationship to the bounded variant: peeling is monotone (each
+    round's edge set is a subset of the previous), so whenever K rounds
+    of ``kcore_bounded`` happen to reach the fixpoint the two agree
+    exactly — pinned by test. The bounded variant stays the
+    oracle-gated one (a SQL oracle needs a fixed unroll depth); this
+    one serves callers who need the true core, with the data-shaped
+    round count guarded the way connected components guards its loop:
+    a peeling CHAIN can be O(|V|) rounds long, so a non-converged exit
+    RAISES rather than returning a partial (too-large) core.
+
+    Convergence test is free: the edge set only ever shrinks, so
+    ``new_count == e_count`` alone proves the fixpoint — no exceptAll
+    witness scan needed (unlike components, whose rewrite can move
+    edges). Per-round cost and state are identical to the bounded
+    variant: one count aggregate + two LEFT SEMI joins over the
+    shrinking edge set, no |V|-row carry."""
+    e = materialize(edges.select("src", "dst"))
+    e_count = e.count()
+    converged = e_count == 0
+    rounds = 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        rounds += 1
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        new_e = materialize(
+            e.join(keep, "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+        new_count = new_e.count()
+        # Monotone shrink: the new set is a filter of the old, so an
+        # unchanged count IS the fixpoint (every node already ≥ k).
+        converged = new_count == e_count
+        e, e_count = new_e, new_count
+    if not converged:
+        raise RuntimeError(
+            f"kcore_exact did not converge in {max_iters} peeling "
+            "rounds — a long peeling chain (rounds can be O(|V|)); "
+            "raise max_iters or use kcore_bounded for a fixed-depth "
+            "density tier"
+        )
+    # Test instrumentation only: rounds taken by the last invocation
+    # (includes the final nothing-peeled confirming round).
+    kcore_exact.last_rounds = rounds
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias(degree_alias)
+    )
+
+
 def triangle_participation(edges: DataFrame) -> DataFrame:
     """Exact per-node triangle counts over an undirected graph given as
     a SYMMETRIC directed edge list (both (a,b) and (b,a) present, no

@@ -68,6 +68,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python Data Source filter pushdown (the fdes_rest connector's
+        # pushFilters → request-param path) is gated off by default in
+        # Spark 4.1; a reader that implements pushFilters() under the
+        # default conf is an analysis-time ERROR, not a silent fallback.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

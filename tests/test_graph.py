@@ -447,3 +447,62 @@ def test_kcore_query_docstring_constants_in_sync():
     doc = part_copurchase_kcore.__doc__
     assert f"KCORE_ROUNDS\n    (= {KCORE_ROUNDS})" in doc
     assert f"KCORE_K (= {KCORE_K})" in doc
+
+
+def _run_kcore_exact(spark, undirected, k, max_iters=100):
+    from financial_data_engineering_spark.operators.graph import kcore_exact
+
+    sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    return {
+        r["node"]: r["core_degree"]
+        for r in kcore_exact(edf, k=k, max_iters=max_iters).collect()
+    }
+
+
+def test_kcore_exact_peels_chain_to_empty(spark):
+    # The case the bounded variant exists to avoid: a peeling chain.
+    # An 11-node path under k=2 loses one node from each end per round
+    # — 5 peeling rounds + 1 confirming round — and ends EMPTY, where
+    # kcore_bounded at rounds=4 still reports survivors.
+    from financial_data_engineering_spark.operators.graph import kcore_exact
+
+    chain = [(i, i + 1) for i in range(1, 11)]
+    assert _run_kcore_exact(spark, chain, k=2) == {}
+    assert kcore_exact.last_rounds == 6
+    assert _run_kcore(spark, chain, k=2, rounds=4) != {}
+
+
+def test_kcore_exact_is_a_true_core_and_matches_converged_bounded(spark):
+    # Random graph: (a) every surviving node's degree inside the core
+    # is >= k (the defining k-core property — bounded can't promise
+    # it); (b) one more bounded round changes nothing => bounded had
+    # converged, and then exact agrees with it verbatim.
+    rng = random.Random(31)
+    undirected = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(1, 40), rng.randrange(1, 40))
+                for _ in range(260)
+            )
+            if a != b
+        }
+    )
+    for k in (3, 6):
+        exact = _run_kcore_exact(spark, undirected, k=k)
+        assert all(d >= k for d in exact.values())
+        if _py_kcore(undirected, k, 8) == _py_kcore(undirected, k, 9):
+            assert exact == _run_kcore(spark, undirected, k=k, rounds=8)
+
+
+def test_kcore_exact_raises_when_chain_outruns_max_iters(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 11)]
+    sym = [(a, b) for a, b in chain] + [(b, a) for a, b in chain]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    from financial_data_engineering_spark.operators.graph import kcore_exact
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_exact(edf, k=2, max_iters=3).collect()
