@@ -27,6 +27,16 @@ docker-run:
 check:
 	python tools/check_correctness.py /root/testdata/sf0.01
 
+# The 43-query scale-sensitive spot set at the sf10 replica, with the
+# memory envelope the r10 marathon mapped (NOTES.md): 64g heap,
+# DISK_ONLY materialized rounds, 40GB oracle cap (auto-retry escalates
+# further on oracle resource exhaustion). Build the replica first:
+#   python tools/make_scaled_sf.py --factor 100 --src /root/testdata/sf0.1 --dst /tmp/fdes_scaled/sf10
+check-sf10-spot:
+	SPARK_DRIVER_MEMORY=64g FDES_MATERIALIZE_LEVEL=DISK_ONLY FDES_DUCKDB_MEM=40GB \
+	python tools/check_correctness.py --strict /tmp/fdes_scaled/sf10 \
+	$$(grep -v '^#' tools/sf10_spot.txt)
+
 # One-line JSON benchmark over every registered query.
 bench:
 	python bench.py
