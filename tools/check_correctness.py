@@ -122,6 +122,27 @@ _RETRYABLE_ORACLE_ERRORS = (
     duckdb.FatalException,
 )
 
+#: DuckDB maps some resource exhaustion onto classes outside the tuple
+#: (the r11 sf10 kcore oracle died with "failed to pin block of size
+#: 256.0 KiB (37.2 GiB/37.2 GiB used)" WITHOUT tripping the class-based
+#: retry — the gate's one silent-bypass case), so detection goes by
+#: class OR message.
+_RESOURCE_PHRASES = (
+    "Out of Memory",
+    "No space left",
+    "failed to pin block",
+    "max_temp_directory_size",
+)
+
+
+def _is_resource_exhaustion(exc: Exception) -> bool:
+    if isinstance(exc, _RETRYABLE_ORACLE_ERRORS):
+        return True
+    msg = str(exc)
+    return isinstance(exc, duckdb.Error) and any(
+        p in msg for p in _RESOURCE_PHRASES
+    )
+
 
 class OracleRunner:
     """DuckDB oracle executor with a one-shot resource-escalation retry.
@@ -187,7 +208,9 @@ class OracleRunner:
         try:
             rel = self.con.sql(sql)
             return rel.columns, [str(t) for t in rel.types], rel.fetchall(), False
-        except _RETRYABLE_ORACLE_ERRORS as exc:
+        except duckdb.Error as exc:
+            if not _is_resource_exhaustion(exc):
+                raise
             print(
                 f"      oracle retry ({type(exc).__name__}:"
                 f" {str(exc)[:100]}) -> memory_limit={self.retry_mem},"
