@@ -687,9 +687,11 @@ def connected_components(
             "large-star/small-star rounds — raise max_iters "
             "(O(log² n) rounds suffice for any n this side of 2^40)"
         )
-    # Test instrumentation only: rounds taken by the last invocation
+    # Private test instrumentation: rounds taken by the last invocation
     # (the path-graph round-count bound is pinned by test against it).
-    connected_components.last_rounds = rounds
+    # NOT part of the library surface; module-global last-writer-wins,
+    # only meaningful single-threaded (tests).
+    connected_components._last_rounds = rounds
     # Fixpoint is a set of min-centered stars: leaves are the u side;
     # every NON-leaf node (star center or self-loop-only singleton)
     # labels itself, so one left join against the leaves covers the

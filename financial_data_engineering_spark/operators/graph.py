@@ -393,9 +393,12 @@ def kcore_exact(
             "raise max_iters or use kcore_bounded for a fixed-depth "
             "density tier"
         )
-    # Test instrumentation only: rounds taken by the last invocation
-    # (includes the final nothing-peeled confirming round).
-    kcore_exact.last_rounds = rounds
+    # Private test instrumentation: rounds taken by the last invocation
+    # (includes the final nothing-peeled confirming round). NOT part of
+    # the library surface; module-global last-writer-wins, so it is only
+    # meaningful single-threaded (tests) — concurrent sessions sharing
+    # this module must not read it.
+    kcore_exact._last_rounds = rounds
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias(degree_alias)
     )

@@ -21,59 +21,10 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r08.json": "40bd3ea0cbecf26f",
     "CORRECTNESS_r09.json": "820a2ddda5274b96",
     "CORRECTNESS_r10.json": "a2bb25f96e638674",
+    "CORRECTNESS_r11.json": "f3afa12d3356b7f3",
 }
 
 GATE_WINDOW = [
-    "min_cost_part_suppliers",  # never
-    "discount_band_revenue",  # never
-    "late_shipment_priority_counts",  # never
-    "lineitem_priority_asof",  # r7
-    "hourly_event_rollup",  # r7
-    "sliding_event_counts",  # r7
-    "event_funnel_pairs",  # r7
-    "events_asof_latest_order",  # r7
-    "event_rollup_grouping_sets",  # r7
-    "sliding_active_users",  # r7
-    "user_browse_to_buy_runs",  # r7
-    "multimodal_resize_stats",  # r7
-    "multimodal_frame_stats",  # r7
-    "part_brand_monthly_returns",  # r8
-    "part_brand_gap_counts",  # r8
-    "part_brand_beta",  # r8
-    "brand_return_correlation",  # r8
-    "part_brand_return_seasonality",  # r8
-    "part_brand_underwater_runs",  # r8
-    "user_value_underwater_runs",  # r8
-    "user_monthly_bar_diffs",  # r8
-    "ann_quantized_rerank",  # r8
-    "doc_bpe_encoding",  # r8
-    "quality_freshness_events",  # r8
-    "quality_completeness_lineitem",  # r8
-    "quality_uniqueness_orders",  # r8
-    "quality_range_quantity",  # r8
-    "quality_pattern_customer_name",  # r8
-    "pricing_summary",  # r8
-    "latest_order_per_customer",  # r8
-    "top_customers_by_revenue",  # r8
-    "nation_latest_order_revenue",  # r8
-    "order_distinct_counts",  # r8
-    "lineitem_global_stats",  # r8
-    "high_value_parties",  # r8
-    "revenue_by_region_segment",  # r8
-    "order_priority_share",  # r8
-    "priority_fulfillment_latency",  # r8
-    "bpe_merge_candidates",  # r8
-    "event_value_dispersion",  # r8
-    "lineitem_measure_unpivot",  # r8
-    "ann_ivf_from_index",  # r8
-    "dedup_semantic_clusters",  # r8
-    "customer_order_stats_salted",  # r8
-    "source_vocab_overlap",  # r8
-    "small_quantity_order_revenue",  # r8
-    "knn_brute_force_cosine",  # r8
-    "ann_lsh_cosine",  # r8
-    "ann_lsh_multiprobe",  # r8
-    "embedding_quantization_stats",  # r8
     "ann_ivf_cosine",  # r8
     "kmv_distinct_customers",  # r8
     "kmv_priority_union",  # r8
@@ -183,4 +134,54 @@ GATE_WINDOW = [
     "surrogate_keys_nation",  # r10
     "fact_orders_star",  # r10
     "customer_priority_scd2",  # r10
+    "min_cost_part_suppliers",  # r11
+    "discount_band_revenue",  # r11
+    "late_shipment_priority_counts",  # r11
+    "lineitem_priority_asof",  # r11
+    "hourly_event_rollup",  # r11
+    "sliding_event_counts",  # r11
+    "event_funnel_pairs",  # r11
+    "events_asof_latest_order",  # r11
+    "event_rollup_grouping_sets",  # r11
+    "sliding_active_users",  # r11
+    "user_browse_to_buy_runs",  # r11
+    "multimodal_resize_stats",  # r11
+    "multimodal_frame_stats",  # r11
+    "part_brand_monthly_returns",  # r11
+    "part_brand_gap_counts",  # r11
+    "part_brand_beta",  # r11
+    "brand_return_correlation",  # r11
+    "part_brand_return_seasonality",  # r11
+    "part_brand_underwater_runs",  # r11
+    "user_value_underwater_runs",  # r11
+    "user_monthly_bar_diffs",  # r11
+    "ann_quantized_rerank",  # r11
+    "doc_bpe_encoding",  # r11
+    "quality_freshness_events",  # r11
+    "quality_completeness_lineitem",  # r11
+    "quality_uniqueness_orders",  # r11
+    "quality_range_quantity",  # r11
+    "quality_pattern_customer_name",  # r11
+    "pricing_summary",  # r11
+    "latest_order_per_customer",  # r11
+    "top_customers_by_revenue",  # r11
+    "nation_latest_order_revenue",  # r11
+    "order_distinct_counts",  # r11
+    "lineitem_global_stats",  # r11
+    "high_value_parties",  # r11
+    "revenue_by_region_segment",  # r11
+    "order_priority_share",  # r11
+    "priority_fulfillment_latency",  # r11
+    "bpe_merge_candidates",  # r11
+    "event_value_dispersion",  # r11
+    "lineitem_measure_unpivot",  # r11
+    "ann_ivf_from_index",  # r11
+    "dedup_semantic_clusters",  # r11
+    "customer_order_stats_salted",  # r11
+    "source_vocab_overlap",  # r11
+    "small_quantity_order_revenue",  # r11
+    "knn_brute_force_cosine",  # r11
+    "ann_lsh_cosine",  # r11
+    "ann_lsh_multiprobe",  # r11
+    "embedding_quantization_stats",  # r11
 ]

@@ -142,6 +142,20 @@ class RestReader(DataSourceReader):
         )
         self.pushed_params: dict[str, str] = {}
 
+    def _claim(self, key: str, value: str) -> bool:
+        """Claim ``key`` for one filter. A query-parameter key carries at
+        most ONE pushed conjunct: Catalyst does not merge redundant range
+        conjuncts, so ``x >= 5 AND x >= 10`` arrives as two filters that
+        would both target the ``gte`` param — last-wins overwriting could
+        replace the tighter bound with the looser one while Spark trusts
+        both as server-evaluated. First filter wins the key; duplicates
+        are yielded back for post-scan evaluation (always correct: the
+        server applies the claimed conjunct, Spark re-checks the rest)."""
+        if key in self.pushed_params:
+            return False
+        self.pushed_params[key] = value
+        return True
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Translate mapped filters into query params; yield the rest
         back to Spark for post-scan evaluation."""
@@ -152,17 +166,23 @@ class RestReader(DataSourceReader):
                 else None
             )
             if spec and isinstance(f, EqualTo) and "eq" in spec:
-                self.pushed_params[spec["eq"]] = str(f.value)
+                if self._claim(spec["eq"], str(f.value)):
+                    continue
             elif spec and isinstance(f, In) and "in" in spec:
-                self.pushed_params[spec["in"]] = ",".join(
-                    str(v) for v in f.value
-                )
+                values = [str(v) for v in f.value]
+                # A value containing the list delimiter would produce an
+                # ambiguous server-side param (e.g. In("a,b") vs
+                # In("a","b")) — leave such filters entirely to Spark.
+                if not any("," in v for v in values):
+                    if self._claim(spec["in"], ",".join(values)):
+                        continue
             elif spec and isinstance(f, GreaterThanOrEqual) and "gte" in spec:
-                self.pushed_params[spec["gte"]] = str(f.value)
+                if self._claim(spec["gte"], str(f.value)):
+                    continue
             elif spec and isinstance(f, LessThanOrEqual) and "lte" in spec:
-                self.pushed_params[spec["lte"]] = str(f.value)
-            else:
-                yield f
+                if self._claim(spec["lte"], str(f.value)):
+                    continue
+            yield f
 
     def partitions(self) -> Sequence[PagePartition]:
         base = dict(self.base_params)

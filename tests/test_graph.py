@@ -469,7 +469,7 @@ def test_kcore_exact_peels_chain_to_empty(spark):
 
     chain = [(i, i + 1) for i in range(1, 11)]
     assert _run_kcore_exact(spark, chain, k=2) == {}
-    assert kcore_exact.last_rounds == 6
+    assert kcore_exact._last_rounds == 6
     assert _run_kcore(spark, chain, k=2, rounds=4) != {}
 
 

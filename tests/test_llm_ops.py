@@ -806,7 +806,7 @@ def test_connected_components_path_graph_logarithmic_rounds(spark):
         for r in dd.connected_components(edges).collect()
     }
     assert got == {i: 0 for i in range(65)}
-    assert dd.connected_components.last_rounds <= 7
+    assert dd.connected_components._last_rounds <= 7
 
 
 def test_connected_components_random_graph_matches_dsu_reference(spark):

@@ -50,6 +50,8 @@ class _Handler(BaseHTTPRequestHandler):
         rows = ROWS
         if "kind" in q:  # server-side filtering — the pushdown target
             rows = [r for r in rows if r["kind"] == q["kind"]]
+        if "min_id" in q:  # range pushdown target (gte)
+            rows = [r for r in rows if r["item_id"] >= int(q["min_id"])]
         if "page" in q:  # page-number pagination, 2 rows per page
             p = int(q["page"])
             rows = rows[(p - 1) * 2 : p * 2]
@@ -140,6 +142,71 @@ def test_page_fanout_partitions_and_empty_tail(spark, api_server):
     assert sorted(r["item_id"] for r in df.collect()) == [1, 2, 3, 4, 5]
     pages = sorted(int(q["page"]) for q in _Handler.requests_seen if "page" in q)
     assert pages == [1, 2, 3, 4, 5]
+
+
+def test_duplicate_range_conjuncts_keep_both_bounds(spark, api_server):
+    # x >= 2 AND x >= 4: Catalyst does not merge redundant range
+    # conjuncts, so both arrive as GreaterThanOrEqual targeting the
+    # same 'min_id' param. One is claimed server-side; the other MUST
+    # come back to Spark — a last-wins overwrite that replaced the
+    # tighter bound with the looser one would return rows 2-3 here.
+    _Handler.requests_seen = []
+    df = (
+        _reader(
+            spark,
+            api_server,
+            param_map=json.dumps({"item_id": {"gte": "min_id"}}),
+        )
+        .load()
+        .filter(F.col("item_id") >= 2)
+        .filter(F.col("item_id") >= 4)
+    )
+    assert sorted(r["item_id"] for r in df.collect()) == [4, 5]
+    pushed = {q["min_id"] for q in _Handler.requests_seen if "min_id" in q}
+    assert len(pushed) == 1  # exactly one conjunct was claimed
+
+
+def test_pushfilters_unit_duplicate_key_and_comma_in_values():
+    # Unit-level pin of the claim rules, independent of how Catalyst
+    # happens to order/merge conjuncts in any Spark version.
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In
+    from pyspark.sql import types as T
+
+    from financial_data_engineering_spark.sources.rest_datasource import (
+        RestReader,
+    )
+
+    schema = T.StructType([T.StructField("kind", T.StringType())])
+    opts = {
+        "url": "http://unit.test/",
+        "param_map": json.dumps(
+            {"kind": {"eq": "kind", "in": "kinds", "gte": "min_kind"}}
+        ),
+    }
+    r = RestReader(schema, dict(opts))
+    returned = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("kind",), "5"),
+                GreaterThanOrEqual(("kind",), "9"),  # same param key
+                EqualTo(("kind",), "a"),
+            ]
+        )
+    )
+    # first gte claimed; duplicate yielded back; eq claimed (own key)
+    assert r.pushed_params == {"min_kind": "5", "kind": "a"}
+    assert returned == [GreaterThanOrEqual(("kind",), "9")]
+
+    r2 = RestReader(schema, dict(opts))
+    comma_in = In(("kind",), ("a,b", "c"))
+    # a value containing the list delimiter is ambiguous server-side —
+    # the whole filter stays with Spark
+    assert list(r2.pushFilters([comma_in])) == [comma_in]
+    assert r2.pushed_params == {}
+    r3 = RestReader(schema, dict(opts))
+    clean_in = In(("kind",), ("a", "c"))
+    assert list(r3.pushFilters([clean_in])) == []
+    assert r3.pushed_params == {"kinds": "a,c"}
 
 
 def test_missing_schema_and_url_raise(spark, api_server):
