@@ -56,7 +56,16 @@ def main() -> None:
     # bench drifted a uniform 1.19x on a loaded host and the artifact
     # couldn't prove it — with start/end 1-min loadavg in every history
     # entry, uniform drift is machine-distinguishable from regression.
-    load_start = _loadavg1()
+    # Round 12 makes the marker BINDING (the r11 artifact read 212 s at
+    # loadavg 9.4 and needed after-the-fact normalization to 172 s):
+    # above FDES_BENCH_LOADAVG_MAX (default 2.0 — same-code medians on
+    # this box drift <1.05x below that, 1.22x at 9.4) the run first
+    # waits for the host to drain (bounded, FDES_BENCH_LOADAVG_WAIT s,
+    # default 300, poll 30 s); if it never does, the run proceeds but
+    # the artifact and the summary line carry ``hot_host: true`` so the
+    # committed number is machine-flagged as non-comparable instead of
+    # silently polluting the round-over-round series.
+    load_start, hot_host = _wait_for_idle_host()
     spark = get_spark("bench")
 
     registry = q.all_queries()
@@ -285,6 +294,10 @@ def main() -> None:
         # the start number for neighbor noise, the pair for trend)
         "loadavg_start": load_start,
         "loadavg_end": _loadavg1(),
+        # True = ambient load stayed above FDES_BENCH_LOADAVG_MAX after
+        # the bounded wait; timings in this record are NOT comparable
+        # round-over-round (see module docstring variance note).
+        "hot_host": hot_host,
     }
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
@@ -310,6 +323,8 @@ def main() -> None:
         "queries": slowest,
         "detail": detail_rel,
     }
+    if hot_host:
+        payload["hot_host"] = True
     # The summary line is bounded (10 timings, not 95+) so it can never
     # outgrow the driver's tail-capture buffer again; compact separators
     # and a stopped session make it the absolute LAST stdout.
@@ -324,6 +339,39 @@ def _loadavg1() -> float | None:
         return round(os.getloadavg()[0], 2)
     except OSError:  # platform without loadavg
         return None
+
+
+def _wait_for_idle_host() -> tuple[float | None, bool]:
+    """Bounded wait for ambient 1-min loadavg to drop below
+    FDES_BENCH_LOADAVG_MAX (default 2.0). Returns (loadavg at the start
+    of the measured run, hot_host flag). Never blocks past
+    FDES_BENCH_LOADAVG_WAIT seconds (default 300) — a driver-run bench
+    must finish, so a persistently hot host is flagged, not fatal."""
+    threshold = float(os.environ.get("FDES_BENCH_LOADAVG_MAX", "2.0"))
+    budget = float(os.environ.get("FDES_BENCH_LOADAVG_WAIT", "300"))
+    load = _loadavg1()
+    if load is None or load <= threshold:
+        return load, False
+    deadline = time.monotonic() + budget
+    while time.monotonic() < deadline:
+        wait = min(30.0, max(0.0, deadline - time.monotonic()))
+        if wait == 0:
+            break
+        print(
+            f"bench: loadavg {load} > {threshold}, waiting {wait:.0f}s "
+            "for the host to drain",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+        load = _loadavg1()
+        if load is None or load <= threshold:
+            return load, False
+    print(
+        f"bench: host still hot (loadavg {load}) after {budget:.0f}s — "
+        "proceeding; artifact will carry hot_host: true",
+        file=sys.stderr,
+    )
+    return load, True
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -9,13 +9,18 @@ them batch-at-a-time, and partitioning controls how many decodes run per
 task.
 
 DECODER STATUS: this container ships no image/audio libraries, so the
-actual pixel/sample decode is STUBBED. ``decode_media`` uses a
+compressed-codec decode is STUBBED. ``decode_media`` uses a
 clearly-marked **deterministic fake** (metadata derived from the MD5 of
-the payload bytes) unless ``require_real=True``, which raises
-``NotImplementedError`` pointing at the PIL/ffmpeg integration seam. All
-the Spark-side plumbing — schemas, UDF signatures, Arrow batch shapes,
-1→N frame fan-out — is real and tested; swapping the fake for
-``PIL.Image.open(io.BytesIO(b))`` changes one inner function.
+the payload bytes) by default; ``require_real=True`` decodes REAL
+pixels through the pure-Python fixture codecs in :mod:`.codecs`
+(uncompressed PPM/BMP — public, header-only formats), so the
+decode→features→resize path executes end-to-end in this sandbox.
+Containers outside the fixture set (PNG/JPEG/video) raise
+``NotImplementedError`` (via :class:`.codecs.UnsupportedMediaError`)
+at the same PIL/ffmpeg integration seam as before. All the Spark-side
+plumbing — schemas, UDF signatures, Arrow batch shapes, 1→N frame
+fan-out — is shared between the fake and real paths; swapping in
+``PIL.Image.open(io.BytesIO(b))`` widens one dispatch function.
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from financial_data_engineering_spark.llm import codecs as _codecs
 
 #: A media value: payload + container type + source-asserted metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -74,27 +81,48 @@ def _fake_decode(payload: bytes | None) -> tuple[int, int, int, str] | None:
     return width, height, n_frames, fmt
 
 
+def _real_decode(
+    payload: bytes | None, mime: str | None
+) -> tuple[int, int, int, str] | None:
+    """REAL header+pixel decode through the fixture codecs (PPM/BMP).
+    Still images have exactly one frame. Containers outside the fixture
+    set raise :class:`.codecs.UnsupportedMediaError` (a
+    NotImplementedError) — the task fails honestly at the PIL/ffmpeg
+    seam instead of returning fabricated metadata."""
+    if payload is None:
+        return None
+    w, h, _, fmt = _codecs.decode(mime, bytes(payload))
+    return w, h, 1, fmt
+
+
 def decode_media(
     df: DataFrame, media_col: str = "media", *, require_real: bool = False
 ) -> DataFrame:
     """Append decoded metadata columns (width/height/n_frames/format) via
     ``mapInPandas``. Batch contract: input batches keep every source
     column; output batches append the four decoded columns, one output row
-    per input row (decode is 1→1; see :func:`sample_frames` for 1→N)."""
-    if require_real:
-        raise NotImplementedError(
-            "Real media decoding needs PIL/ffmpeg, not present in this "
-            "environment. Integration seam: replace _fake_decode in "
-            "llm/multimodal.py; the Spark plumbing is decode-agnostic."
-        )
+    per input row (decode is 1→1; see :func:`sample_frames` for 1→N).
+
+    ``require_real=True`` parses REAL headers/pixels via the fixture
+    codecs (PPM/BMP); unsupported containers fail the task with
+    NotImplementedError at the codec seam."""
     out_schema = T.StructType(list(df.schema.fields) + list(DECODED_FIELDS.fields))
 
     def gen(batches):
         for pdf in batches:
-            decoded = [
-                _fake_decode(m["data"] if m is not None else None)
-                for m in pdf[media_col]
-            ]
+            if require_real:
+                decoded = [
+                    _real_decode(
+                        m["data"] if m is not None else None,
+                        m["mime"] if m is not None else None,
+                    )
+                    for m in pdf[media_col]
+                ]
+            else:
+                decoded = [
+                    _fake_decode(m["data"] if m is not None else None)
+                    for m in pdf[media_col]
+                ]
             pdf = pdf.copy()
             pdf["width"] = [d[0] if d else None for d in decoded]
             pdf["height"] = [d[1] if d else None for d in decoded]
@@ -105,16 +133,46 @@ def decode_media(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """16-dim REAL pixel statistics, all in [0, 1): per-channel means
+    (3), overall brightness mean (1), and a 4-bin histogram per channel
+    (12; bin = value // 64). Integer sums divided once at the end, so
+    the vector is exactly replayable from the same pixels — the
+    pixel-exact contract the fixture-codec tests assert."""
+    n_px = width * height
+    sums = [0, 0, 0]
+    bins = [[0] * 4 for _ in range(3)]
+    for i in range(0, 3 * n_px, 3):
+        for c in range(3):
+            v = rgb[i + c]
+            sums[c] += v
+            bins[c][v >> 6] += 1
+    feats = [sums[c] / (255.0 * n_px) for c in range(3)]
+    feats.append(sum(sums) / (3 * 255.0 * n_px))
+    for c in range(3):
+        feats.extend(bins[c][k] / n_px for k in range(4))
+    return feats
+
+
 def extract_features(
     df: DataFrame,
     media_col: str = "media",
     feature_col: str = "features",
     dim: int = FEATURE_DIM,
+    *,
+    require_real: bool = False,
 ) -> DataFrame:
     """Append a ``array<float>`` feature vector per media row (the
-    embed-everything step before similarity search). DETERMINISTIC FAKE
-    features: the MD5 digest bytes scaled to [0,1) — a stand-in for a real
-    vision/audio encoder with the same UDF signature and batch shape."""
+    embed-everything step before similarity search). Default is the
+    DETERMINISTIC FAKE: MD5 digest bytes scaled to [0,1) — a stand-in
+    for a real vision/audio encoder with the same UDF signature and
+    batch shape. ``require_real=True`` computes :func:`pixel_features`
+    from REAL pixels via the fixture codecs (dim must be 16);
+    unsupported containers fail at the codec seam."""
+    if require_real and dim != FEATURE_DIM:
+        raise ValueError(
+            f"real pixel features are exactly {FEATURE_DIM}-dim, got {dim}"
+        )
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(feature_col, T.ArrayType(T.FloatType()))]
@@ -127,8 +185,12 @@ def extract_features(
                 if m is None or m["data"] is None:
                     feats.append(None)
                     continue
-                digest = hashlib.md5(bytes(m["data"])).digest()
-                feats.append([digest[i % 16] / 256.0 for i in range(dim)])
+                if require_real:
+                    w, h, rgb, _ = _codecs.decode(m["mime"], bytes(m["data"]))
+                    feats.append(pixel_features(w, h, rgb))
+                else:
+                    digest = hashlib.md5(bytes(m["data"])).digest()
+                    feats.append([digest[i % 16] / 256.0 for i in range(dim)])
             pdf = pdf.copy()
             pdf[feature_col] = feats
             yield pdf
@@ -153,16 +215,13 @@ def resize_media(
     header. Aspect math is pure integer arithmetic (binding edge chosen by
     cross-multiplication), so output dims are engine-replayable.
 
-    DETERMINISTIC FAKE transcode: the resized payload is the MD5 of
-    (payload ‖ new dims) — a byte-stable stand-in with the same UDF
-    signature as a real ``PIL.Image.resize`` integration
-    (``require_real=True`` raises at the seam)."""
-    if require_real:
-        raise NotImplementedError(
-            "Real media resizing needs PIL/ffmpeg, not present in this "
-            "environment. Integration seam: replace the fake transcode in "
-            "resize_media; the Spark plumbing is codec-agnostic."
-        )
+    DETERMINISTIC FAKE transcode by default: the resized payload is the
+    MD5 of (payload ‖ new dims) — a byte-stable stand-in with the same
+    UDF signature as a real resize. ``require_real=True`` performs a
+    REAL integer nearest-neighbor resample via the fixture codecs and
+    re-encodes in the SAME container (PPM/BMP); unsupported containers
+    fail at the codec seam. Both paths share the aspect math and the
+    source_meta bookkeeping."""
     out_schema = df.schema
 
     def gen(batches):
@@ -173,7 +232,10 @@ def resize_media(
                     out.append(m)
                     continue
                 data = bytes(m["data"])
-                w, h, _, _ = _fake_decode(data)
+                if require_real:
+                    w, h, rgb, fmt = _codecs.decode(m["mime"], data)
+                else:
+                    w, h, _, _ = _fake_decode(data)
                 if w <= max_width and h <= max_height:
                     out.append(m)
                     continue
@@ -185,9 +247,13 @@ def resize_media(
                 else:
                     new_h = max_height
                     new_w = max(1, w * max_height // h)
-                fake = hashlib.md5(
-                    data + f"|{new_w}x{new_h}".encode()
-                ).digest()
+                if require_real:
+                    resized = _codecs.resize_nearest(w, h, rgb, new_w, new_h)
+                    payload = _codecs.encode(new_w, new_h, resized, fmt)
+                else:
+                    payload = hashlib.md5(
+                        data + f"|{new_w}x{new_h}".encode()
+                    ).digest()
                 meta = dict(m["source_meta"] or {})
                 meta.update(
                     {
@@ -197,7 +263,7 @@ def resize_media(
                     }
                 )
                 out.append(
-                    {"data": fake, "mime": m["mime"], "source_meta": meta}
+                    {"data": payload, "mime": m["mime"], "source_meta": meta}
                 )
             pdf = pdf.copy()
             pdf[media_col] = out

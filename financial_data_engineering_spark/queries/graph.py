@@ -220,14 +220,27 @@ def part_copurchase_cheapest_path(
         FROM lineitem
     ),
     e AS MATERIALIZED (
-        SELECT DISTINCT a.item AS a, b.item AS b
-        FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        SELECT a.item AS src, b.item AS dst
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    deg AS MATERIALIZED (
+        SELECT src AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+    ),
+    o AS MATERIALIZED (
+        SELECT e.src, e.dst, dd.deg AS ddeg
+        FROM e
+        JOIN deg ds ON ds.n = e.src
+        JOIN deg dd ON dd.n = e.dst
+        WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
     ),
     tri AS MATERIALIZED (
-        SELECT ab.a AS x, ab.b AS y, bc.b AS z
-        FROM e ab
-        JOIN e bc ON ab.b = bc.a
-        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        FROM o w1
+        JOIN o w2 ON w1.src = w2.src
+                 AND (w1.ddeg < w2.ddeg
+                      OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst))
+        JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
     ),
     corners AS (
         SELECT x AS node FROM tri
@@ -243,12 +256,21 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     local community-density signal (a part in many triangles sits in a
     tightly cross-sold cluster, not just a popular pair).
 
-    The Spark plan runs the degree-ordered orientation (wedge join
-    bounded by ~sqrt(|E|) out-degrees on ANY degree distribution —
-    operators/graph.py triangle_participation) while the oracle replays
-    the naive node-ordered a<b<c definition: the count is
-    orientation-invariant, so the gate verifies the scale-optimal
-    strategy against the textbook one instead of against itself."""
+    The Spark plan runs the degree-ordered orientation closed by
+    per-edge adjacency-array intersection (operators/graph.py
+    triangle_participation). The oracle builds the SAME (degree, node)
+    rank orientation — each undirected edge kept once, low rank → high
+    rank, so every triangle is enumerated exactly once at its
+    rank-minimal corner — but closes it relationally (rank-ordered
+    wedge join probing the oriented edge set), so the two halves still
+    compute the count through different executions. The oracle was
+    re-shaped from the naive a<b<c self-join in round 12 PLAN-ONLY
+    (hash-identical at sf0.01/sf0.1 before/after — the count is
+    orientation-invariant): the naive replay materialized the full
+    adjacency self-join and needed >173 GB memory+spill at sf10's
+    240M-edge frame (reports/bench/NOTES.md round-11 remediation),
+    while the oriented replay streams ~sqrt(|E|)-bounded wedges through
+    a hash probe — the same bound the operator exploits."""
     edges = shared_copurchase_edges(spark, sf_dir).select(
         "src", "dst"
     )

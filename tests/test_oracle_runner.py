@@ -52,6 +52,45 @@ def test_retry_preserves_table_views():
     assert rows[0][0] > 0
 
 
+def test_phrase_detection_recognizes_each_exemplar():
+    """The phrase-based arm of _is_resource_exhaustion exists because
+    DuckDB maps some exhaustion OUTSIDE the retryable classes (the r11
+    sf10 kcore oracle's "failed to pin block" arrived as a plain
+    duckdb.Error and silently bypassed the class check). Pin each
+    phrase against a synthetic exemplar, and the list's version
+    coupling against the pinned DuckDB (requirements.txt duckdb==) —
+    a version bump must consciously re-verify the wording, not
+    silently un-detect the bypass."""
+    from tools.check_correctness import (
+        _RESOURCE_PHRASES,
+        _is_resource_exhaustion,
+    )
+
+    exemplars = [
+        "failed to pin block of size 256.0 KiB (37.2 GiB/37.2 GiB used)",
+        "Out of Memory Error: could not allocate block",
+        "IO Error: No space left on device",
+        "failed to offload data block: max_temp_directory_size exceeded",
+    ]
+    for msg in exemplars:
+        assert _is_resource_exhaustion(duckdb.Error(msg)), msg
+    # every declared phrase is covered by an exemplar above
+    for phrase in _RESOURCE_PHRASES:
+        assert any(phrase in m for m in exemplars), phrase
+    # non-duckdb and semantic errors stay out
+    assert not _is_resource_exhaustion(ValueError(exemplars[0]))
+    assert not _is_resource_exhaustion(
+        duckdb.Error("Binder Error: no_such_column not found")
+    )
+    # the wording was verified against this exact version; on a bump,
+    # re-provoke the r11 failure modes before widening this assert
+    assert duckdb.__version__ == "1.0.0", (
+        "DuckDB version changed — re-verify _RESOURCE_PHRASES wording "
+        "against the new version, then update this pin and "
+        "requirements.txt together"
+    )
+
+
 def test_non_resource_errors_do_not_retry():
     """Only the exhaustion class escalates: a semantic error must raise
     immediately (a retry would mask a broken oracle as slow)."""
