@@ -53,6 +53,17 @@ LPA_ROUNDS = 4
 KCORE_K = 70
 KCORE_ROUNDS = 4
 
+#: Oracle unroll depth for the EXACT k-core query: peeling is monotone
+#: and idempotent at the fixpoint, so an unrolled oracle with AT LEAST
+#: (fixpoint peel rounds + 1 no-change witness round) replays the exact
+#: core — extra rounds are no-ops. Measured fixpoint ``_last_rounds``
+#: at k=KCORE_K over the co-purchase graph (round 12): sf0.001 -> 8,
+#: sf0.01 -> 3, sf0.1 -> 4; sf1/sf10 are key-offset replicas of sf0.1
+#: (disjoint copies of its graph), so their round count equals sf0.1's.
+#: 8 covers the whole SF ladder; the registry test pins convergence
+#: within this depth so a data change that outgrows it fails loudly.
+KCORE_EXACT_UNROLL = 8
+
 
 def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Weighted co-occurrence edges: (src, dst, w) where ``w`` counts the

@@ -25,6 +25,7 @@ GATE_WINDOW_INPUTS = {
 }
 
 GATE_WINDOW = [
+    "part_copurchase_kcore_exact",  # never
     "ann_ivf_cosine",  # r8
     "kmv_distinct_customers",  # r8
     "kmv_priority_union",  # r8

@@ -506,3 +506,32 @@ def test_kcore_exact_raises_when_chain_outruns_max_iters(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore_exact(edf, k=2, max_iters=3).collect()
+
+
+def test_kcore_exact_query_converges_within_oracle_unroll(spark):
+    """part_copurchase_kcore_exact's oracle unrolls KCORE_EXACT_UNROLL
+    rounds; idempotence past the fixpoint makes that exact ONLY if the
+    operator converges within the unroll at every oracle SF. Pin the
+    invariant at the test SFs (sf0.001 is the measured worst case, 8
+    rounds) — data drift that outgrows the unroll fails here AND
+    raises loudly in the query itself (max_iters = the unroll)."""
+    from financial_data_engineering_spark.operators.graph import (
+        KCORE_EXACT_UNROLL,
+        kcore_exact,
+    )
+    from financial_data_engineering_spark.queries.graph import (
+        part_copurchase_kcore_exact,
+        release_shared_edges,
+    )
+    from tests.conftest import SF_MEDIUM, SF_SMALL
+
+    for sf_dir, worst_case in ((SF_SMALL, 8), (SF_MEDIUM, 3)):
+        rows = part_copurchase_kcore_exact(spark, sf_dir)
+        n = rows.count()
+        assert kcore_exact._last_rounds == worst_case
+        assert kcore_exact._last_rounds <= KCORE_EXACT_UNROLL
+        # every survivor satisfies the defining core property
+        assert all(
+            r["core_degree"] >= 70 for r in rows.collect()
+        ) or n == 0
+    release_shared_edges()

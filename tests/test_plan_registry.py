@@ -350,6 +350,10 @@ SHUFFLE_BUDGET = {
     # shape); returned plan is the survivor-degree agg + presentation
     # sort
     "part_copurchase_kcore": 2,
+    # fixpoint peeling runs against materialized inputs (same shape as
+    # the bounded variant); returned plan is the survivor-degree agg +
+    # presentation sort
+    "part_copurchase_kcore_exact": 2,
     # per-user lead window + rollup reusing its partitioning + sort
     "user_value_twap": 2,
     "order_week_shipments": 3,
