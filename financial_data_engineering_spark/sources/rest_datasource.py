@@ -59,6 +59,13 @@ sampling inference — a production scan must not spend a request on
 schema guessing. Values are drawn from each record dict by FIELD NAME
 and coerced with the same tolerant casts the record normalizer uses
 (int/float/str; absent keys → NULL).
+
+Streaming twin (``spark.readStream.format("fdes_rest")``): micro-batch
+polling over the same paginated contract — page-number offsets, one
+driver probe per trigger for the server's record count (``total_path``
+option), a ``max_pages_per_trigger`` throttle, executor-side page
+partitions through the same retry ladder. Full offset/replay contract
+in :class:`RestStreamReader`.
 """
 
 from __future__ import annotations
@@ -69,6 +76,7 @@ from typing import Any, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThanOrEqual,
@@ -199,22 +207,193 @@ class RestReader(DataSourceReader):
     def read(self, partition: PagePartition) -> Iterator[tuple]:
         # Executor-side: one request per partition through the shared
         # retry ladder; a failed page fails the task (no silent shrink).
+        fields = [(f.name, f.dataType) for f in self.schema.fields]
+        for rec in _fetch_page(self.url, partition.params, self.records_path):
+            yield tuple(_coerce(rec.get(name), dt) for name, dt in fields)
+
+
+def _fetch_page(
+    url: str, params: dict[str, str], records_path: str
+) -> list:
+    """One HTTP GET through the shared executor retry ladder, unwrapped
+    to the record list. Used by both the batch partition read and the
+    streaming driver probe (same ladder: a lost request raises, never
+    silently shrinks)."""
+    import requests
+
+    from financial_data_engineering_spark.sources.base_client import (
+        executor_get,
+    )
+
+    with requests.Session() as sess:
+        payload = executor_get(sess, url, params)
+    return _walk(payload, records_path)
+
+
+class StreamPagePartition(InputPartition):
+    """One page request plus the global-record-index window [lo, hi)
+    this partition owns. The window matters when a batch boundary fell
+    inside a page: a previously PARTIAL page is re-fetched by the next
+    batch and trimmed to only the records past the committed cursor —
+    page-number offsets alone would silently skip rows appended to that
+    page (found by test: row 6 landing in already-consumed page 3)."""
+
+    def __init__(self, params: dict[str, str], lo: int, hi: int, size: int):
+        self.params = params
+        self.lo = lo
+        self.hi = hi
+        self.size = size
+
+
+class RestStreamReader(DataSourceStreamReader):
+    """Micro-batch polling twin of :class:`RestReader` (SURVEY §2.A2's
+    streaming analog): the offset is a RECORD CURSOR (count of records
+    consumed from the head of a cursor-paged, APPEND-ONLY collection),
+    so replay is deterministic exactly when the server never reorders
+    or rewrites records before the cursor — the contract every
+    offset-based replay over an external collection carries. A record
+    cursor, not a page number: a batch boundary can fall mid-page, and
+    the next batch must re-fetch that page and keep only the tail
+    (records appended to a partial page after it was read).
+
+    Per trigger, the driver makes ONE probe request (page 1) and reads
+    the total record count from ``total_path`` (dot path into the
+    envelope, e.g. ``meta.n``); the batch end is min(total, cursor +
+    max_pages_per_trigger * page_size) — the ``maxOffsetsPerTrigger``
+    throttle, so a cold start against a deep collection drains in
+    bounded, rate-limited batches instead of one thundering fan-out.
+    The cursor range is carved into page-aligned
+    :class:`StreamPagePartition`s read EXECUTOR-side through the retry
+    ladder (the driver never proxies payload bytes; same placement as
+    the batch reader). Poll cadence is the query's trigger interval —
+    rate limiting beyond the per-trigger cap belongs to the trigger,
+    not the source.
+
+    Streaming-only required options: ``page_param``, ``page_size_param``
+    + ``page_size``, ``total_path``. No filter pushdown here (the
+    Python DS streaming API has no pushFilters hook as of PySpark 4.1 —
+    filters stay Spark-side, still correct).
+    """
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.url = options.get("url")
+        if not self.url:
+            raise ValueError(f"{FORMAT_NAME}: 'url' option is required")
+        self.records_path = options.get("records_path", "")
+        self.page_param = options.get("page_param")
+        self.page_size_param = options.get("page_size_param")
+        self.page_size = int(options.get("page_size", "0") or "0")
+        self.total_path = options.get("total_path")
+        if not (
+            self.page_param
+            and self.page_size_param
+            and self.page_size > 0
+            and self.total_path
+        ):
+            raise ValueError(
+                f"{FORMAT_NAME} streaming needs page_param, "
+                "page_size_param, page_size and total_path (offsets are "
+                "page numbers; the driver probe reads the total count)"
+            )
+        self.max_pages_per_trigger = int(
+            options.get("max_pages_per_trigger", "10")
+        )
+        self.base_params: dict[str, str] = {
+            k: str(v) for k, v in json.loads(options.get("params", "{}")).items()
+        }
+
+    def initialOffset(self) -> dict:
+        return {"cursor": 0}  # records consumed from the head; 0 = none
+
+    def _probe_total(self) -> int:
+        """Driver-side: ONE request for page 1, following ``total_path``
+        through the raw payload to the collection's record count."""
         import requests
 
         from financial_data_engineering_spark.sources.base_client import (
             executor_get,
         )
 
+        params = dict(self.base_params)
+        params[self.page_param] = "1"
+        params[self.page_size_param] = str(self.page_size)
         with requests.Session() as sess:
-            payload = executor_get(sess, self.url, partition.params)
+            payload = executor_get(sess, self.url, params)
+        node: Any = payload
+        for step in self.total_path.split("."):
+            node = node[int(step)] if isinstance(node, list) else node[step]
+        return int(node)
+
+    def latestOffset(self) -> dict:
+        start = getattr(self, "_last_offset", None)
+        # latestOffset is called once per trigger with no args; track
+        # the previous end locally so the per-trigger cap is relative
+        # (Spark replays committed offsets through partitions(), so
+        # this driver-local cursor only shapes batch SIZE, never data).
+        last = start["cursor"] if start else 0
+        total = self._probe_total()
+        capped = min(total, last + self.max_pages_per_trigger * self.page_size)
+        end = {"cursor": max(capped, last)}
+        self._last_offset = end
+        return end
+
+    def partitions(self, start: dict, end: dict) -> Sequence[StreamPagePartition]:
+        # Restart resync: after a checkpoint recovery the fresh reader's
+        # driver-local cursor is 0, so the first latestOffset() can trail
+        # the committed start — Spark compares offsets only by equality
+        # (they are opaque dicts) and would plan a "batch" for the
+        # regressed range. Emitting zero partitions makes that batch
+        # empty (never re-reads), and bumping the cursor to the
+        # committed start resyncs the per-trigger cap from the
+        # checkpoint's truth.
+        lo, hi = start["cursor"], end["cursor"]
+        self._last_offset = {"cursor": max(lo, hi)}
+        if hi <= lo:
+            return []
+        base = dict(self.base_params)
+        base[self.page_size_param] = str(self.page_size)
+        size = self.page_size
+        first_page = lo // size + 1
+        last_page = (hi - 1) // size + 1
+        return [
+            StreamPagePartition(
+                {**base, self.page_param: str(page)},
+                max(lo, (page - 1) * size),
+                min(hi, page * size),
+                size,
+            )
+            for page in range(first_page, last_page + 1)
+        ]
+
+    def read(self, partition: StreamPagePartition) -> Iterator[tuple]:
+        # Executor-side, same shape as the batch reader's read(). Each
+        # record's GLOBAL index is (page-1)*size + position-in-page;
+        # only [lo, hi) is this partition's — re-fetched rows before lo
+        # were emitted by the batch that committed the cursor there.
         fields = [(f.name, f.dataType) for f in self.schema.fields]
-        for rec in _walk(payload, self.records_path):
-            yield tuple(_coerce(rec.get(name), dt) for name, dt in fields)
+        page = int(partition.params[self.page_param])
+        base_idx = (page - 1) * partition.size
+        recs = _fetch_page(self.url, partition.params, self.records_path)
+        for i, rec in enumerate(recs):
+            gidx = base_idx + i
+            if partition.lo <= gidx < partition.hi:
+                yield tuple(
+                    _coerce(rec.get(name), dt) for name, dt in fields
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to ack server-side; offsets live in the checkpoint
+
+    def stop(self) -> None:
+        pass
 
 
 class RestDataSource(DataSource):
-    """``spark.read.format("fdes_rest")`` entry point (module docstring
-    has the full option/pushdown contract)."""
+    """``spark.read.format("fdes_rest")`` / ``spark.readStream.format(
+    "fdes_rest")`` entry point (module docstring has the full option/
+    pushdown contract; RestStreamReader's docstring has the streaming
+    offset contract)."""
 
     @classmethod
     def name(cls) -> str:
@@ -231,6 +410,9 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> RestReader:
         return RestReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> RestStreamReader:
+        return RestStreamReader(schema, dict(self.options))
 
 
 def register_rest_datasource(spark) -> None:
