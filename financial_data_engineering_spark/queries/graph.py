@@ -236,18 +236,13 @@ def part_copurchase_cheapest_path(
         JOIN deg dd ON dd.n = e.dst
         WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
     ),
-    tri AS MATERIALIZED (
-        SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+    corners AS (
+        SELECT unnest([w1.src, w1.dst, w2.dst]) AS node
         FROM o w1
         JOIN o w2 ON w1.src = w2.src
                  AND (w1.ddeg < w2.ddeg
                       OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst))
         JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
-    ),
-    corners AS (
-        SELECT x AS node FROM tri
-        UNION ALL SELECT y FROM tri
-        UNION ALL SELECT z FROM tri
     )
     SELECT node AS partkey, count(*) AS n_triangles
     FROM corners GROUP BY 1 ORDER BY 1
@@ -272,7 +267,11 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency self-join and needed >173 GB memory+spill at sf10's
     240M-edge frame (reports/bench/NOTES.md round-11 remediation),
     while the oriented replay streams ~sqrt(|E|)-bounded wedges through
-    a hash probe — the same bound the operator exploits."""
+    a hash probe — the same bound the operator exploits. The triangle
+    corners unnest INSIDE the closing join's select (one streaming
+    pass into a |V|-group aggregate): a MATERIALIZED triangle list is
+    itself output-size-unbounded (billions of rows at sf10 — it alone
+    refilled the 76 GB spill disk in the first r12 attempt)."""
     edges = shared_copurchase_edges(spark, sf_dir).select(
         "src", "dst"
     )
