@@ -27,7 +27,7 @@ docker-run:
 check:
 	python tools/check_correctness.py /root/testdata/sf0.01
 
-# The 43-query scale-sensitive spot set at the sf10 replica, with the
+# The 54-query scale-sensitive spot set at the sf10 replica, with the
 # memory envelope the r10 marathon mapped (NOTES.md): 64g heap,
 # DISK_ONLY materialized rounds, 40GB oracle cap (auto-retry escalates
 # further on oracle resource exhaustion). Build the replica first:

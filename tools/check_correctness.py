@@ -182,6 +182,14 @@ class OracleRunner:
             mem or os.environ.get("FDES_DUCKDB_MEM", "32GB"), temp
         )
 
+    #: class-level counter so every connection gets its OWN spill
+    #: subdirectory: after a No-space failure, the old connection's
+    #: destructor and the escalated connection raced on the SHARED
+    #: dir's temp files and DuckDB 1.0 aborted the whole process from
+    #: a C++ destructor (std::terminate — not catchable from Python;
+    #: observed in the r12 sf10 triangles retry).
+    _conn_seq = 0
+
     def _connect(self, mem: str, temp_size: str | None):
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{mem}'")
@@ -189,8 +197,10 @@ class OracleRunner:
         # missing parent fails the first spill with "IO Error: Failed
         # to create directory" (the r10 sf10 kcore oracle died on this
         # after a clean checkout dropped the ignored .tmp/).
-        os.makedirs(".tmp/duckdb_spill", exist_ok=True)
-        con.execute("SET temp_directory='.tmp/duckdb_spill'")
+        OracleRunner._conn_seq += 1
+        spill = f".tmp/duckdb_spill/c{os.getpid()}_{OracleRunner._conn_seq}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
         if temp_size:
             con.execute(f"SET max_temp_directory_size='{temp_size}'")
         for t in TPCH_TABLES:
