@@ -1,0 +1,129 @@
+"""Split-process variant of the correctness gate for huge-SF oracle
+evidence runs.
+
+check_correctness.py runs both halves in ONE process, so the Spark
+JVM's shuffle/blockmgr files (~60 GB on an sf10 graph query under
+FDES_MATERIALIZE_LEVEL=DISK_ONLY) still occupy /tmp while the DuckDB
+oracle spills into the SAME ~78 GB disk — at sf10 the two cannot
+coexist (three round-12 triangles attempts died on "No space left on
+device" with a correct, bounded oracle plan). This tool runs the
+Spark half in a SUBPROCESS that exits (freeing every Spark temp file)
+before the oracle starts, giving DuckDB the whole disk.
+
+The comparison is check_correctness's own: same value_hash, same
+dtype-class checks, same STRICT float repr, same OracleRunner retry
+ladder — only the process boundary differs, and the verdict line says
+``split-gate`` so a log reader can tell which apparatus produced it.
+
+Usage:
+    python tools/split_gate.py [--strict] SF_DIR QUERY [QUERY...]
+    # env: SPARK_DRIVER_MEMORY / FDES_MATERIALIZE_LEVEL for the Spark
+    # half; FDES_DUCKDB_MEM / FDES_DUCKDB_MEM_RETRY for the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def spark_phase(sf_dir: str, name: str, out_path: str, strict: bool) -> None:
+    """Subprocess entry: run ONE query's Spark half, pickle
+    (cols, dtypes, rows), exit — taking every Spark temp file with it."""
+    from financial_data_engineering_spark import queries as q
+    from financial_data_engineering_spark.session import get_spark
+
+    spark = get_spark("split-gate-spark")
+    level = os.environ.get("FDES_MATERIALIZE_LEVEL")
+    if level:
+        spark.conf.set("spark.fdes.materialize.storageLevel", level)
+    fn = q.all_queries()[name]
+    sdf = fn(spark, sf_dir)
+    payload = {
+        "cols": sdf.columns,
+        "dtypes": sdf.dtypes,
+        "rows": [tuple(r) for r in sdf.collect()],
+    }
+    with open(out_path, "wb") as f:
+        pickle.dump(payload, f)
+    spark.stop()
+
+
+def oracle_phase(sf_dir: str, name: str, in_path: str, strict: bool) -> bool:
+    """Run the oracle against the saved Spark half; print the verdict."""
+    import tools.check_correctness as cc
+
+    cc.STRICT = strict
+    from financial_data_engineering_spark import queries as q
+
+    with open(in_path, "rb") as f:
+        saved = pickle.load(f)
+    s_cols, s_dtypes, s_rows = saved["cols"], saved["dtypes"], saved["rows"]
+    runner = cc.OracleRunner(sf_dir)
+    o_cols, o_types, o_rows, retried = runner.run(q.all_oracles()[name])
+    if retried:
+        print(f"      {name}: oracle green after escalation retry")
+    problems = []
+    if len(s_rows) != len(o_rows):
+        problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"cols {sorted(s_cols)} vs {sorted(o_cols)}")
+    else:
+        problems.extend(cc._dtype_problems(s_dtypes, o_cols, o_types))
+        if cc.value_hash(s_rows, s_cols) != cc.value_hash(o_rows, o_cols):
+            problems.append("value hash mismatch")
+    if problems:
+        print(f"FAIL  {name} (split-gate): {'; '.join(problems)}")
+        return False
+    print(f"OK    {name} ({len(s_rows)} rows, split-gate)")
+    return True
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    strict = False
+    if args and args[0] == "--strict":
+        strict = True
+        args = args[1:]
+    if args and args[0] == "--spark-phase":
+        # internal re-entry: --spark-phase SF_DIR NAME OUT_PATH [--strict]
+        spark_phase(args[1], args[2], args[3], strict)
+        return 0
+    if len(args) < 2:
+        print(__doc__)
+        return 2
+    sf_dir, names = args[0], args[1:]
+    failures = 0
+    for name in names:
+        with tempfile.NamedTemporaryFile(
+            prefix=f"split_gate_{name}_", suffix=".pkl", delete=False
+        ) as tf:
+            out_path = tf.name
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if strict:
+                cmd.append("--strict")
+            cmd += ["--spark-phase", sf_dir, name, out_path]
+            rc = subprocess.run(cmd, cwd=os.getcwd()).returncode
+            if rc != 0:
+                print(f"FAIL  {name}: spark phase exited {rc}")
+                failures += 1
+                continue
+            if not oracle_phase(sf_dir, name, out_path, strict):
+                failures += 1
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+    print(f"\n{failures} failures" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
