@@ -37,6 +37,15 @@ check-sf10-spot:
 	python tools/check_correctness.py --strict /tmp/fdes_scaled/sf10 \
 	$$(grep -v '^#' tools/sf10_spot.txt)
 
+# Split-process gate for single heavy queries whose sf10 DuckDB replay
+# cannot share the 78GB disk with the Spark half's temp files (the
+# round-12 triangles saga — see tools/split_gate.py docstring).
+# Usage: make check-sf10-split Q=part_copurchase_triangles
+check-sf10-split:
+	SPARK_DRIVER_MEMORY=64g FDES_MATERIALIZE_LEVEL=DISK_ONLY \
+	FDES_DUCKDB_MEM=70GB FDES_DUCKDB_MEM_RETRY=85GB \
+	python tools/split_gate.py --strict /tmp/fdes_scaled/sf10 $(Q)
+
 # One-line JSON benchmark over every registered query.
 bench:
 	python bench.py
