@@ -431,10 +431,15 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     join; each triangle is found exactly once (at its rank-minimal
     corner), then credited to all three corners.
 
-    The count is orientation-invariant, so the SQL oracle can replay
-    the NAIVE node-ordered formulation — the gate then verifies the
-    optimized strategy against the textbook definition rather than
-    against itself. Joins shuffle on edge endpoints only; no collect.
+    The count is orientation-invariant, and was historically
+    cross-checked against the naive node-ordered oracle (r11) and the
+    materialized wedge-join oracle (r12) — both hash-identical. The
+    LIVE sf-ladder oracle (queries/graph.py) now replays this same
+    degree-ordered intersection formulation in a different engine:
+    independence there is engine-level plus the committed history, not
+    formulation-level (the naive and wedge shapes exceed the oracle
+    box's disk at sf10). Joins shuffle on edge endpoints only; no
+    collect.
     """
     # the edge frame feeds FIVE plan branches (two degree joins, both
     # wedge sides, the closure probe): materialize it once or the

@@ -22,59 +22,11 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r09.json": "820a2ddda5274b96",
     "CORRECTNESS_r10.json": "a2bb25f96e638674",
     "CORRECTNESS_r11.json": "f3afa12d3356b7f3",
+    "CORRECTNESS_r12.json": "3e0c9b3d55df9c2f",
 }
 
 GATE_WINDOW = [
-    "part_copurchase_kcore_exact",  # never
-    "ann_ivf_cosine",  # r8
-    "kmv_distinct_customers",  # r8
-    "kmv_priority_union",  # r8
-    "doc_text_stats",  # r8
-    "doc_lang_id",  # r8
-    "source_quality_rollup",  # r8
-    "doc_fingerprints",  # r8
-    "doc_bpe_tokens",  # r8
-    "doc_sample_stratified",  # r8
-    "doc_pack_bins",  # r8
-    "source_vocab_stats",  # r8
-    "top_bigrams",  # r8
-    "ann_pq_rerank",  # r9
-    "ann_ivfpq_rerank",  # r9
-    "part_copurchase_pagerank",  # r9
-    "customer_cdc_merge",  # r9
-    "lineitem_zorder_skipping",  # r9
-    "part_copurchase_triangles",  # r9
-    "part_copurchase_cheapest_path",  # r9
-    "doc_bm25_topk",  # r9
-    "part_association_rules",  # r9
-    "part_copurchase_communities",  # r9
-    "doc_repetition_flags",  # r9
-    "doc_chunks",  # r9
-    "tfidf_top_terms",  # r9
-    "pii_scrub_stats",  # r9
-    "doc_dense_ids",  # r9
-    "eval_contamination",  # r9
-    "dedup_simhash",  # r9
-    "dedup_embedding_cosine",  # r9
-    "dedup_winnowing",  # r9
-    "dedup_exact_survivors",  # r9
-    "dedup_minhash_lsh",  # r9
-    "dedup_ngram_jaccard",  # r9
-    "dedup_simhash_pairs",  # r9
-    "dedup_component_groups",  # r9
-    "user_sessions",  # r9
-    "events_value_histogram",  # r9
-    "user_retention_cohorts",  # r9
-    "multimodal_decode_stats",  # r9
-    "event_type_counts",  # r9
-    "customers_without_orders",  # r9
-    "top_part_nouns",  # r9
-    "customer_padded_keys",  # r9
-    "order_week_shipments",  # r9
-    "lineitem_price_quantiles",  # r9
-    "customer_overlapping_orders",  # r9
-    "shipping_priority_revenue",  # r9
-    "region_local_supplier_volume",  # r9
+    "multimodal_pixel_roundtrip",  # never
     "part_brand_vwap",  # r9
     "customer_order_gaps",  # r9
     "user_value_twap",  # r9
@@ -185,4 +137,54 @@ GATE_WINDOW = [
     "ann_lsh_cosine",  # r11
     "ann_lsh_multiprobe",  # r11
     "embedding_quantization_stats",  # r11
+    "part_copurchase_kcore_exact",  # r12
+    "ann_ivf_cosine",  # r12
+    "kmv_distinct_customers",  # r12
+    "kmv_priority_union",  # r12
+    "doc_text_stats",  # r12
+    "doc_lang_id",  # r12
+    "source_quality_rollup",  # r12
+    "doc_fingerprints",  # r12
+    "doc_bpe_tokens",  # r12
+    "doc_sample_stratified",  # r12
+    "doc_pack_bins",  # r12
+    "source_vocab_stats",  # r12
+    "top_bigrams",  # r12
+    "ann_pq_rerank",  # r12
+    "ann_ivfpq_rerank",  # r12
+    "part_copurchase_pagerank",  # r12
+    "customer_cdc_merge",  # r12
+    "lineitem_zorder_skipping",  # r12
+    "part_copurchase_triangles",  # r12
+    "part_copurchase_cheapest_path",  # r12
+    "doc_bm25_topk",  # r12
+    "part_association_rules",  # r12
+    "part_copurchase_communities",  # r12
+    "doc_repetition_flags",  # r12
+    "doc_chunks",  # r12
+    "tfidf_top_terms",  # r12
+    "pii_scrub_stats",  # r12
+    "doc_dense_ids",  # r12
+    "eval_contamination",  # r12
+    "dedup_simhash",  # r12
+    "dedup_embedding_cosine",  # r12
+    "dedup_winnowing",  # r12
+    "dedup_exact_survivors",  # r12
+    "dedup_minhash_lsh",  # r12
+    "dedup_ngram_jaccard",  # r12
+    "dedup_simhash_pairs",  # r12
+    "dedup_component_groups",  # r12
+    "user_sessions",  # r12
+    "events_value_histogram",  # r12
+    "user_retention_cohorts",  # r12
+    "multimodal_decode_stats",  # r12
+    "event_type_counts",  # r12
+    "customers_without_orders",  # r12
+    "top_part_nouns",  # r12
+    "customer_padded_keys",  # r12
+    "order_week_shipments",  # r12
+    "lineitem_price_quantiles",  # r12
+    "customer_overlapping_orders",  # r12
+    "shipping_priority_revenue",  # r12
+    "region_local_supplier_volume",  # r12
 ]

@@ -9,7 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from financial_data_engineering_spark.llm import codecs as _codecs
 from financial_data_engineering_spark.llm import multimodal as mm
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
@@ -72,6 +74,146 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * _wsum * 100 + n_media) div (2 * n_media)").alias("avg_width_e2"),
             F.expr("(2 * _hsum * 100 + n_media) div (2 * n_media)").alias("avg_height_e2"),
             F.col("n_png").cast("long").alias("n_png"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "multimodal_pixel_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, source,
+               6 + doc_id % 5 AS w,
+               4 + doc_id % 3 AS h
+        FROM documents
+    ),
+    rs AS (
+        SELECT doc_id, source, w, h,
+               CASE WHEN w * 4 >= h * 4 THEN 4
+                    ELSE greatest(1, (w * 4) // h) END AS rw,
+               CASE WHEN w * 4 >= h * 4 THEN greatest(1, (h * 4) // w)
+                    ELSE 4 END AS rh
+        FROM dims
+    ),
+    px AS (
+        SELECT rs.doc_id, rs.source, rs.w, rs.h, rs.rw, rs.rh,
+               sum((rs.doc_id * 131 + ((xs.x * rs.w) // rs.rw) * 7
+                    + ((ys.y * rs.h) // rs.rh) * 13 + cs.c * 59) % 256)
+                   AS psum
+        FROM rs
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) xs
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS y) ys
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) cs
+        WHERE xs.x < rs.rw AND ys.y < rs.rh
+        GROUP BY rs.doc_id, rs.source, rs.w, rs.h, rs.rw, rs.rh
+    )
+    SELECT source,
+           count(*) AS n_images,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(h) AS BIGINT) AS sum_h,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ppm,
+           CAST(sum(rw) AS BIGINT) AS sum_rw,
+           CAST(sum(rh) AS BIGINT) AS sum_rh,
+           CAST(sum(psum) AS BIGINT) AS pix_sum
+    FROM px
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel codec path, hash-gated end-to-end (no fake decode
+    anywhere): synthesize a deterministic raster per document — pixel
+    (x, y, c) = (doc_id·131 + 7x + 13y + 59c) mod 256, width 6+doc_id%5,
+    height 4+doc_id%3 — ENCODE it with the fixture codec (PPM for even
+    doc_ids, BMP for odd: both containers, including BMP's bottom-up row
+    order and stride padding, sit on the verified path), decode the
+    header/pixels back through ``decode_media(require_real=True)``,
+    nearest-neighbor-resize into a 4×4 box through
+    ``resize_media(require_real=True)`` (re-encoding in the same
+    container), then decode the RESIZED payload and checksum its RGB
+    bytes. The oracle replays the closed-form arithmetic — dims, binding
+    edge, floor-mapped source pixels, byte values — in SQL, so a single
+    wrong byte anywhere in encode→decode→resize→re-encode→decode flips
+    the hash. All integer outputs; plan is scan → four chained
+    Arrow-batched stages → one low-cardinality shuffle; payload bytes
+    never leave the executors."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("media", mm.MEDIA_SCHEMA),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 5, 4 + d % 3
+                rgb = bytes(
+                    (d * 131 + x * 7 + y * 13 + c * 59) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                fmt = "ppm" if d % 2 == 0 else "bmp"
+                media.append(
+                    {
+                        "data": _codecs.encode(w, h, rgb, fmt),
+                        "mime": "image/ppm" if fmt == "ppm" else "image/bmp",
+                        "source_meta": {},
+                    }
+                )
+            pdf = pdf[["doc_id", "source"]].copy()
+            pdf["media"] = media
+            yield pdf
+
+    decoded = mm.decode_media(
+        docs.mapInPandas(synth, schema=gen_schema), "media", require_real=True
+    )
+    resized = mm.resize_media(
+        decoded, "media", max_width=4, max_height=4, require_real=True
+    )
+    stats_schema = T.StructType(
+        list(resized.schema.fields)
+        + [
+            T.StructField("rw", T.IntegerType()),
+            T.StructField("rh", T.IntegerType()),
+            T.StructField("psum", T.LongType()),
+        ]
+    )
+
+    def resized_stats(batches):
+        for pdf in batches:
+            rws, rhs, psums = [], [], []
+            for m in pdf["media"]:
+                w, h, rgb, _ = _codecs.decode(m["mime"], bytes(m["data"]))
+                rws.append(w)
+                rhs.append(h)
+                psums.append(sum(rgb))
+            pdf = pdf.copy()
+            pdf["rw"] = rws
+            pdf["rh"] = rhs
+            pdf["psum"] = psums
+            yield pdf
+
+    return (
+        resized.mapInPandas(resized_stats, schema=stats_schema)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("width").cast("long")).alias("sum_w"),
+            F.sum(F.col("height").cast("long")).alias("sum_h"),
+            F.sum(
+                F.when(F.col("format") == "ppm", 1).otherwise(0)
+            ).alias("n_ppm"),
+            F.sum(F.col("rw").cast("long")).alias("sum_rw"),
+            F.sum(F.col("rh").cast("long")).alias("sum_rh"),
+            F.sum("psum").alias("pix_sum"),
         )
         .orderBy("source")
     )

@@ -344,10 +344,18 @@ class RestStreamReader(DataSourceStreamReader):
         # the committed start — Spark compares offsets only by equality
         # (they are opaque dicts) and would plan a "batch" for the
         # regressed range. Emitting zero partitions makes that batch
-        # empty (never re-reads), and bumping the cursor to the
-        # committed start resyncs the per-trigger cap from the
-        # checkpoint's truth.
+        # empty, and the committed start becomes a FLOOR every later
+        # batch clamps against: Spark commits the regressed end as that
+        # batch's offset, so the NEXT batch's start is the regressed
+        # value — without the clamp, its partitions would re-fetch and
+        # re-yield records below the pre-restart cursor (duplicates in
+        # the sink; caught by the kill-and-resume test).
         lo, hi = start["cursor"], end["cursor"]
+        if hi <= lo:
+            self._floor = max(getattr(self, "_floor", 0), lo)
+            self._last_offset = {"cursor": lo}
+            return []
+        lo = max(lo, getattr(self, "_floor", 0))
         self._last_offset = {"cursor": max(lo, hi)}
         if hi <= lo:
             return []

@@ -277,3 +277,15 @@ def test_hybrid_retrieval_pipeline(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{tmp_path}/fused_hits/*.parquet")
+
+
+def test_stream_rest_source_replay_properties(spark, tmp_path):
+    """The streaming REST example's three pinned properties: capped
+    drain of the seed rows, exactly-once tail pickup (including the
+    mid-page append), and a checkpoint restart that re-emits nothing."""
+    from examples.stream_rest_source import main
+
+    out = main(spark=spark, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert out["first_run"] == [1, 2, 3, 4, 5]
+    assert out["appended_run"] == [6, 7]  # item 6 landed on a consumed page
+    assert out["resumed"] == []  # restart floor: nothing re-emitted

@@ -52,6 +52,37 @@ def test_retry_preserves_table_views():
     assert rows[0][0] > 0
 
 
+def test_stale_spill_dirs_reaped_on_init():
+    """Spill subdirs stranded by DEAD pids are reclaimed when the next
+    runner starts; the live process's own dirs (and non-spill names)
+    are untouched — crashed-run spill must not shrink the 78GB shared
+    disk for every later gate."""
+    import os
+    import subprocess
+
+    from tools.check_correctness import SPILL_BASE, _reap_stale_spill_dirs
+
+    # a real pid that is provably dead: a subprocess that already exited
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    dead_dir = os.path.join(SPILL_BASE, f"c{dead.pid}_1")
+    own_dir = os.path.join(SPILL_BASE, f"c{os.getpid()}_999")
+    other = os.path.join(SPILL_BASE, "not_a_conn_dir")
+    for d in (dead_dir, own_dir, other):
+        os.makedirs(d, exist_ok=True)
+    with open(os.path.join(dead_dir, "spill.blk"), "wb") as f:
+        f.write(b"\0" * 128)
+    try:
+        _reap_stale_spill_dirs()
+        assert not os.path.exists(dead_dir), "dead-owner spill not reaped"
+        assert os.path.isdir(own_dir), "live process's dir was removed"
+        assert os.path.isdir(other), "non-conn dir was removed"
+    finally:
+        for d in (own_dir, other):
+            if os.path.isdir(d):
+                os.rmdir(d)
+
+
 def test_phrase_detection_recognizes_each_exemplar():
     """The phrase-based arm of _is_resource_exhaustion exists because
     DuckDB maps some exhaustion OUTSIDE the retryable classes (the r11

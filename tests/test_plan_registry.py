@@ -221,6 +221,7 @@ SHUFFLE_BUDGET = {
     "lineitem_measure_unpivot": 2,
     "multimodal_decode_stats": 2,
     "multimodal_frame_stats": 2,
+    "multimodal_pixel_roundtrip": 2,
     "multimodal_resize_stats": 2,
     "nation_latest_order_revenue": 2,
     "order_distinct_counts": 2,

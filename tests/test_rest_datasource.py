@@ -321,6 +321,69 @@ def test_stream_polls_pages_with_per_trigger_throttle(
         query.stop()
 
 
+def test_stream_restart_from_checkpoint_never_duplicates(
+    spark, growing_server, tmp_path
+):
+    """Kill-and-resume replay contract: run to a committed cursor LARGER
+    than one trigger's cap, stop, restart from the checkpoint, append.
+    A fresh reader's driver-local cursor is 0, so its first
+    latestOffset() regresses below the committed start; Spark commits
+    the regressed value as that empty batch's end, and the NEXT batch's
+    start is the regressed cursor — without the floor clamp in
+    partitions(), that batch re-fetches and re-yields rows the first
+    run already emitted (duplicates in the sink)."""
+    register_rest_datasource(spark)
+    first_run: list[int] = []
+    second_run: list[int] = []
+
+    def _stream():
+        return (
+            spark.readStream.format("fdes_rest")
+            .schema(SCHEMA)
+            .option("url", growing_server)
+            .option("records_path", "data")
+            .option("total_path", "meta.n")
+            .option("page_param", "page")
+            .option("page_size_param", "page_size")
+            .option("page_size", "2")
+            .option("max_pages_per_trigger", "1")  # cap 2 records/trigger
+            .load()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q1 = (
+        _stream()
+        .writeStream.foreachBatch(
+            lambda df, _: first_run.extend(r["item_id"] for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert sorted(first_run) == [1, 2, 3, 4, 5]  # committed cursor 5 > cap 2
+
+    _GrowingHandler.rows.append({"item_id": 6, "kind": "b", "score": 6.0})
+    _GrowingHandler.rows.append({"item_id": 7, "kind": "b", "score": 7.0})
+    q2 = (
+        _stream()
+        .writeStream.foreachBatch(
+            lambda df, _: second_run.extend(r["item_id"] for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # ONLY the appended tail — items 3..5 (below the pre-restart cursor,
+    # above the regressed offset) must not be re-emitted
+    assert sorted(second_run) == [6, 7]
+
+
 def test_stream_requires_paging_contract(spark, growing_server):
     # the contract error surfaces asynchronously through the stream
     # thread, so assert on the query's terminal exception

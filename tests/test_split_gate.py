@@ -1,0 +1,40 @@
+"""Split-process gate apparatus: the result-size guard.
+
+The tool exists for |V|-sized grouped oracle results; a fact-table
+query routed through it would re-introduce the very driver-memory and
+disk pressure the split exists to relieve. The guard must refuse —
+loudly, before pickling — instead of letting the failure masquerade as
+an apparatus (disk/OOM) error.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import tools.split_gate as sg
+from tests.conftest import SF_SMALL
+
+
+def test_over_cap_result_refused_before_pickling(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sg, "MAX_ROWS", 5)
+    out = str(tmp_path / "half.pkl")
+    # customer_padded_keys returns 10 rows (LIMIT 10) > the 5-row cap
+    with pytest.raises(SystemExit, match="exceeds 5 rows"):
+        sg.spark_phase(SF_SMALL, "customer_padded_keys", out)
+    assert not os.path.exists(out), "over-cap payload must not be written"
+
+
+def test_under_cap_result_pickled(spark, tmp_path, monkeypatch):
+    # spark_phase stops its (subprocess) session on exit; in-process the
+    # fixture session must survive for the rest of the suite
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "half.pkl")
+    sg.spark_phase(SF_SMALL, "event_type_counts", out)
+    import pickle
+
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["cols"] and payload["rows"]
+    assert len(payload["rows"]) <= sg.MAX_ROWS

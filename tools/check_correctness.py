@@ -144,6 +144,39 @@ def _is_resource_exhaustion(exc: Exception) -> bool:
     )
 
 
+#: Parent of every per-connection DuckDB spill subdirectory.
+SPILL_BASE = ".tmp/duckdb_spill"
+
+
+def _reap_stale_spill_dirs() -> None:
+    """Reclaim spill subdirs left by DEAD processes. Graceful closes
+    leave empty ``c<pid>_<seq>`` dirs; an aborted run (the DuckDB 1.0
+    std::terminate scenario the per-connection dirs exist for) strands
+    full spill files no later run reuses — on the 78 GB shared disk a
+    stranded multi-GB spill silently shrinks headroom for every
+    subsequent big gate. Best-effort: only dirs whose embedded pid is
+    provably not alive are removed; live gates are never touched."""
+    import re
+    import shutil
+
+    try:
+        entries = os.listdir(SPILL_BASE)
+    except OSError:
+        return
+    for entry in entries:
+        m = re.fullmatch(r"c(\d+)_\d+", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+            continue  # pid alive — its run may still be spilling
+        except ProcessLookupError:
+            pass  # dead owner: safe to reclaim
+        except PermissionError:
+            continue  # alive under another uid
+        shutil.rmtree(os.path.join(SPILL_BASE, entry), ignore_errors=True)
+
+
 class OracleRunner:
     """DuckDB oracle executor with a one-shot resource-escalation retry.
 
@@ -178,6 +211,7 @@ class OracleRunner:
         # ``temp`` caps the BASE connection's spill dir — unset in the
         # gate (unlimited); the forced-spill test uses it to provoke
         # the exhaustion class deterministically.
+        _reap_stale_spill_dirs()
         self.con = self._connect(
             mem or os.environ.get("FDES_DUCKDB_MEM", "32GB"), temp
         )
@@ -198,7 +232,7 @@ class OracleRunner:
         # to create directory" (the r10 sf10 kcore oracle died on this
         # after a clean checkout dropped the ignored .tmp/).
         OracleRunner._conn_seq += 1
-        spill = f".tmp/duckdb_spill/c{os.getpid()}_{OracleRunner._conn_seq}"
+        spill = f"{SPILL_BASE}/c{os.getpid()}_{OracleRunner._conn_seq}"
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET temp_directory='{spill}'")
         if temp_size:

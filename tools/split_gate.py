@@ -32,9 +32,19 @@ import tempfile
 sys.path.insert(0, ".")
 
 
-def spark_phase(sf_dir: str, name: str, out_path: str, strict: bool) -> None:
+#: Refuse to hand results bigger than this across the process boundary.
+#: This tool exists for |V|-sized grouped results (graph/rollup oracles);
+#: a fact-table-sized result would both strain driver memory and rewrite
+#: the pickled payload onto the very disk the split exists to relieve —
+#: fail loudly instead of masquerading as an apparatus failure.
+MAX_ROWS = int(os.environ.get("FDES_SPLIT_GATE_MAX_ROWS", "10000000"))
+
+
+def spark_phase(sf_dir: str, name: str, out_path: str) -> None:
     """Subprocess entry: run ONE query's Spark half, pickle
-    (cols, dtypes, rows), exit — taking every Spark temp file with it."""
+    (cols, dtypes, rows), exit — taking every Spark temp file with it.
+    Rows stream through ``toLocalIterator`` so the guard trips before
+    the driver materializes an over-cap result."""
     from financial_data_engineering_spark import queries as q
     from financial_data_engineering_spark.session import get_spark
 
@@ -44,10 +54,20 @@ def spark_phase(sf_dir: str, name: str, out_path: str, strict: bool) -> None:
         spark.conf.set("spark.fdes.materialize.storageLevel", level)
     fn = q.all_queries()[name]
     sdf = fn(spark, sf_dir)
+    rows: list[tuple] = []
+    for r in sdf.toLocalIterator():
+        rows.append(tuple(r))
+        if len(rows) > MAX_ROWS:
+            raise SystemExit(
+                f"split_gate: {name} exceeds {MAX_ROWS} rows — this tool "
+                "is for small (grouped) oracle results; run "
+                "check_correctness.py or raise FDES_SPLIT_GATE_MAX_ROWS "
+                "if the result genuinely fits the disk"
+            )
     payload = {
         "cols": sdf.columns,
         "dtypes": sdf.dtypes,
-        "rows": [tuple(r) for r in sdf.collect()],
+        "rows": rows,
     }
     with open(out_path, "wb") as f:
         pickle.dump(payload, f)
@@ -91,23 +111,31 @@ def main() -> int:
         strict = True
         args = args[1:]
     if args and args[0] == "--spark-phase":
-        # internal re-entry: --spark-phase SF_DIR NAME OUT_PATH [--strict]
-        spark_phase(args[1], args[2], args[3], strict)
+        # internal re-entry: --spark-phase SF_DIR NAME OUT_PATH
+        # (strict only affects the oracle comparison, not this half)
+        spark_phase(args[1], args[2], args[3])
         return 0
     if len(args) < 2:
         print(__doc__)
         return 2
     sf_dir, names = args[0], args[1:]
+    # Hand-off pickles live under the repo's .tmp (or TMPDIR), NOT the
+    # default /tmp — that is the same contended disk the Spark half
+    # just vacated, but .tmp is ours to clean and the result-size guard
+    # above bounds the payload anyway.
+    pickle_dir = os.environ.get("TMPDIR") or ".tmp"
+    os.makedirs(pickle_dir, exist_ok=True)
     failures = 0
     for name in names:
         with tempfile.NamedTemporaryFile(
-            prefix=f"split_gate_{name}_", suffix=".pkl", delete=False
+            prefix=f"split_gate_{name}_",
+            suffix=".pkl",
+            dir=pickle_dir,
+            delete=False,
         ) as tf:
             out_path = tf.name
         try:
             cmd = [sys.executable, os.path.abspath(__file__)]
-            if strict:
-                cmd.append("--strict")
             cmd += ["--spark-phase", sf_dir, name, out_path]
             rc = subprocess.run(cmd, cwd=os.getcwd()).returncode
             if rc != 0:
