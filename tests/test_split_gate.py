@@ -38,3 +38,19 @@ def test_under_cap_result_pickled(spark, tmp_path, monkeypatch):
         payload = pickle.load(f)
     assert payload["cols"] and payload["rows"]
     assert len(payload["rows"]) <= sg.MAX_ROWS
+
+
+def test_oracle_only_replays_saved_pickle(spark, tmp_path, monkeypatch):
+    """--oracle-only resumes from a saved Spark half: the oracle runs
+    and the verdict is green without re-running Spark (the recovery
+    path for killed sf10 oracle phases)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "half.pkl")
+    sg.spark_phase(SF_SMALL, "event_type_counts", out)
+    monkeypatch.setattr(
+        sg.sys,
+        "argv",
+        ["split_gate.py", "--strict", "--oracle-only", SF_SMALL,
+         "event_type_counts", out],
+    )
+    assert sg.main() == 0

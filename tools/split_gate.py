@@ -17,8 +17,18 @@ ladder — only the process boundary differs, and the verdict line says
 
 Usage:
     python tools/split_gate.py [--strict] SF_DIR QUERY [QUERY...]
+    python tools/split_gate.py [--strict] --oracle-only SF_DIR QUERY PKL
     # env: SPARK_DRIVER_MEMORY / FDES_MATERIALIZE_LEVEL for the Spark
     # half; FDES_DUCKDB_MEM / FDES_DUCKDB_MEM_RETRY for the oracle.
+
+``--oracle-only`` replays JUST the oracle against a previously saved
+Spark-half pickle (the spark phase leaves one behind when the oracle
+half is killed — SIGTERM skips the cleanup ``finally``). This is the
+resume path when an sf10 oracle needs a different DuckDB configuration
+(e.g. a no-spill memory cap once the whole box is free): the 10-60
+Spark minutes are not re-paid. The pickle must come from the SAME
+query at the SAME sf_dir and engine code — nothing cross-checks that
+beyond the embedded schema, so the caller owns that discipline.
 """
 
 from __future__ import annotations
@@ -115,6 +125,13 @@ def main() -> int:
         # (strict only affects the oracle comparison, not this half)
         spark_phase(args[1], args[2], args[3])
         return 0
+    if args and args[0] == "--oracle-only":
+        if len(args) != 4:
+            print(__doc__)
+            return 2
+        ok = oracle_phase(args[1], args[2], args[3], strict)
+        print("\nall green" if ok else "\n1 failures")
+        return 0 if ok else 1
     if len(args) < 2:
         print(__doc__)
         return 2
