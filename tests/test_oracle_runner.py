@@ -52,6 +52,33 @@ def test_retry_preserves_table_views():
     assert rows[0][0] > 0
 
 
+def test_dead_connection_rebuilds_transparently():
+    """A dead handle (the state a FAILED escalation leaves when even
+    the fresh connection's setup OOMs) must not poison later queries —
+    run() rebuilds at base caps and answers normally. Encodes the r13
+    sf10 cascade: one oracle OOM turned into seven
+    'Connection has already been closed' failures."""
+    runner = OracleRunner(SF_SMALL, mem="1GB", retry_mem="2GB")
+    runner.con.close()  # simulate the post-failed-escalation state
+    _, _, rows, retried = runner.run("SELECT count(*) AS n FROM nation")
+    assert rows[0][0] > 0 and not retried
+    # and the rebuilt connection persists
+    _, _, rows2, _ = runner.run("SELECT count(*) AS n FROM region")
+    assert rows2[0][0] > 0
+
+
+def test_failed_escalation_restores_usable_connection(monkeypatch):
+    """When the escalated retry itself fails, the query fails but the
+    NEXT query still runs (a fresh base connection was restored)."""
+    runner = OracleRunner(
+        SF_SMALL, mem="64MB", temp="1MB", retry_mem="96MB", retry_temp="1MB"
+    )
+    with pytest.raises(duckdb.Error):
+        runner.run(_SPILL_SQL)  # exhausts base AND the tiny retry caps
+    _, _, rows, _ = runner.run("SELECT count(*) AS n FROM nation")
+    assert rows[0][0] > 0
+
+
 def test_stale_spill_dirs_reaped_on_init():
     """Spill subdirs stranded by DEAD pids are reclaimed when the next
     runner starts; the live process's own dirs (and non-spill names)

@@ -212,9 +212,9 @@ class OracleRunner:
         # gate (unlimited); the forced-spill test uses it to provoke
         # the exhaustion class deterministically.
         _reap_stale_spill_dirs()
-        self.con = self._connect(
-            mem or os.environ.get("FDES_DUCKDB_MEM", "32GB"), temp
-        )
+        self._base_mem = mem or os.environ.get("FDES_DUCKDB_MEM", "32GB")
+        self._base_temp = temp
+        self.con = self._connect(self._base_mem, temp)
 
     #: class-level counter so every connection gets its OWN spill
     #: subdirectory: after a No-space failure, the old connection's
@@ -248,8 +248,21 @@ class OracleRunner:
         """Execute, escalating once on resource exhaustion.
 
         Returns (columns, type-strings, rows, retried).
+
+        Failure isolation: whatever happens to THIS query, the runner
+        leaves ``self.con`` usable for the next one. The r13 sf10 run
+        showed the cascade otherwise: a failed escalation (the fresh
+        connection's _connect itself OOMed after the old one was
+        closed) left a dead handle, and every later query in the gate
+        failed with "Connection has already been closed".
         """
         try:
+            rel = self.con.sql(sql)
+            return rel.columns, [str(t) for t in rel.types], rel.fetchall(), False
+        except duckdb.ConnectionException:
+            # dead handle from a previous query's failed escalation —
+            # rebuild at base caps and run this query normally
+            self.con = self._connect(self._base_mem, self._base_temp)
             rel = self.con.sql(sql)
             return rel.columns, [str(t) for t in rel.types], rel.fetchall(), False
         except duckdb.Error as exc:
@@ -264,9 +277,28 @@ class OracleRunner:
                 self.con.close()
             except Exception:  # noqa: BLE001 — already-invalidated handle
                 pass
-            self.con = self._connect(self.retry_mem, self.retry_temp)
-            rel = self.con.sql(sql)
-            return rel.columns, [str(t) for t in rel.types], rel.fetchall(), True
+            try:
+                self.con = self._connect(self.retry_mem, self.retry_temp)
+                rel = self.con.sql(sql)
+                return (
+                    rel.columns,
+                    [str(t) for t in rel.types],
+                    rel.fetchall(),
+                    True,
+                )
+            except Exception:
+                # escalation failed too: restore a base-caps connection
+                # so the NEXT query is not poisoned, then report this
+                # one's failure honestly
+                try:
+                    self.con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    self.con = self._connect(self._base_mem, self._base_temp)
+                except Exception:  # noqa: BLE001 — next run() retries
+                    pass
+                raise
 
 
 def main() -> int:

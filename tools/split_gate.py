@@ -159,7 +159,13 @@ def main() -> int:
                 print(f"FAIL  {name}: spark phase exited {rc}")
                 failures += 1
                 continue
-            if not oracle_phase(sf_dir, name, out_path, strict):
+            try:
+                if not oracle_phase(sf_dir, name, out_path, strict):
+                    failures += 1
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                # an oracle crash (e.g. an untracked std::bad_alloc)
+                # must not abort the remaining queries' evidence runs
+                print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
                 failures += 1
         finally:
             try:
