@@ -7,14 +7,17 @@ the ``meta.n`` envelope — the contract RestStreamReader's record-cursor
 offsets require), then demonstrates the three replay properties the
 connector tests pin:
 
-  1. bounded drain: a cold start against a deep collection arrives in
-     per-trigger capped micro-batches (``max_pages_per_trigger``), not
-     one thundering fan-out;
+  1. paced polling: once the reader knows its cursor, each trigger
+     is capped at ``max_pages_per_trigger`` pages (the very FIRST
+     batch is uncapped by design — the reader's first offset must be
+     the collection total, never a guess that could regress below a
+     checkpointed cursor);
   2. tail pickup: rows appended after a batch committed — including
      rows landing INSIDE an already-consumed partial page — arrive
      exactly once (record-cursor offsets re-fetch and trim the page);
   3. restart safety: resuming from the checkpoint after a stop never
-     re-emits committed records (the regressed-offset floor clamp).
+     re-emits committed records (monotone restart offsets — the first
+     post-restart end is the collection total, never a regressed cap).
 
 Every payload byte is fetched EXECUTOR-side through the shared retry
 ladder; the driver sends one probe request per trigger. On a real
@@ -121,14 +124,14 @@ def main(spark=None, checkpoint_dir: str | None = None) -> dict:
         out[phase] = sorted(sink)
 
     try:
-        run("first_run")  # 5 rows drain in capped 2-record batches
+        run("first_run")  # 5 rows drain page-parallel (first batch uncapped)
         _CollectionHandler.rows.append({"item_id": 6, "kind": "b", "score": 6.0})
         _CollectionHandler.rows.append({"item_id": 7, "kind": "b", "score": 7.0})
         run("appended_run")  # only the tail — 6 landed mid-page, trimmed
         run("resumed")  # restart from checkpoint: nothing to re-emit
     finally:
         shutdown()
-    print(f"first run (capped drain):  {out['first_run']}")
+    print(f"first run (full drain):    {out['first_run']}")
     print(f"after append (tail only):  {out['appended_run']}")
     print(f"restart from checkpoint:   {out['resumed']}")
     return out

@@ -153,12 +153,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pairwise_cosine_gemm(emb, threshold=0.45).orderBy("vec_a", "vec_b")
 
 
-@register(
-    "dedup_winnowing",
-    oracle=r"""
+def _winnowing_oracle(where: str = "") -> str:
+    return rf"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents
+        FROM documents {where}
     ),
     grams AS (
         SELECT doc_id, i AS pos,
@@ -180,16 +179,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, count(*) AS n_fp,
            md5(string_agg(m, '|' ORDER BY m)) AS fp_digest
     FROM fps GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints: per document, the distinct
-    window-minima of the positioned 3-gram hash sequence (window 4),
-    summarized as a count plus an order-insensitive digest. Positioned
-    shingles come from posexplode + lead; the rolling minimum is a window
-    ``min`` over a ROWS frame — one partition-by-doc shuffle, everything
-    codegen'd."""
+    """
+
+
+def _winnowing_frame(
+    spark: SparkSession, sf_dir: str, decimate: int | None = None
+) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
+    if decimate:
+        docs = docs.where(F.col("doc_id") % decimate == 0)
     fps = dd.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4)
     return (
         fps.groupBy(F.col("id").alias("doc_id"))
@@ -201,6 +199,36 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("dedup_winnowing", oracle=_winnowing_oracle())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: per document, the distinct
+    window-minima of the positioned 3-gram hash sequence (window 4),
+    summarized as a count plus an order-insensitive digest. Positioned
+    shingles come from posexplode + lead; the rolling minimum is a window
+    ``min`` over a ROWS frame — one partition-by-doc shuffle, everything
+    codegen'd."""
+    return _winnowing_frame(spark, sf_dir)
+
+
+@register(
+    "dedup_winnowing_decimated",
+    oracle=_winnowing_oracle("WHERE doc_id % 10 = 0"),
+)
+def dedup_winnowing_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_winnowing over the deterministic 1/10th corpus slice
+    (``doc_id % 10 = 0``) — the SAME operator code and oracle SQL as the
+    full query, both halves filtered identically. Exists for sf10 scale
+    evidence: the full-corpus sf10 ORACLE is box-infeasible (r13: DuckDB
+    dies with std::bad_alloc from allocations its buffer manager does
+    not track — giant per-doc list intermediates — in clean
+    single-query processes at 90-100 GB caps), while the ENGINE half
+    completes; decimating both halves cuts the oracle working set 10×
+    so the operator still gets a hash-exact sf10 row (~50k docs at
+    sf10's 500k-doc corpus). At sf0.01-sf1 it is simply a second,
+    smaller gate row for the same plan."""
+    return _winnowing_frame(spark, sf_dir, decimate=10)
 
 
 _SIMHASH_BUCKET_CAP = 200
@@ -561,6 +589,69 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         max_bucket_size=_SIMHASH_BUCKET_CAP,
     ).orderBy("doc_a", "doc_b")
+
+
+#: Bounded-cardinality twin contract: keep each document's K nearest
+#: accepted pairs (hamming, then neighbor id) after symmetrizing.
+_SIMHASH_TOPK = 5
+
+
+@register(
+    "dedup_simhash_topk",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTES},
+    pairs AS (
+        {_SIMHASH_PAIRS_SELECT}
+    ),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr, hamming FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr, hamming FROM pairs
+    )
+    SELECT doc_id, nbr, hamming
+    FROM sym
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY hamming, nbr) <= {_SIMHASH_TOPK}
+    ORDER BY doc_id, nbr
+    """,
+)
+def dedup_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash_pairs with BOUNDED output cardinality: the same
+    banding + hamming ≤ 3 verification, symmetrized, then each doc
+    keeps only its {_SIMHASH_TOPK} nearest accepted neighbors
+    (hamming, then neighbor id — a deterministic total order). Output
+    is ≤ K·|docs| rows regardless of how quadratic the raw pair set
+    goes, which is the point: at sf10 the scaled-replica corpus makes
+    the FULL pair set ~10⁸ rows (r13: the split-gate cardinality guard
+    fired by design), so the unbounded query can never earn an sf10
+    row while this twin stays |docs|-linear — the shape a production
+    dedup pipeline would feed to survivor selection anyway. One extra
+    per-doc window shuffle on top of the pair plan."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = dd.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=_SIMHASH_BUCKET_CAP,
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"), "hamming"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("nbr"),
+            "hamming",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("hamming", "nbr")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SIMHASH_TOPK)
+        .drop("rn")
+        .orderBy("doc_id", "nbr")
+    )
 
 
 @register(

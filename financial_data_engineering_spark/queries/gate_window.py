@@ -23,59 +23,14 @@ GATE_WINDOW_INPUTS = {
     "CORRECTNESS_r10.json": "a2bb25f96e638674",
     "CORRECTNESS_r11.json": "f3afa12d3356b7f3",
     "CORRECTNESS_r12.json": "3e0c9b3d55df9c2f",
+    "CORRECTNESS_r13.json": "a216a1b86f0eb4fe",
 }
 
 GATE_WINDOW = [
-    "multimodal_pixel_roundtrip",  # never
-    "part_brand_vwap",  # r9
-    "customer_order_gaps",  # r9
-    "user_value_twap",  # r9
-    "dedup_bloom_screen",  # r9
-    "part_brand_ohlc_monthly",  # r9
-    "user_value_ohlc",  # r9
-    "part_brand_rolling_band",  # r9
-    "part_brand_ewma_band",  # r9
-    "order_priority_delayed_counts",  # r9
-    "event_type_cm_audit",  # r9
-    "bpe_learned_merges",  # r10
-    "customer_order_count_distribution",  # r10
-    "suppliers_kept_order_waiting",  # r10
-    "inactive_rich_customers_by_nation",  # r10
-    "part_value_concentration",  # r10
-    "top_quarter_supplier",  # r10
-    "customer_scd2_history",  # r10
-    "part_copurchase_kcore",  # r10
-    "nation_pair_trade_volume",  # r10
-    "nation_market_share",  # r10
-    "profit_by_nation_year",  # r10
-    "returned_item_top_customers",  # r10
-    "promo_revenue_share",  # r10
-    "supplier_cnt_by_part_attrs",  # r10
-    "large_volume_customers",  # r10
-    "part_disjunctive_revenue",  # r10
-    "qualified_part_suppliers",  # r10
-    "hll_distinct_orders",  # r10
-    "hll_priority_union",  # r10
-    "source_bigram_lm_quality",  # r10
-    "part_brand_max_drawdown",  # r10
-    "user_value_ewma_band",  # r10
-    "user_value_max_drawdown",  # r10
-    "cross_doc_repeated_spans",  # r10
-    "doc_boilerplate_coverage",  # r10
-    "user_value_rolling_band",  # r10
-    "part_brand_return_stats",  # r10
-    "event_transition_counts",  # r10
-    "user_value_gapfill",  # r10
-    "orders_priority_pivot",  # r10
-    "customer_revenue_deciles",  # r10
-    "nation_revenue_running_share",  # r10
-    "top_parts_per_nation",  # r10
-    "part_fuzzy_name_blocks",  # r10
-    "nations_full_priority_coverage",  # r10
-    "kmv_priority_intersect",  # r10
-    "embedding_label_centroids",  # r10
-    "user_rolling_value_7d",  # r10
-    "lineitem_quantity_mad_outliers",  # r10
+    "dedup_winnowing_decimated",  # never
+    "dedup_simhash_topk",  # never
+    "part_copurchase_triangles_xcheck",  # never
+    "doc_bpe_encoding_decimated",  # never
     "ann_rrf_fusion",  # r10
     "event_props_rollup",  # r10
     "doc_split_assign",  # r10
@@ -187,4 +142,54 @@ GATE_WINDOW = [
     "customer_overlapping_orders",  # r12
     "shipping_priority_revenue",  # r12
     "region_local_supplier_volume",  # r12
+    "multimodal_pixel_roundtrip",  # r13
+    "part_brand_vwap",  # r13
+    "customer_order_gaps",  # r13
+    "user_value_twap",  # r13
+    "dedup_bloom_screen",  # r13
+    "part_brand_ohlc_monthly",  # r13
+    "user_value_ohlc",  # r13
+    "part_brand_rolling_band",  # r13
+    "part_brand_ewma_band",  # r13
+    "order_priority_delayed_counts",  # r13
+    "event_type_cm_audit",  # r13
+    "bpe_learned_merges",  # r13
+    "customer_order_count_distribution",  # r13
+    "suppliers_kept_order_waiting",  # r13
+    "inactive_rich_customers_by_nation",  # r13
+    "part_value_concentration",  # r13
+    "top_quarter_supplier",  # r13
+    "customer_scd2_history",  # r13
+    "part_copurchase_kcore",  # r13
+    "nation_pair_trade_volume",  # r13
+    "nation_market_share",  # r13
+    "profit_by_nation_year",  # r13
+    "returned_item_top_customers",  # r13
+    "promo_revenue_share",  # r13
+    "supplier_cnt_by_part_attrs",  # r13
+    "large_volume_customers",  # r13
+    "part_disjunctive_revenue",  # r13
+    "qualified_part_suppliers",  # r13
+    "hll_distinct_orders",  # r13
+    "hll_priority_union",  # r13
+    "source_bigram_lm_quality",  # r13
+    "part_brand_max_drawdown",  # r13
+    "user_value_ewma_band",  # r13
+    "user_value_max_drawdown",  # r13
+    "cross_doc_repeated_spans",  # r13
+    "doc_boilerplate_coverage",  # r13
+    "user_value_rolling_band",  # r13
+    "part_brand_return_stats",  # r13
+    "event_transition_counts",  # r13
+    "user_value_gapfill",  # r13
+    "orders_priority_pivot",  # r13
+    "customer_revenue_deciles",  # r13
+    "nation_revenue_running_share",  # r13
+    "top_parts_per_nation",  # r13
+    "part_fuzzy_name_blocks",  # r13
+    "nations_full_priority_coverage",  # r13
+    "kmv_priority_intersect",  # r13
+    "embedding_label_centroids",  # r13
+    "user_rolling_value_7d",  # r13
+    "lineitem_quantity_mad_outliers",  # r13
 ]

@@ -276,16 +276,65 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge intermediate as a hash-join build side and no pure-SQL
     shape reliably stops it. The intersection replay peaks under
     20 GB (measured at sf0.1: 56.6 s, scaling linearly over sf10's
-    100 disjoint replicas). Independence is preserved by history, not
-    by this one formulation: the count was hash-verified against the
-    NAIVE textbook oracle at sf0.01/sf0.1/sf1 through r11 and against
-    the rank-ordered wedge join at sf0.01/sf0.1 in r12 (all
-    hash-identical — the count is orientation-invariant), and the two
+    100 disjoint replicas). Formulation independence is kept LIVE by
+    part_copurchase_triangles_xcheck — the same engine output gated
+    against the naive node-ordered a<b<c oracle every round at
+    sf0.01/sf0.1 (r14; previously verified historically: naive through
+    r11, rank-ordered wedge in r12, all hash-identical) — and the two
     engines still differ in intersect implementation, join engine,
     and aggregation path."""
     edges = shared_copurchase_edges(spark, sf_dir).select(
         "src", "dst"
     )
+    return (
+        triangle_participation(edges)
+        .select(F.col("node").alias("partkey"), "n_triangles")
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "part_copurchase_triangles_xcheck",
+    oracle="""
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.item AS a, b.item AS b
+        FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+    ),
+    tri AS MATERIALIZED (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON ab.b = bc.a
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS partkey, count(*) AS n_triangles
+    FROM corners GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_copurchase_triangles_xcheck(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Formulation-independence cross-check for the triangle count: the
+    SAME engine output as part_copurchase_triangles (degree-ordered
+    orientation + adjacency intersection), verified against the NAIVE
+    node-ordered a<b<c textbook self-join — a genuinely different
+    formulation in a different engine, kept in the continuous gate
+    because the main row's oracle replays the engine's own
+    degree-ordered strategy (the only replay that is memory-bounded at
+    sf10; see part_copurchase_triangles). Triangle counts are
+    orientation-invariant, so the two rows must always hash-agree on
+    partkey/n_triangles. Gate this at sf0.01/sf0.1 (the naive DuckDB
+    replay needed >173 GB at sf10 in r11 — by design NOT an sf10 row;
+    the main row carries sf10)."""
+    edges = shared_copurchase_edges(spark, sf_dir).select("src", "dst")
     return (
         triangle_participation(edges)
         .select(F.col("node").alias("partkey"), "n_triangles")

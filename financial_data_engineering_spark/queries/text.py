@@ -450,7 +450,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _encode_oracle() -> str:
+def _encode_oracle(where: str = "") -> str:
     syms = "list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1))"
     for left, right, *_ in ENCODE_MERGES:
         syms = _sql_merge_fold(syms, left, right)
@@ -460,7 +460,7 @@ def _encode_oracle() -> str:
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS word,
                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
-            FROM documents
+            FROM documents {where}
         ) WHERE word <> ''
     ),
     vocab AS (SELECT DISTINCT word FROM w),
@@ -494,6 +494,27 @@ def doc_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_engineering_spark.llm.bpe import bpe_apply_merges
 
     docs = load(spark, "documents", sf_dir)
+    merges = [(left, right) for left, right in ENCODE_MERGES]
+    return bpe_apply_merges(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "doc_bpe_encoding_decimated",
+    oracle=_encode_oracle("WHERE doc_id % 10 = 0"),
+)
+def doc_bpe_encoding_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_bpe_encoding over the deterministic 1/10th corpus slice
+    (``doc_id % 10 = 0``) — SAME encoder code and oracle generator as
+    the full query, both halves filtered identically. Exists for sf10
+    scale evidence: the full-corpus sf10 ORACLE is box-infeasible
+    (r13: std::bad_alloc from DuckDB allocations outside its buffer
+    manager — the per-word list_reduce merge folds — in clean
+    single-query processes at 100 GB caps with 123 GB free), while the
+    ENGINE half completes; decimating both halves cuts the oracle
+    working set 10× so the encoder still earns a hash-exact sf10 row."""
+    from financial_data_engineering_spark.llm.bpe import bpe_apply_merges
+
+    docs = load(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
     merges = [(left, right) for left, right in ENCODE_MERGES]
     return bpe_apply_merges(docs, merges).orderBy("doc_id")
 

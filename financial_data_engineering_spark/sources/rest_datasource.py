@@ -258,10 +258,15 @@ class RestStreamReader(DataSourceStreamReader):
 
     Per trigger, the driver makes ONE probe request (page 1) and reads
     the total record count from ``total_path`` (dot path into the
-    envelope, e.g. ``meta.n``); the batch end is min(total, cursor +
-    max_pages_per_trigger * page_size) — the ``maxOffsetsPerTrigger``
-    throttle, so a cold start against a deep collection drains in
-    bounded, rate-limited batches instead of one thundering fan-out.
+    envelope, e.g. ``meta.n``); once the reader knows its cursor, the
+    batch end is min(total, cursor + max_pages_per_trigger * page_size)
+    — the ``maxOffsetsPerTrigger`` throttle, emulating the ReadLimit
+    hook the Python DS API lacks. The FIRST offset a reader emits (no
+    cursor known yet — Spark calls latestOffset before initialOffset)
+    is the collection total, uncapped: a lower guess could regress
+    below a checkpointed cursor and, once committed to the offset log,
+    make a later restart re-emit committed records. Correctness is
+    exact; pacing is best-effort from the second trigger on.
     The cursor range is carved into page-aligned
     :class:`StreamPagePartition`s read EXECUTOR-side through the retry
     ladder (the driver never proxies payload bytes; same placement as
@@ -304,6 +309,12 @@ class RestStreamReader(DataSourceStreamReader):
         }
 
     def initialOffset(self) -> dict:
+        # Spark calls this only on fresh starts — but AFTER the first
+        # latestOffset() (observed order: latestOffset, initialOffset,
+        # partitions), so it must only SEED the driver-local cursor,
+        # never regress one a previous call already advanced.
+        if getattr(self, "_last_offset", None) is None:
+            self._last_offset = {"cursor": 0}
         return {"cursor": 0}  # records consumed from the head; 0 = none
 
     def _probe_total(self) -> int:
@@ -327,35 +338,48 @@ class RestStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         start = getattr(self, "_last_offset", None)
+        total = self._probe_total()
+        if start is None:
+            # No driver-local cursor: this reader has not yet seen
+            # initialOffset (fresh start — Spark's observed call order
+            # is latestOffset FIRST) or any partitions() replay (which
+            # on a checkpoint restart teaches the committed cursor
+            # before this runs). Whatever end is returned here becomes
+            # a durable offset-log entry, and an entry BELOW the
+            # committed cursor is forever poisonous: a later restart
+            # would re-plan from it and re-emit committed records.
+            # The only end that can never regress below an UNKNOWN
+            # committed cursor of an append-only collection is the
+            # collection total — the Kafka-style answer (report the
+            # true latest; pacing is an emulation of the missing
+            # ReadLimit hook, applied only when the cursor is known).
+            # Cost: one uncapped batch when this path is ever planned.
+            end = {"cursor": total}
+            self._last_offset = end
+            return end
         # latestOffset is called once per trigger with no args; track
         # the previous end locally so the per-trigger cap is relative
         # (Spark replays committed offsets through partitions(), so
         # this driver-local cursor only shapes batch SIZE, never data).
-        last = start["cursor"] if start else 0
-        total = self._probe_total()
+        last = start["cursor"]
         capped = min(total, last + self.max_pages_per_trigger * self.page_size)
         end = {"cursor": max(capped, last)}
         self._last_offset = end
         return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[StreamPagePartition]:
-        # Restart resync: after a checkpoint recovery the fresh reader's
-        # driver-local cursor is 0, so the first latestOffset() can trail
-        # the committed start — Spark compares offsets only by equality
-        # (they are opaque dicts) and would plan a "batch" for the
-        # regressed range. Emitting zero partitions makes that batch
-        # empty, and the committed start becomes a FLOOR every later
-        # batch clamps against: Spark commits the regressed end as that
-        # batch's offset, so the NEXT batch's start is the regressed
-        # value — without the clamp, its partitions would re-fetch and
-        # re-yield records below the pre-restart cursor (duplicates in
-        # the sink; caught by the kill-and-resume test).
+        # Every offset latestOffset() emits is monotone by construction
+        # (the unknown-cursor path returns the collection total, which
+        # for an append-only collection is >= every committed cursor),
+        # so no regressed range is ever planned or committed and no
+        # driver-local "floor" state is needed — the r13 floor design
+        # kept the committed cursor only in reader memory, which a
+        # second restart inside the regressed-commit window would lose
+        # (ADVICE r13). Recording max(lo, hi) here additionally teaches
+        # a RESTARTED reader the committed cursor (Spark replays the
+        # last logged batch through partitions() before its first
+        # latestOffset), so post-restart pacing stays capped.
         lo, hi = start["cursor"], end["cursor"]
-        if hi <= lo:
-            self._floor = max(getattr(self, "_floor", 0), lo)
-            self._last_offset = {"cursor": lo}
-            return []
-        lo = max(lo, getattr(self, "_floor", 0))
         self._last_offset = {"cursor": max(lo, hi)}
         if hi <= lo:
             return []

@@ -289,3 +289,15 @@ def test_stream_rest_source_replay_properties(spark, tmp_path):
     assert out["first_run"] == [1, 2, 3, 4, 5]
     assert out["appended_run"] == [6, 7]  # item 6 landed on a consumed page
     assert out["resumed"] == []  # restart floor: nothing re-emitted
+
+
+def test_stream_rest_source_example(spark, tmp_path):
+    """Smoke the streaming REST example end-to-end (drain, tail pickup,
+    checkpoint resume) so the monotone-offset restart contract has
+    example-level regression coverage too, not just connector tests."""
+    from examples.stream_rest_source import main
+
+    out = main(spark=spark, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert out["first_run"] == [1, 2, 3, 4, 5]
+    assert out["appended_run"] == [6, 7]
+    assert out["resumed"] == []

@@ -80,6 +80,9 @@ SHUFFLE_BUDGET = {
     # degree-oriented wedge join + closure probe + corner rollup over
     # the materialized edge/orientation frames
     "part_copurchase_triangles": 14,
+    # identical engine plan to part_copurchase_triangles (only the
+    # ORACLE differs — the naive-formulation cross-check row)
+    "part_copurchase_triangles_xcheck": 14,
     # four layout/dim arms aggregate the materialized <= 256-row cell
     # histogram (control-plane); the single corpus-side aggregate ran
     # at materialize time
@@ -129,6 +132,9 @@ SHUFFLE_BUDGET = {
     "dedup_semantic_clusters": 5,
     "dedup_simhash": 0,
     "dedup_simhash_pairs": 0,
+    # pair plan + symmetrized union, one per-doc rank window exchange,
+    # presentation sort
+    "dedup_simhash_topk": 3,
     # salted probe shuffle + segment agg; the replicated build side
     # auto-broadcasts at bench scale
     "customer_order_stats_salted": 2,
@@ -138,6 +144,8 @@ SHUFFLE_BUDGET = {
     # per-part agg + co-partitioned fact rejoin + brand agg/sort
     "small_quantity_order_revenue": 3,
     "dedup_winnowing": 2,
+    # same winnowing plan over the doc_id % 10 slice (sf10 oracle twin)
+    "dedup_winnowing_decimated": 2,
     "doc_bpe_tokens": 1,
     # vocabulary collapse agg + char-pair agg; top-k is TakeOrdered
     "bpe_merge_candidates": 2,
@@ -289,6 +297,8 @@ SHUFFLE_BUDGET = {
     # distinct-word collapse + doc agg (encoded vocab broadcasts at test
     # scale; word-keyed shuffle join at corpus scale) + sort
     "doc_bpe_encoding": 2,
+    # same encoder plan over the doc_id % 10 slice (sf10 oracle twin)
+    "doc_bpe_encoding_decimated": 2,
     # custkey lag window + segment agg + 5-row sort
     "customer_order_gaps": 3,
     # Q13 shape: orders pre-aggregate + left join to customer + the

@@ -289,34 +289,40 @@ def test_stream_polls_pages_with_per_trigger_throttle(
             for r in spark.sql("SELECT * FROM rest_stream").collect()
         }
         assert got == {1, 2, 3, 4, 5}
-        # throttle: 5 rows / page_size 2 = 3 pages; at 2 pages per
-        # trigger no micro-batch may exceed 4 rows
-        batches = [
-            p["numInputRows"]
-            for p in (query.recentProgress or [])
-            if p["numInputRows"] > 0
-        ]
-        assert batches and max(batches) <= 4
-        # pages were fetched in increasing order, each exactly once
+        # the FIRST batch is deliberately uncapped (the reader's first
+        # latestOffset precedes any cursor knowledge and must report
+        # the collection total — a capped guess could regress below a
+        # checkpointed cursor); the drain is still page-partitioned
+        n_first = len(_GrowingHandler.rows)
+        # each page fetched exactly once (the batch's pages fan out to
+        # PARALLEL executor tasks, so arrival order is not defined)
         pages = [
             int(q["page"])
             for q in _GrowingHandler.requests_seen
             if "page" in q and int(q["page"]) > 1
         ]
-        assert pages == sorted(set(pages))
-        # the collection grows; the next trigger picks up ONLY the tail
-        _GrowingHandler.rows.append(
-            {"item_id": 6, "kind": "b", "score": 6.0}
-        )
-        _GrowingHandler.rows.append(
-            {"item_id": 7, "kind": "b", "score": 7.0}
-        )
+        assert sorted(pages) == sorted(set(pages)) == [2, 3]
+        # the collection grows; the tail arrives in CAPPED batches —
+        # 6 new rows / (2 pages * 2 records per trigger) >= 2 batches
+        for i in range(6, 12):
+            _GrowingHandler.rows.append(
+                {"item_id": i, "kind": "b", "score": float(i)}
+            )
         query.processAllAvailable()
         got2 = {
             r["item_id"]
             for r in spark.sql("SELECT * FROM rest_stream").collect()
         }
-        assert got2 == {1, 2, 3, 4, 5, 6, 7}
+        assert got2 == set(range(1, 12))
+        batches = [
+            p["numInputRows"]
+            for p in (query.recentProgress or [])
+            if p["numInputRows"] > 0
+        ]
+        assert batches[0] == n_first  # the uncapped initial drain
+        tail_batches = batches[1:]
+        assert tail_batches and max(tail_batches) <= 4
+        assert len(tail_batches) >= 2
     finally:
         query.stop()
 
@@ -326,12 +332,11 @@ def test_stream_restart_from_checkpoint_never_duplicates(
 ):
     """Kill-and-resume replay contract: run to a committed cursor LARGER
     than one trigger's cap, stop, restart from the checkpoint, append.
-    A fresh reader's driver-local cursor is 0, so its first
-    latestOffset() regresses below the committed start; Spark commits
-    the regressed value as that empty batch's end, and the NEXT batch's
-    start is the regressed cursor — without the floor clamp in
-    partitions(), that batch re-fetches and re-yields rows the first
-    run already emitted (duplicates in the sink)."""
+    A restarted reader has no driver-local cursor (initialOffset is
+    only called on fresh starts), so its first latestOffset() must
+    return the collection TOTAL — never a capped end computed from 0,
+    which would regress below the committed start and, once committed,
+    make a second restart re-emit the gap (duplicates in the sink)."""
     register_rest_datasource(spark)
     first_run: list[int] = []
     second_run: list[int] = []
@@ -382,6 +387,61 @@ def test_stream_restart_from_checkpoint_never_duplicates(
     # ONLY the appended tail — items 3..5 (below the pre-restart cursor,
     # above the regressed offset) must not be re-emitted
     assert sorted(second_run) == [6, 7]
+
+
+def test_stream_offsets_monotone_across_double_restart(monkeypatch):
+    """Protocol-level contract (no Spark): offsets a reader emits can
+    never regress below ANY cursor a previous incarnation could have
+    committed — even when the query dies immediately after the first
+    post-restart batch and restarts AGAIN (the window the old
+    driver-local floor could not survive: the floor lived only in the
+    first restarted reader's memory while Spark had already committed
+    its regressed end into the checkpoint)."""
+    from financial_data_engineering_spark.sources.rest_datasource import (
+        RestStreamReader,
+    )
+
+    opts = {
+        "url": "http://unit-test.invalid/items",
+        "page_param": "page",
+        "page_size_param": "page_size",
+        "page_size": "2",
+        "total_path": "meta.n",
+        "max_pages_per_trigger": "1",
+    }
+
+    def make_reader(total: int) -> RestStreamReader:
+        r = RestStreamReader(schema=None, options=opts)
+        monkeypatch.setattr(r, "_probe_total", lambda: total)
+        return r
+
+    # fresh start: initialOffset marks the reader, pacing stays capped
+    r1 = make_reader(total=10)
+    assert r1.initialOffset() == {"cursor": 0}
+    assert r1.latestOffset() == {"cursor": 2}  # cap = 1 page * 2 records
+    assert r1.latestOffset() == {"cursor": 4}
+    committed = 4  # suppose Spark committed cursor=4, then the query died
+
+    # restart 1: no initialOffset call; the first end must be >= any
+    # committed cursor — the reader returns the total, not a capped 2
+    r2 = make_reader(total=10)
+    end2 = r2.latestOffset()
+    assert end2["cursor"] == 10 >= committed
+    # Spark plans (committed, end2); the batch covers exactly the gap
+    parts = r2.partitions({"cursor": committed}, end2)
+    covered = sorted((p.lo, p.hi) for p in parts)
+    assert covered[0][0] == committed and covered[-1][1] == 10
+    # ... and suppose the query dies RIGHT after committing end2
+
+    # restart 2: again no regression — a second restart cannot re-open
+    # the [capped, committed) gap because no capped end was ever emitted
+    r3 = make_reader(total=10)
+    assert r3.latestOffset()["cursor"] == 10
+    assert r3.partitions({"cursor": 10}, {"cursor": 10}) == []
+    # subsequent triggers resume bounded pacing from the restart total
+    assert r3.latestOffset() == {"cursor": 10}  # nothing new yet
+    monkeypatch.setattr(r3, "_probe_total", lambda: 13)
+    assert r3.latestOffset() == {"cursor": 12}  # capped tail pickup
 
 
 def test_stream_requires_paging_contract(spark, growing_server):

@@ -54,3 +54,48 @@ def test_oracle_only_replays_saved_pickle(spark, tmp_path, monkeypatch):
          "event_type_counts", out],
     )
     assert sg.main() == 0
+
+
+def test_pickle_embeds_provenance(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "half.pkl")
+    sg.spark_phase(SF_SMALL, "event_type_counts", out)
+    import pickle
+
+    with open(out, "rb") as f:
+        prov = pickle.load(f)["provenance"]
+    assert prov["query"] == "event_type_counts"
+    assert prov["sf_dir"] == os.path.abspath(SF_SMALL)
+    assert len(prov["git_head"]) == 40  # a real commit hash, not "unknown"
+
+
+def test_oracle_only_refuses_wrong_query_pickle(spark, tmp_path, monkeypatch):
+    """A pickle from a DIFFERENT query must fail the gate loudly — a
+    schema-compatible stale half would otherwise green-wash the verdict
+    for a Spark half that never ran."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "half.pkl")
+    sg.spark_phase(SF_SMALL, "event_type_counts", out)
+    assert sg.oracle_phase(
+        SF_SMALL, "part_copurchase_triangles", out, strict=True
+    ) is False
+
+
+def test_oracle_only_warns_on_legacy_pickle(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """Pre-r14 pickles (no provenance) still replay — the r13 sf10
+    Spark halves must stay usable — but with a loud warning."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "half.pkl")
+    sg.spark_phase(SF_SMALL, "event_type_counts", out)
+    import pickle
+
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    del payload["provenance"]
+    with open(out, "wb") as f:
+        pickle.dump(payload, f)
+    ok = sg.oracle_phase(SF_SMALL, "event_type_counts", out, strict=True)
+    assert ok is True
+    assert "NO provenance" in capsys.readouterr().out

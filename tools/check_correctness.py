@@ -244,7 +244,7 @@ class OracleRunner:
             )
         return con
 
-    def run(self, sql: str):
+    def run(self, sql: str, _rebuilt: bool = False):
         """Execute, escalating once on resource exhaustion.
 
         Returns (columns, type-strings, rows, retried).
@@ -261,10 +261,15 @@ class OracleRunner:
             return rel.columns, [str(t) for t in rel.types], rel.fetchall(), False
         except duckdb.ConnectionException:
             # dead handle from a previous query's failed escalation —
-            # rebuild at base caps and run this query normally
+            # rebuild at base caps, then re-enter the NORMAL run path so
+            # the escalation ladder still applies if the re-run itself
+            # exhausts resources (an exception raised inside this except
+            # block would NOT be caught by the sibling duckdb.Error
+            # handler). _rebuilt bounds this to one re-entry.
+            if _rebuilt:
+                raise
             self.con = self._connect(self._base_mem, self._base_temp)
-            rel = self.con.sql(sql)
-            return rel.columns, [str(t) for t in rel.types], rel.fetchall(), False
+            return self.run(sql, _rebuilt=True)
         except duckdb.Error as exc:
             if not _is_resource_exhaustion(exc):
                 raise

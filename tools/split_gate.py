@@ -27,8 +27,11 @@ half is killed — SIGTERM skips the cleanup ``finally``). This is the
 resume path when an sf10 oracle needs a different DuckDB configuration
 (e.g. a no-spill memory cap once the whole box is free): the 10-60
 Spark minutes are not re-paid. The pickle must come from the SAME
-query at the SAME sf_dir and engine code — nothing cross-checks that
-beyond the embedded schema, so the caller owns that discipline.
+query at the SAME sf_dir and engine code — spark_phase embeds
+{query, sf_dir, git HEAD} provenance, and oracle_phase REFUSES a
+pickle whose query or sf_dir differs and warns loudly on a different
+git HEAD or a legacy provenance-free pickle (the engine/oracle code
+may have changed since; the caller owns that residual discipline).
 """
 
 from __future__ import annotations
@@ -78,10 +81,30 @@ def spark_phase(sf_dir: str, name: str, out_path: str) -> None:
         "cols": sdf.columns,
         "dtypes": sdf.dtypes,
         "rows": rows,
+        "provenance": {
+            "query": name,
+            "sf_dir": os.path.abspath(sf_dir),
+            "git_head": _git_head(),
+        },
     }
     with open(out_path, "wb") as f:
         pickle.dump(payload, f)
     spark.stop()
+
+
+def _git_head() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        return "unknown"
 
 
 def oracle_phase(sf_dir: str, name: str, in_path: str, strict: bool) -> bool:
@@ -93,6 +116,37 @@ def oracle_phase(sf_dir: str, name: str, in_path: str, strict: bool) -> bool:
 
     with open(in_path, "rb") as f:
         saved = pickle.load(f)
+    prov = saved.get("provenance")
+    if prov is None:
+        print(
+            f"WARN  {name}: pickle has NO provenance (pre-r14 spark "
+            "phase) — cannot verify it matches this query/sf_dir/code; "
+            "a stale or mismatched Spark half would green-wash the gate"
+        )
+    else:
+        # wrong query or sf_dir = comparing against the wrong Spark
+        # half outright — refuse; a different git HEAD only MIGHT
+        # invalidate the half (the relevant code may be untouched), so
+        # warn and let the caller own that judgment.
+        mismatches = [
+            f"{k}: pickled {prov[k]!r} != invoked {v!r}"
+            for k, v in (
+                ("query", name),
+                ("sf_dir", os.path.abspath(sf_dir)),
+            )
+            if prov.get(k) != v
+        ]
+        if mismatches:
+            print(f"FAIL  {name} (split-gate): stale pickle — "
+                  + "; ".join(mismatches))
+            return False
+        head = _git_head()
+        if prov.get("git_head") != head:
+            print(
+                f"WARN  {name}: pickle from git {prov.get('git_head')} "
+                f"but HEAD is {head} — valid only if the query's engine "
+                "and oracle code are unchanged between the two"
+            )
     s_cols, s_dtypes, s_rows = saved["cols"], saved["dtypes"], saved["rows"]
     runner = cc.OracleRunner(sf_dir)
     o_cols, o_types, o_rows, retried = runner.run(q.all_oracles()[name])
