@@ -49,6 +49,20 @@ HEADLINE = [
 ]
 
 
+def _parse_only(spec: str) -> set[str]:
+    """SPARK_GRAFT_BENCH_ONLY value -> query-name set: comma-separated
+    names, each token optionally ``@path`` to a newline-delimited file."""
+    keep: set[str] = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if tok.startswith("@"):
+            with open(tok[1:]) as f:
+                keep.update(ln.strip() for ln in f if ln.strip())
+        elif tok:
+            keep.add(tok)
+    return keep
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
@@ -72,6 +86,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     # include every other registered query too — coverage is part of the bench
     names += [n for n in registry if n not in names]
+
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated names and/or @file-of-names
+    # — restricts the suite for controlled experiments (e.g. re-timing
+    # today's code on an older round's exact query set to separate
+    # suite-size pressure from per-query regression). Restricted runs
+    # write reports/bench/restricted_<sf>.json and stay out of
+    # history.jsonl — they must never masquerade as a round number.
+    only_spec = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only_spec:
+        keep = _parse_only(only_spec)
+        names = [n for n in names if n in keep]
 
     # Warm up the JVM, codegen pipeline, and each table's parquet
     # footer/page caches with one tiny action per table — otherwise the
@@ -299,12 +324,27 @@ def main() -> None:
         # round-over-round (see module docstring variance note).
         "hot_host": hot_host,
     }
+    if only_spec:
+        # a restricted (SPARK_GRAFT_BENCH_ONLY) run is an experiment:
+        # its totals are not comparable to full-suite records, so it
+        # must not overwrite the committed baseline detail file or
+        # enter the round-over-round history series
+        full["bench_only"] = only_spec[:500]
+        detail_rel = os.path.join(
+            "reports", "bench", f"restricted_{base}.json"
+        )
+        detail_path = os.path.join(repo_dir, detail_rel)
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    with open(os.path.join(repo_dir, "reports", "bench", "history.jsonl"), "a") as f:
-        f.write(json.dumps(full, separators=(",", ":"), sort_keys=True) + "\n")
+    if not only_spec:
+        with open(
+            os.path.join(repo_dir, "reports", "bench", "history.jsonl"), "a"
+        ) as f:
+            f.write(
+                json.dumps(full, separators=(",", ":"), sort_keys=True) + "\n"
+            )
 
     slowest = dict(
         sorted(

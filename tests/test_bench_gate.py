@@ -49,3 +49,10 @@ def test_no_loadavg_platform_is_not_hot(monkeypatch):
     monkeypatch.setattr(bench, "_loadavg1", lambda: None)
     load, hot = bench._wait_for_idle_host()
     assert load is None and hot is False
+
+
+def test_parse_only_names_and_file(tmp_path):
+    f = tmp_path / "names.txt"
+    f.write_text("q_one\nq_two\n\n  q_three \n")
+    keep = bench._parse_only(f"q_zero, @{f}, q_four")
+    assert keep == {"q_zero", "q_one", "q_two", "q_three", "q_four"}
