@@ -99,3 +99,40 @@ def test_oracle_only_warns_on_legacy_pickle(
     ok = sg.oracle_phase(SF_SMALL, "event_type_counts", out, strict=True)
     assert ok is True
     assert "NO provenance" in capsys.readouterr().out
+
+
+def test_oracle_crash_preserves_spark_half(spark, tmp_path, monkeypatch):
+    """An oracle-phase crash must leave the pickled Spark half on disk
+    with the --oracle-only retry line printed — a cap retry must never
+    re-pay the Spark minutes (r14: the kcore_exact OOM deleted a
+    35-minute half before this guard existed)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def boom(sf_dir, name, in_path, strict):
+        raise MemoryError("failed to pin block")
+
+    monkeypatch.setattr(sg, "oracle_phase", boom)
+    monkeypatch.setattr(sg.subprocess, "run", None)  # not reached
+
+    # drive main() with the spark phase stubbed to an in-process run
+    real_spark_phase = sg.spark_phase
+
+    class _OK:
+        returncode = 0
+
+    def fake_run(cmd, cwd=None):
+        real_spark_phase(cmd[-3], cmd[-2], cmd[-1])
+        return _OK()
+
+    monkeypatch.setattr(sg.subprocess, "run", fake_run)
+    monkeypatch.setattr(sg.os, "getcwd", lambda: str(tmp_path))
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    monkeypatch.setattr(
+        sg.sys, "argv",
+        ["split_gate.py", "--strict", SF_SMALL, "event_type_counts"],
+    )
+    assert sg.main() == 1
+    import glob
+
+    kept = glob.glob(str(tmp_path / "split_gate_event_type_counts_*.pkl"))
+    assert kept, "spark-half pickle must survive an oracle crash"

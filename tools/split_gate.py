@@ -205,6 +205,7 @@ def main() -> int:
             delete=False,
         ) as tf:
             out_path = tf.name
+        keep_pickle = False
         try:
             cmd = [sys.executable, os.path.abspath(__file__)]
             cmd += ["--spark-phase", sf_dir, name, out_path]
@@ -218,14 +219,23 @@ def main() -> int:
                     failures += 1
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 # an oracle crash (e.g. an untracked std::bad_alloc)
-                # must not abort the remaining queries' evidence runs
+                # must not abort the remaining queries' evidence runs —
+                # and the PAID Spark half must survive it, so a retry at
+                # different DuckDB caps is --oracle-only, not a rerun
+                # (the r14 kcore_exact OOM deleted a 35-minute half)
+                keep_pickle = True
                 print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
+                print(
+                    f"      spark half preserved: --oracle-only "
+                    f"{sf_dir} {name} {out_path}"
+                )
                 failures += 1
         finally:
-            try:
-                os.unlink(out_path)
-            except OSError:
-                pass
+            if not keep_pickle:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
     print(f"\n{failures} failures" if failures else "\nall green")
     return 1 if failures else 0
 
