@@ -476,8 +476,17 @@ def _simhash_packed_sums(
     # Parse the 16 hex chars as two 32-bit halves (2 conv calls per token
     # instead of 16 conv(substring) pairs); nibble g then comes out with a
     # shift/mask, all integer codegen.
+    # spread BEFORE the token explode (the shingle_rows lesson — module
+    # docstring of partitioning.py): a compressed text corpus can scan
+    # as one input partition, and without the spread the whole
+    # tokenize + md5 + nibble-pack pipeline runs in a single task
+    # (profiled at sf0.1: 1.5 s on one core while 31 idled). Hashing on
+    # id at the shuffle-partition count is the same partitioning the
+    # groupBy(id) below needs, so Catalyst elides that exchange — net
+    # added shuffles zero.
     tok_rows = (
-        docs.select(
+        spread_by(docs, id_col)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )
@@ -740,7 +749,11 @@ def winnow_fingerprints(
     ``min`` over a ROWS frame, one distinct. Returns (id, fp) rows; digest
     per doc with groupBy + sorted concat when a single value is needed.
     """
-    tok_rows = docs.select(
+    # spread BEFORE the positioned explode (same reasoning as
+    # _simhash_packed_sums / shingle_rows): the downstream windows key
+    # on id, so the explicit hash repartition is the exchange they need
+    # anyway — what moves is WHERE the explode happens.
+    tok_rows = spread_by(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )

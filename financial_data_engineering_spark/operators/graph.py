@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from financial_data_engineering_spark.partitioning import materialize
+from financial_data_engineering_spark.partitioning import (
+    broadcast_if_small,
+    materialize,
+)
 
 #: Total rank mass, damping numerator/denominator — shared with the
 #: oracle generator (queries/graph.py) so query and oracle cannot drift.
@@ -78,17 +81,36 @@ def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame
     guard would cost an extra full aggregate pass per call, the exact
     probe-scan anti-pattern the round-8 review retired from the EWMA
     path."""
-    items = li.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # One shuffle by basket (collect_set dedups in-aggregate — the
+    # separate distinct pass the old shape paid is folded in), then the
+    # per-basket pair fan-out runs as two chained generates inside the
+    # same stage, feeding the (src, dst) count's map-side partials. The
+    # previous distinct + self-join shape shuffled the item set twice
+    # (distinct exchange + join exchange) and paid two sort-merge sorts;
+    # pair multiset and weights are identical by construction. The
+    # per-basket set is bounded by basket size (see skew note below), so
+    # the collect_set buffer is as bounded as the join fan-out was.
+    from financial_data_engineering_spark.partitioning import spread_by
+
+    # spread_by pins the basket exchange at the session's full shuffle
+    # width: the per-basket pair fan-out and the pair count's map-side
+    # partials are CPU-heavy at a few shuffle BYTES per row, so AQE's
+    # byte-sized coalescing otherwise merges the stage down to a handful
+    # of tasks (measured at sf0.1: 4 tasks on 32 cores, ~2.8 exec-s
+    # serialized into ~0.9 s of wall). groupBy(basket) reuses the
+    # explicit hash partitioning, so no exchange is added.
+    items = spread_by(
+        li.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        ),
+        "basket",
+    )
+    sets = items.groupBy("basket").agg(F.collect_set("item").alias("its"))
     return (
-        a.join(b, "basket")
-        .filter(F.col("a.item") != F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
-        )
+        sets.select(F.explode("its").alias("src"), "its")
+        .select("src", F.explode("its").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
 
@@ -133,9 +155,18 @@ def pagerank_integer(
     )
     cap = max(4096, 128 * base_parts)
     n_parts = max(base_parts, min(cap, edges_ck.count() // 1_000_000 + 1))
-    outw = edges_ck.groupBy("src").agg(F.sum("w").alias("ow"))
+    # out-weight attach: outw is one row per SOURCE node (|V|-bounded).
+    # Materialize it (tiny blocks) so its count is measured, then hint
+    # the join broadcast when it fits — a checkpointed edge frame scans
+    # as ExistingRDD with unknown stats, so without the hint the planner
+    # shuffles the full |E| frame by src for a sort-merge join whose
+    # other side is a few hundred KB (profiled at sf0.1: one 23 MB +
+    # one 32 MB |E| exchange, both gone with the hint). When |V| is too
+    # big to broadcast — the open-world case — the hint self-disables
+    # and the sort-merge shape is unchanged.
+    outw = materialize(edges_ck.groupBy("src").agg(F.sum("w").alias("ow")))
     e = materialize(
-        edges_ck.join(outw, "src").repartition(n_parts, "dst")
+        edges_ck.join(broadcast_if_small(outw, outw.count()), "src")
     )
     nodes_ck = materialize(
         nodes.select("node").distinct().repartition(n_parts, "node")
@@ -146,8 +177,12 @@ def pagerank_integer(
     ranks = nodes_ck.withColumn("r", F.lit(PR_SCALE // n).cast("long"))
     base = (15 * PR_SCALE) // (100 * n)
     for _ in range(rounds):
+        # rank table is exactly n rows of (node, r) — broadcast when it
+        # fits (killing the per-round |E| shuffle), shuffle join when it
+        # doesn't. Contributions partial-aggregate map-side either way.
+        r_b = broadcast_if_small(ranks, n, row_bytes=16)
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(r_b, e["src"] == r_b["node"])
             .groupBy("dst")
             .agg(
                 F.sum(
@@ -213,8 +248,20 @@ def cheapest_paths_bounded(
     # relaxations on an already-converged graph.
     frontier = dist
     for _ in range(rounds):
+        # the frontier is materialized every round, so its count is a
+        # cheap block-metadata job: an EMPTY frontier means every later
+        # round is a no-op (relaxation of nothing) — skip them, the
+        # K-round result is identical by monotonicity. A small frontier
+        # broadcast-joins against the edge set (no |E| shuffle; the
+        # checkpointed edge frame has no stats, so without the hint the
+        # planner sort-merges and shuffles all of e by src every round);
+        # a large one falls back to the shuffle join unchanged.
+        f_count = frontier.count()
+        if f_count == 0:
+            break
+        f_b = broadcast_if_small(frontier, f_count, row_bytes=16)
         relaxed = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(f_b, e["src"] == f_b["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("cost") + F.col("c")).alias("cost"),
@@ -271,19 +318,35 @@ def label_propagation(
     labels = materialize(
         nodes.select("node").distinct().withColumn("lbl", F.col("node"))
     )
-    from pyspark.sql.window import Window
-
-    w_arg = Window.partitionBy("dst").orderBy(
-        F.desc("wsum"), F.asc("lbl")
+    n = labels.count()
+    # argmax via a plain max over (wsum, -lbl, lbl) structs: the pair
+    # (wsum, -lbl) is unique per (dst, lbl) group, so the struct max IS
+    # the row_number()-over-(desc wsum, asc lbl)==1 row — same total
+    # order, but a hash aggregate with map-side partials instead of a
+    # second full exchange + sort for the window (profiled at sf0.1:
+    # the window pass re-shuffled and sorted the whole 22 MB vote table
+    # every round).
+    _vote_max = F.max(
+        F.struct(
+            F.col("wsum").alias("w"),
+            (-F.col("lbl")).alias("nl"),
+            F.col("lbl").alias("l"),
+        )
     )
     for _ in range(rounds):
+        # the |V|-row label table broadcast-joins against the edge set
+        # when it fits (no per-round |E| shuffle); falls back to the
+        # sort-merge shape unchanged when it doesn't.
+        l_b = broadcast_if_small(labels, n, row_bytes=16)
         votes = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(l_b, e["src"] == l_b["node"])
             .groupBy("dst", "lbl")
             .agg(F.sum("w").alias("wsum"))
-            .withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), F.col("lbl").alias("new_lbl"))
+            .groupBy("dst")
+            .agg(_vote_max.alias("m"))
+            .select(
+                F.col("dst").alias("node"), F.col("m.l").alias("new_lbl")
+            )
         )
         labels = materialize(
             labels.join(votes, "node", "left").select(
@@ -327,15 +390,25 @@ def kcore_bounded(
     union-of-directions pass is needed."""
     e = materialize(edges.select("src", "dst"))
     for _ in range(rounds):
-        keep = (
+        # survivor list materialized (tiny: one row per surviving node)
+        # so (a) its count is measured for the broadcast decision and
+        # (b) both semi joins consume the same blocks instead of each
+        # re-running the degree aggregate. Broadcast semis run map-side
+        # over the edge blocks — no per-round |E| shuffle (the
+        # checkpointed edge frame has no stats, so the unhinted plan
+        # sort-merged BOTH semi joins, shuffling e by src AND by dst
+        # every round). A survivor list too big to broadcast falls back
+        # to exactly that sort-merge shape.
+        keep = materialize(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("src")
         )
+        k_b = broadcast_if_small(keep, keep.count(), row_bytes=8)
         e = materialize(
-            e.join(keep, "src", "left_semi").join(
-                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            e.join(k_b, "src", "left_semi").join(
+                k_b.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
         )
     return e.groupBy(F.col("src").alias("node")).agg(
@@ -381,15 +454,19 @@ def kcore_exact(
         if converged:
             break
         rounds += 1
-        keep = (
+        # same materialize + measured-count broadcast as kcore_bounded
+        # (see its in-loop comment): map-side semis when the survivor
+        # list fits, unchanged sort-merge shape when it doesn't.
+        keep = materialize(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("src")
         )
+        k_b = broadcast_if_small(keep, keep.count(), row_bytes=8)
         new_e = materialize(
-            e.join(keep, "src", "left_semi").join(
-                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            e.join(k_b, "src", "left_semi").join(
+                k_b.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
         )
         new_count = new_e.count()
@@ -441,23 +518,44 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     box's disk at sf10). Joins shuffle on edge endpoints only; no
     collect.
     """
+    from financial_data_engineering_spark.partitioning import (
+        shuffle_partitions,
+    )
+
     # the edge frame feeds FIVE plan branches (two degree joins, both
     # wedge sides, the closure probe): materialize it once or the
     # caller's pair-generation lineage re-executes per branch
     edges_ck = materialize(edges.select("src", "dst"))
-    deg = edges_ck.groupBy(F.col("src").alias("n")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # degree table: one row per node — materialized (tiny) so its count
+    # is measured, broadcast into BOTH orientation joins when it fits
+    # (the checkpointed edge frame has no stats, so the unhinted plan
+    # sort-merge-joined and shuffled the full |E| frame for each degree
+    # attach). Falls back to the sort-merge shape when |V| is too big.
+    deg = materialize(
+        edges_ck.groupBy(F.col("src").alias("n")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
+    deg_b = broadcast_if_small(deg, deg.count(), row_bytes=16)
     ranked = (
-        edges_ck.join(deg.withColumnRenamed("n", "src"), "src")
+        edges_ck.join(deg_b.withColumnRenamed("n", "src"), "src")
         .withColumnRenamed("deg", "sdeg")
         .join(
-            deg.select(F.col("n").alias("dst"), F.col("deg").alias("ddeg")),
+            deg_b.select(
+                F.col("n").alias("dst"), F.col("deg").alias("ddeg")
+            ),
             "dst",
         )
     )
     # keep each undirected edge once, oriented by (deg, node) rank;
-    # materialized: it feeds the edge stream and both adjacency joins
+    # materialized: it feeds the edge stream and both adjacency joins.
+    # The explicit-width repartition pins the closure's parallelism: the
+    # intersection pass is CPU-bound at a few bytes per row, and AQE
+    # sizes partition coalescing from shuffle BYTES — measured at
+    # sf0.1 it merged the closure stage down to 8 tasks on 32 cores
+    # (guide §2.5: post-shuffle work the byte count cannot see). A
+    # user-specified count is exempt from coalescing.
+    n_parts = shuffle_partitions(edges_ck.sparkSession)
     oriented = materialize(
         ranked.filter(
             (F.col("sdeg") < F.col("ddeg"))
@@ -465,7 +563,9 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
                 (F.col("sdeg") == F.col("ddeg"))
                 & (F.col("src") < F.col("dst"))
             )
-        ).select("src", "dst")
+        )
+        .select("src", "dst")
+        .repartition(n_parts, "src")
     )
     # adjacency-intersection closure (NOT a wedge join): a triangle
     # through oriented edge (u, v) is exactly a node in
@@ -479,8 +579,37 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # sf0.1). The orientation bound still caps array length at ~√|E|
     # on any degree distribution, so executor memory per row is
     # bounded exactly where the wedge join's fan-out used to be.
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    tris = (
+    # adjacency lists: one row per source node with out-degree bounded
+    # at ~sqrt(|E|) by the orientation. Materialized (so both closure
+    # joins consume blocks instead of re-running the collect_list
+    # aggregate) and broadcast when the MEASURED total footprint —
+    # |V'| headers + one 16-byte entry per oriented edge — fits: the
+    # closure then runs map-side over the oriented blocks at the pinned
+    # partition width, instead of a sort-merge join whose small shuffle
+    # AQE coalesces to a handful of CPU-starved tasks. Too-big
+    # adjacency (the 100 TB case) falls back to the sort-merge shape.
+    adj = materialize(
+        oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    )
+    n_adj = adj.count()
+    oriented_count = oriented.count()
+    adj_row_bytes = 24 + 16 * (oriented_count // max(n_adj, 1))
+    adj = broadcast_if_small(adj, n_adj, row_bytes=adj_row_bytes)
+    # Per-edge intersection computed ONCE, all three corners credited
+    # from it in the same pass: each oriented edge (u, v) with
+    # intersection zs contributes len(zs) triangles to u and to v and
+    # one to every z — emitted as a single exploded (node, credit)
+    # struct array [(u, |zs|), (v, |zs|), (z₁, 1), …] feeding one
+    # grouped sum. The previous shape unioned three SELECTs over the
+    # tris frame, and because the closure join is not materialized each
+    # union branch re-executed the whole join + array_intersect +
+    # explode pipeline — the per-edge intersection (the dominant CPU of
+    # the query) ran THREE times (profiled at sf0.1: the closure stage
+    # was 118 exec-seconds, ~3x the single-pass cost; the plan showed
+    # three SortMergeJoin+Generate subtrees). Counts are identical:
+    # per-corner credits are the same multiset, summed instead of
+    # counted row-by-row.
+    per_edge = (
         oriented.join(
             adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
             oriented["src"] == F.col("u"),
@@ -489,17 +618,31 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
             adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
             oriented["dst"] == F.col("v"),
         )
-        .select(
-            "u",
-            "v",
-            F.explode(F.array_intersect("nu", "nv")).alias("w"),
-        )
+        .select("u", "v", F.array_intersect("nu", "nv").alias("zs"))
+        .filter(F.size("zs") > 0)
     )
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionByName(tris.select(F.col("v").alias("node")))
-        .unionByName(tris.select(F.col("w").alias("node")))
+    credits = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.size("zs").cast("long").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.size("zs").cast("long").alias("c"),
+                    ),
+                ),
+                F.transform(
+                    "zs",
+                    lambda z: F.struct(
+                        z.alias("node"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("cr")
     )
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    return credits.groupBy(F.col("cr.node").alias("node")).agg(
+        F.sum("cr.c").alias("n_triangles")
     )

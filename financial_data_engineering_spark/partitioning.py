@@ -49,6 +49,74 @@ def shuffle_partitions(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+#: Expression node classes (JVM simple names) that make a projection over
+#: an already-materialized frame "cheap": re-evaluating them per scan is
+#: less work than duplicating the blocks through a second checkpoint.
+#: Everything here is deterministic, per-row, and branch-free arithmetic.
+_CHEAP_PROJECTION_EXPRS = {
+    "AttributeReference",
+    "Alias",
+    "Literal",
+    "Cast",
+    "UnaryMinus",
+    "Add",
+    "Subtract",
+    "Multiply",
+    "Divide",
+    "IntegralDivide",
+    "Remainder",
+    "Greatest",
+    "Least",
+}
+
+
+def _is_cheap_expr(expr) -> bool:
+    """True when the JVM Catalyst expression tree contains only
+    _CHEAP_PROJECTION_EXPRS nodes."""
+    if expr.getClass().getSimpleName() not in _CHEAP_PROJECTION_EXPRS:
+        return False
+    children = expr.children()
+    for i in range(children.size()):
+        if not _is_cheap_expr(children.apply(i)):
+            return False
+    return True
+
+
+def _already_materialized(df: DataFrame) -> bool:
+    """True when ``df`` is an already-checkpointed frame (LogicalRDD)
+    under at most a cheap projection — i.e. materializing it again would
+    only copy blocks. Conservative: any unrecognized node returns False.
+
+    Why this matters (measured, r14): the graph family's operators
+    defensively ``materialize(edges.select(...))`` their inputs, but the
+    registered queries hand them the session-shared co-purchase frame
+    that is ALREADY a localCheckpoint — the second checkpoint was a full
+    ~210 MB block copy per query (profiled at sf0.1: ~0.7 s wall and 2x
+    the block storage held live), with zero recompute-protection value.
+    A cheap projection (rename, cast, integer div) over checkpoint
+    blocks re-evaluates per scan for less than the copy costs — at any
+    scale, since both sides are proportional to the block bytes."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while True:
+            cls = plan.getClass().getSimpleName()
+            if cls == "LogicalRDD":
+                return True
+            if cls == "SubqueryAlias":
+                plan = plan.child()
+                continue
+            if cls == "Project":
+                exprs = plan.projectList()
+                for i in range(exprs.size()):
+                    if not _is_cheap_expr(exprs.apply(i)):
+                        return False
+                plan = plan.child()
+                continue
+            return False
+    except Exception:  # noqa: BLE001 — any introspection surprise: materialize
+        return False
+
+
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage and pin ``df``'s rows in a way that survives the
     deployment it is running in. Every iterative data path (connected-
@@ -88,6 +156,8 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     round at the price of re-reading blocks from local disk — the same
     trade a cluster makes when it sizes executor storage memory down.
     """
+    if _already_materialized(df):
+        return df
     spark = df.sparkSession
     mode = spark.conf.get("spark.fdes.materialize.mode", "auto")
     if mode == "auto":
@@ -131,6 +201,50 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     if eager:
         out.count()
     return out
+
+
+def _parse_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf value ("67108864", "10MB", "64m")."""
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
+
+def broadcast_if_small(
+    df: DataFrame, n_rows: int, *, row_bytes: int = 64
+) -> DataFrame:
+    """``F.broadcast(df)`` when a MEASURED row count says the frame fits
+    comfortably under the session's ``autoBroadcastJoinThreshold``;
+    ``df`` unchanged otherwise (sort-merge / AQE decides, the behaviour a
+    100 TB-sized side must keep).
+
+    Why an explicit hint (guide §3.1): checkpointed frames scan as
+    ``ExistingRDD`` with unknown stats, so the planner's initial plan is
+    a sort-merge join and AQE's runtime broadcast conversion only fires
+    AFTER the big side's shuffle map stage has already been written —
+    the iterative graph operators were paying one full |E| shuffle per
+    round for joins whose |V|-row side was a few hundred KB. The hint
+    moves the decision to plan time, from a row count the operator has
+    already paid for. ``row_bytes`` is a deliberate overestimate of the
+    broadcast row footprint so the bound errs toward NOT broadcasting."""
+    thr = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
+    )
+    if thr > 0 and 0 <= n_rows and n_rows * row_bytes <= thr:
+        return F.broadcast(df)
+    return df
 
 
 def make_scratch_dir(spark: SparkSession, prefix: str) -> str:

@@ -84,7 +84,7 @@ def test_no_bare_local_checkpoint_on_data_paths():
             if ".localCheckpoint(" in line:
                 offenders.append(f"{py.relative_to(SRC.parent)}:{i}")
     assert offenders == [
-        "financial_data_engineering_spark/partitioning.py:111"
+        "financial_data_engineering_spark/partitioning.py:181"
     ], offenders
 
 
@@ -193,3 +193,63 @@ def test_materialize_warns_when_level_ignored_in_reliable_mode(spark):
     finally:
         spark.conf.unset("spark.fdes.materialize.mode")
         spark.conf.unset("spark.fdes.materialize.storageLevel")
+
+
+def test_materialize_skips_already_checkpointed(spark):
+    """materialize() of an already-materialized frame — or a cheap
+    projection (rename/cast/arithmetic) over one — must return the input
+    unchanged instead of copying every block through a second
+    checkpoint (r14: the graph operators' defensive materialize was a
+    full ~210 MB block copy per query over the session-shared edge
+    frame)."""
+    base = materialize(spark.range(50).withColumn("v", F.col("id") * 2))
+    assert materialize(base) is base
+    renamed = base.select(F.col("id").alias("k"), "v")
+    assert materialize(renamed) is renamed
+    arith = base.select("id", (F.col("v") * 3).cast("long").alias("w"))
+    assert materialize(arith) is arith
+
+
+def test_materialize_does_not_skip_real_lineage(spark):
+    """Filters/aggregates over a checkpoint are NOT a cheap projection —
+    they must still materialize (lineage cut, rows pinned)."""
+    base = materialize(spark.range(50))
+    filtered = materialize(base.filter(F.col("id") % 2 == 0))
+    plan = filtered._jdf.queryExecution().analyzed().toString()
+    assert "Filter" not in plan  # lineage was cut
+    assert _rows(filtered) == _rows(base.filter(F.col("id") % 2 == 0))
+
+
+def test_broadcast_if_small_threshold(spark):
+    """broadcast_if_small hints only when the measured row count fits
+    under autoBroadcastJoinThreshold; above it (or with broadcast
+    disabled) the frame is returned unhinted — the 100 TB-side shape."""
+    from financial_data_engineering_spark.partitioning import (
+        broadcast_if_small,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    def _is_hinted(d):
+        return "ResolvedHint" in d._jdf.queryExecution().analyzed().toString()
+
+    assert _is_hinted(broadcast_if_small(df, 10, row_bytes=16))
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    too_many = thr // 16 + 1
+    assert not _is_hinted(broadcast_if_small(df, too_many, row_bytes=16))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not _is_hinted(broadcast_if_small(df, 10, row_bytes=16))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+
+
+def test_parse_bytes_suffixes():
+    from financial_data_engineering_spark.partitioning import _parse_bytes
+
+    assert _parse_bytes("67108864") == 64 * 1024 * 1024
+    assert _parse_bytes("64m") == 64 * 1024 * 1024
+    assert _parse_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("-1") == -1
+    assert _parse_bytes("garbage") == -1
