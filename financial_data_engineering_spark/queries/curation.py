@@ -305,7 +305,12 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k plans as TakeOrderedAndProject (no full sort materializes).
     Ties broken by bigram text for cross-engine determinism."""
     docs = load(spark, "documents", sf_dir)
-    tok_rows = docs.select(
+    # spread BEFORE the positioned explode (the shingle_rows lesson):
+    # the compressed corpus scans as one input partition, so without
+    # the spread the explode + bigram window feed runs single-task; the
+    # bigram window keys on doc_id, so the explicit hash repartition is
+    # the exchange it needs anyway — net added shuffles zero.
+    tok_rows = spread_by(docs, "doc_id").select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
     )

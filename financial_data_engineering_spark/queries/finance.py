@@ -46,6 +46,7 @@ from financial_data_engineering_spark.partitioning import (
     make_scratch_dir,
     materialize as materialize_df,
     remove_scratch_dir,
+    spread_by,
 )
 from financial_data_engineering_spark.queries.registry import register
 from financial_data_engineering_spark.tables import load
@@ -456,7 +457,12 @@ def _rolling_band_segmented(seq: DataFrame, key: str = "brand") -> DataFrame:
     w_o = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
     w_p = Window.partitionBy(key, "bar_m")
     w_roll = w_o.rowsBetween(-ROLL_N, -1)
-    ranked = seq.select(
+    # spread_by pins the (key, month) exchange at full shuffle width
+    # before the window cascade: the tick frame's shuffle is ~26 MB at
+    # sf0.1, so AQE's bytes-based coalescing merged the CPU-heavy
+    # window stage to ~16 tasks on 32 cores; the explicit width is the
+    # exchange the window needs anyway, so nothing is added.
+    ranked = spread_by(seq, key, "bar_m").select(
         key,
         "bar_m",
         px,
@@ -638,7 +644,12 @@ def part_brand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o.us", "o.okey", "o.lineno", "o.tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dd = seq.select(
+    # spread_by pins the (key, month) exchange at full shuffle width
+    # before the window cascade: the tick frame's shuffle is ~26 MB at
+    # sf0.1, so AQE's bytes-based coalescing merged the CPU-heavy
+    # window stage to ~16 tasks on 32 cores; the explicit width is the
+    # exchange the window needs anyway, so nothing is added.
+    dd = spread_by(seq, "brand", "bar_m").select(
         "brand",
         "bar_m",
         F.col("px"),
@@ -1327,7 +1338,14 @@ def _underwater_runs_segmented(seq: DataFrame, key: str = "brand") -> DataFrame:
     # Pass 2: flags + runs WITHIN (brand, month) — the global running
     # peak equals max(prior_peak, in-month prefix peak), so flags are
     # exact with month-local windows.
-    ticks = seq.join(F.broadcast(priors), [key, "bar_m"])
+    # spread_by pins the (key, month) exchange at full shuffle width
+    # before the window cascade: the tick frame's shuffle is ~26 MB at
+    # sf0.1, so AQE's bytes-based coalescing merged the CPU-heavy
+    # window stage to ~16 tasks on 32 cores; the explicit width is the
+    # exchange the window needs anyway, so nothing is added.
+    ticks = spread_by(seq, key, "bar_m").join(
+        F.broadcast(priors), [key, "bar_m"]
+    )
     w_m = Window.partitionBy(key, "bar_m").orderBy(*ord_cols)
     w_mc = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d1 = ticks.select(
@@ -1740,7 +1758,12 @@ def _return_stats_segmented(seq: DataFrame, key: str) -> DataFrame:
     r_e4 = F.expr(
         "CAST((2 * (px - _prev) * 10000 + _prev) div (2 * _prev) AS BIGINT)"
     )
-    enriched = seq.select(
+    # spread_by pins the (key, month) exchange at full shuffle width
+    # before the window cascade: the tick frame's shuffle is ~26 MB at
+    # sf0.1, so AQE's bytes-based coalescing merged the CPU-heavy
+    # window stage to ~16 tasks on 32 cores; the explicit width is the
+    # exchange the window needs anyway, so nothing is added.
+    enriched = spread_by(seq, key, "bar_m").select(
         key,
         "bar_m",
         "px",
