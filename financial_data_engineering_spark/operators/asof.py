@@ -62,15 +62,28 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    from financial_data_engineering_spark.partitioning import spread_by
+
+    # spread_by pins the key exchange at the session's full shuffle
+    # width: the window pass is CPU-heavy (struct carry per row) at a
+    # few shuffle bytes per row, so AQE's bytes-based coalescing ran it
+    # on 6-9 of 32 cores at sf0.1; the explicit hash repartition is the
+    # exchange the window needs anyway — net added shuffles zero.
     merged = (
-        left_side.unionByName(
-            right_side.select(
-                *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema],
-                "__key",
-                "__t",
-                "__payload",
-                "__side",
-            )
+        spread_by(
+            left_side.unionByName(
+                right_side.select(
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in left.schema
+                    ],
+                    "__key",
+                    "__t",
+                    "__payload",
+                    "__side",
+                )
+            ),
+            "__key",
         )
         .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
