@@ -41,7 +41,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from financial_data_engineering_spark.llm.caching import persist_tracked
-from financial_data_engineering_spark.partitioning import materialize, spread_by
+from financial_data_engineering_spark.partitioning import (
+    materialize,
+    materialize_counted,
+    spread_by,
+)
 
 # The shingle index tokenizes through the repo-wide contract so MinHash/
 # Jaccard/SimHash candidates compose with span/repetition/vocab counts.
@@ -619,14 +623,14 @@ def connected_components(
     # Materialize the edge list BEFORE deriving anything: the canonical
     # projection and the node universe would otherwise each re-evaluate
     # the caller's (possibly expensive) pair-generation lineage.
-    edges_ck = materialize(
+    edges_ck, edges_count = materialize_counted(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
     # Size the loop's parallelism from the graph itself (~50k edges per
-    # partition, capped): the edge count is free now that edges_ck is
-    # materialized, and every subsequent round pays per-task scheduling
-    # on exactly this width.
-    n_parts = max(1, min(4096, edges_ck.count() // 50_000 + 1))
+    # partition, capped): the edge count rides edges_ck's materializing
+    # job (materialize_counted), and every subsequent round pays
+    # per-task scheduling on exactly this width.
+    n_parts = max(1, min(4096, edges_count // 50_000 + 1))
     # Node universe, for singleton parity (a self-loop-only node must
     # still label itself — the min-label kernel did so implicitly).
     nodes = materialize(
@@ -636,7 +640,7 @@ def connected_components(
         .repartition(n_parts, "node")
     )
     # Canonical directed larger→smaller edges, self-loops dropped.
-    e = materialize(
+    e, e_count = materialize_counted(
         edges_ck.select(
             F.greatest("src", "dst").alias("u"),
             F.least("src", "dst").alias("v"),
@@ -645,7 +649,6 @@ def connected_components(
         .distinct()
         .repartition(n_parts, "u")
     )
-    e_count = e.count()
     converged = e_count == 0
     rounds = 0
     for _ in range(max_iters):
@@ -674,7 +677,11 @@ def connected_components(
         # SMALL-STAR over the larger→smaller edges: point u and all its
         # smaller neighbors at the minimum of those neighbors.
         m_small = large.groupBy("u").agg(F.min("v").alias("m"))
-        new_e = materialize(
+        # The convergence count rides the materializing job itself
+        # (materialize_counted): one job per round, not checkpoint +
+        # count — this loop's cost at bench scale is almost entirely
+        # per-round job latency (~80 tiny jobs before the fuse).
+        new_e, new_count = materialize_counted(
             large.join(m_small, "u")
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -686,7 +693,6 @@ def connected_components(
         )
         # Exact fixpoint test: both sets are distinct, so new ⊆ old
         # (exceptAll finds no witness) with equal counts ⇒ equal sets.
-        new_count = new_e.count()
         if new_count == e_count:
             converged = new_e.exceptAll(e).limit(1).count() == 0
         e, e_count = new_e, new_count

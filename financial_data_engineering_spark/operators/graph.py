@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from financial_data_engineering_spark.partitioning import (
     broadcast_if_small,
     materialize,
+    materialize_counted,
+    spread_by,
 )
 
 #: Total rank mass, damping numerator/denominator — shared with the
@@ -84,14 +86,12 @@ def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame
     # One shuffle by basket (collect_set dedups in-aggregate — the
     # separate distinct pass the old shape paid is folded in), then the
     # per-basket pair fan-out runs as two chained generates inside the
-    # same stage, feeding the (src, dst) count's map-side partials. The
+    # same stage, feeding the pair count's map-side partials. The
     # previous distinct + self-join shape shuffled the item set twice
     # (distinct exchange + join exchange) and paid two sort-merge sorts;
     # pair multiset and weights are identical by construction. The
     # per-basket set is bounded by basket size (see skew note below), so
     # the collect_set buffer is as bounded as the join fan-out was.
-    from financial_data_engineering_spark.partitioning import spread_by
-
     # spread_by pins the basket exchange at the session's full shuffle
     # width: the per-basket pair fan-out and the pair count's map-side
     # partials are CPU-heavy at a few shuffle BYTES per row, so AQE's
@@ -106,12 +106,35 @@ def copurchase_edges(li: DataFrame, basket_col: str, item_col: str) -> DataFrame
         "basket",
     )
     sets = items.groupBy("basket").agg(F.collect_set("item").alias("its"))
-    return (
+    # Count each UNDIRECTED pair once (src < dst) and mirror AFTER the
+    # aggregate: w(a,b) = w(b,a) = shared-basket count by symmetry, so
+    # emitting only the canonical orientation halves the rows the pair
+    # count aggregates and halves its shuffle bytes (guide §2.3 —
+    # measured at sf0.1: pair-agg map stage 25 MB -> 12 MB shuffle
+    # write). The mirror is a single explode over the |E|/2-row
+    # AGGREGATED frame — one Generate in the same stage as the final
+    # aggregate, NOT a self-union (a union re-reads the aggregate's
+    # exchange in a second branch: measured +4 exec-s in the
+    # materialize stage and a doubled post-AQE partition count that
+    # taxed every downstream per-round scan). The returned multiset is
+    # identical to counting both orientations directly.
+    canon = (
         sets.select(F.explode("its").alias("src"), "its")
         .select("src", F.explode("its").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("p"),
+        "w",
+    ).select(
+        F.col("p.s").alias("src"), F.col("p.d").alias("dst"), "w"
     )
 
 
@@ -137,35 +160,39 @@ def pagerank_integer(
     headroom: r <= 1e12, so r*85*w stays under int64 for any w < 1e5
     (co-purchase weights are basket counts, far below).
     """
-    edges_ck = materialize(edges.select("src", "dst", "w"))
-    # partition sizing: floor at the session's configured shuffle
-    # parallelism, scale up only past ~1M edge triples per partition
-    # (an edge row is three longs — the old 50k-row target made 480
-    # partitions of ~1 MB at sf1, and 6 rounds of sub-second tasks were
-    # pure scheduler overhead; measured 44.5 -> ~33 s at sf1). The cap
-    # scales with the session's parallelism (128x shuffle.partitions,
-    # never below 4096): a fixed 4096 at the docstring's 10^12-edge
-    # example would mean ~244M rows (~6 GB) per partition per round,
-    # but a cluster sized for that graph configures
-    # spark.sql.shuffle.partitions in the thousands, lifting the cap
-    # proportionally; AQE's runtime coalescing/splitting remains the
-    # backstop for whatever the static formula still gets wrong.
+    # materialize_counted: the lineage cut and the row count each
+    # operator needs come from ONE job (lazy checkpoint materialized by
+    # the counting action) — the r14 driver's scaling block showed this
+    # family is per-round-job-overhead-bound at bench scale, so every
+    # fused count is a scheduler round-trip saved.
+    edges_ck, e_count = materialize_counted(edges.select("src", "dst", "w"))
+    # partition sizing for the |V|-row state table (nodes_ck below):
+    # floor at the session's configured shuffle parallelism, scale up
+    # only past ~1M edge triples per partition (the old 50k-row target
+    # made 480 partitions of ~1 MB at sf1 — 6 rounds of sub-second
+    # tasks were pure scheduler overhead; measured 44.5 -> ~33 s at
+    # sf1). The cap scales with the session's parallelism (128x
+    # shuffle.partitions, never below 4096) so a cluster sized for a
+    # 10^12-edge graph lifts it proportionally; AQE's runtime
+    # coalescing/splitting remains the backstop.
     base_parts = int(
         edges_ck.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     cap = max(4096, 128 * base_parts)
-    n_parts = max(base_parts, min(cap, edges_ck.count() // 1_000_000 + 1))
+    n_parts = max(base_parts, min(cap, e_count // 1_000_000 + 1))
     # out-weight attach: outw is one row per SOURCE node (|V|-bounded).
-    # Materialize it (tiny blocks) so its count is measured, then hint
-    # the join broadcast when it fits — a checkpointed edge frame scans
-    # as ExistingRDD with unknown stats, so without the hint the planner
-    # shuffles the full |E| frame by src for a sort-merge join whose
-    # other side is a few hundred KB (profiled at sf0.1: one 23 MB +
-    # one 32 MB |E| exchange, both gone with the hint). When |V| is too
-    # big to broadcast — the open-world case — the hint self-disables
-    # and the sort-merge shape is unchanged.
-    outw = materialize(edges_ck.groupBy("src").agg(F.sum("w").alias("ow")))
-    outw_b = broadcast_if_small(outw, outw.count())
+    # Materialize it (tiny blocks) with its count measured in the same
+    # job, then hint the join broadcast when it fits — a checkpointed
+    # edge frame scans as ExistingRDD with unknown stats, so without
+    # the hint the planner shuffles the full |E| frame by src for a
+    # sort-merge join whose other side is a few hundred KB (profiled at
+    # sf0.1: one 23 MB + one 32 MB |E| exchange, both gone with the
+    # hint). When |V| is too big to broadcast — the open-world case —
+    # the hint self-disables and the sort-merge shape is unchanged.
+    outw, outw_count = materialize_counted(
+        edges_ck.groupBy("src").agg(F.sum("w").alias("ow"))
+    )
+    outw_b = broadcast_if_small(outw, outw_count, row_bytes=16)
     if outw_b is outw:
         # no broadcast (|V| too big): pre-join once through a sort-merge
         # and materialize, so the rounds scan the joined blocks — the
@@ -178,10 +205,9 @@ def pagerank_integer(
         # materialized join was a ~210 MB localCheckpoint copy plus 9%
         # larger per-round scans).
         e = edges_ck.join(outw_b, "src")
-    nodes_ck = materialize(
+    nodes_ck, n = materialize_counted(
         nodes.select("node").distinct().repartition(n_parts, "node")
     )
-    n = nodes_ck.count()
     # Seeds must be LongType literals: an int32 seed overflows in ANSI
     # constant folding the moment it meets `* 85 * w`.
     ranks = nodes_ck.withColumn("r", F.lit(PR_SCALE // n).cast("long"))
@@ -241,7 +267,7 @@ def cheapest_paths_bounded(
     On a cluster the edge frame would be bucketed by ``src`` so every
     relaxation reuses one partitioning; AQE handles frontier skew."""
     e = materialize(edges.select("src", "dst", "c"))
-    dist = materialize(
+    dist, f_count = materialize_counted(
         sources.select("node").distinct().withColumn(
             "cost", F.lit(0).cast("long")
         )
@@ -258,15 +284,15 @@ def cheapest_paths_bounded(
     # relaxations on an already-converged graph.
     frontier = dist
     for _ in range(rounds):
-        # the frontier is materialized every round, so its count is a
-        # cheap block-metadata job: an EMPTY frontier means every later
-        # round is a no-op (relaxation of nothing) — skip them, the
-        # K-round result is identical by monotonicity. A small frontier
-        # broadcast-joins against the edge set (no |E| shuffle; the
-        # checkpointed edge frame has no stats, so without the hint the
-        # planner sort-merges and shuffles all of e by src every round);
-        # a large one falls back to the shuffle join unchanged.
-        f_count = frontier.count()
+        # the frontier count rides the job that materialized it
+        # (materialize_counted — one job, not checkpoint + count): an
+        # EMPTY frontier means every later round is a no-op (relaxation
+        # of nothing) — skip them, the K-round result is identical by
+        # monotonicity. A small frontier broadcast-joins against the
+        # edge set (no |E| shuffle; the checkpointed edge frame has no
+        # stats, so without the hint the planner sort-merges and
+        # shuffles all of e by src every round); a large one falls back
+        # to the shuffle join unchanged.
         if f_count == 0:
             break
         f_b = broadcast_if_small(frontier, f_count, row_bytes=16)
@@ -282,7 +308,7 @@ def cheapest_paths_bounded(
         old = dist.select(
             F.col("node"), F.col("cost").alias("old_cost")
         )
-        frontier = materialize(
+        frontier, f_count = materialize_counted(
             relaxed.join(old, "node", "left")
             .filter(
                 F.col("old_cost").isNull()
@@ -325,17 +351,20 @@ def label_propagation(
     global sort). Rounds materialize through ``materialize()``; edge
     partitioning follows the caller's frame."""
     e = materialize(edges.select("src", "dst", "w"))
-    labels = materialize(
+    labels, n = materialize_counted(
         nodes.select("node").distinct().withColumn("lbl", F.col("node"))
     )
-    n = labels.count()
     # argmax via a plain max over (wsum, -lbl, lbl) structs: the pair
     # (wsum, -lbl) is unique per (dst, lbl) group, so the struct max IS
     # the row_number()-over-(desc wsum, asc lbl)==1 row — same total
     # order, but a hash aggregate with map-side partials instead of a
     # second full exchange + sort for the window (profiled at sf0.1:
     # the window pass re-shuffled and sorted the whole 22 MB vote table
-    # every round).
+    # every round). The (-lbl) tiebreak REQUIRES NUMERIC node ids: a
+    # string label under unary minus is null (or an ANSI error), which
+    # would silently invert the documented smallest-label tiebreak —
+    # callers with non-numeric ids must map them to longs first (every
+    # in-repo caller passes integer part keys).
     _vote_max = F.max(
         F.struct(
             F.col("wsum").alias("w"),
@@ -401,7 +430,8 @@ def kcore_bounded(
     e = materialize(edges.select("src", "dst"))
     for _ in range(rounds):
         # survivor list materialized (tiny: one row per surviving node)
-        # so (a) its count is measured for the broadcast decision and
+        # so (a) its count is measured for the broadcast decision — in
+        # the SAME job that materializes it (materialize_counted) — and
         # (b) both semi joins consume the same blocks instead of each
         # re-running the degree aggregate. Broadcast semis run map-side
         # over the edge blocks — no per-round |E| shuffle (the
@@ -409,13 +439,13 @@ def kcore_bounded(
         # sort-merged BOTH semi joins, shuffling e by src AND by dst
         # every round). A survivor list too big to broadcast falls back
         # to exactly that sort-merge shape.
-        keep = materialize(
+        keep, keep_count = materialize_counted(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("src")
         )
-        k_b = broadcast_if_small(keep, keep.count(), row_bytes=8)
+        k_b = broadcast_if_small(keep, keep_count, row_bytes=8)
         e = materialize(
             e.join(k_b, "src", "left_semi").join(
                 k_b.withColumnRenamed("src", "dst"), "dst", "left_semi"
@@ -456,30 +486,30 @@ def kcore_exact(
     edges). Per-round cost and state are identical to the bounded
     variant: one count aggregate + two LEFT SEMI joins over the
     shrinking edge set, no |V|-row carry."""
-    e = materialize(edges.select("src", "dst"))
-    e_count = e.count()
+    e, e_count = materialize_counted(edges.select("src", "dst"))
     converged = e_count == 0
     rounds = 0
     for _ in range(max_iters):
         if converged:
             break
         rounds += 1
-        # same materialize + measured-count broadcast as kcore_bounded
-        # (see its in-loop comment): map-side semis when the survivor
-        # list fits, unchanged sort-merge shape when it doesn't.
-        keep = materialize(
+        # same fused materialize+count broadcast as kcore_bounded (see
+        # its in-loop comment): map-side semis when the survivor list
+        # fits, unchanged sort-merge shape when it doesn't. The
+        # convergence count rides new_e's materializing job too — two
+        # jobs per peeling round total, down from four.
+        keep, keep_count = materialize_counted(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("src")
         )
-        k_b = broadcast_if_small(keep, keep.count(), row_bytes=8)
-        new_e = materialize(
+        k_b = broadcast_if_small(keep, keep_count, row_bytes=8)
+        new_e, new_count = materialize_counted(
             e.join(k_b, "src", "left_semi").join(
                 k_b.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
         )
-        new_count = new_e.count()
         # Monotone shrink: the new set is a filter of the old, so an
         # unchanged count IS the fixpoint (every node already ≥ k).
         converged = new_count == e_count
@@ -541,12 +571,12 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # (the checkpointed edge frame has no stats, so the unhinted plan
     # sort-merge-joined and shuffled the full |E| frame for each degree
     # attach). Falls back to the sort-merge shape when |V| is too big.
-    deg = materialize(
+    deg, deg_count = materialize_counted(
         edges_ck.groupBy(F.col("src").alias("n")).agg(
             F.count(F.lit(1)).alias("deg")
         )
     )
-    deg_b = broadcast_if_small(deg, deg.count(), row_bytes=16)
+    deg_b = broadcast_if_small(deg, deg_count, row_bytes=16)
     ranked = (
         edges_ck.join(deg_b.withColumnRenamed("n", "src"), "src")
         .withColumnRenamed("deg", "sdeg")
@@ -566,7 +596,7 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # (guide §2.5: post-shuffle work the byte count cannot see). A
     # user-specified count is exempt from coalescing.
     n_parts = shuffle_partitions(edges_ck.sparkSession)
-    oriented = materialize(
+    oriented, oriented_count = materialize_counted(
         ranked.filter(
             (F.col("sdeg") < F.col("ddeg"))
             | (
@@ -598,11 +628,9 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # partition width, instead of a sort-merge join whose small shuffle
     # AQE coalesces to a handful of CPU-starved tasks. Too-big
     # adjacency (the 100 TB case) falls back to the sort-merge shape.
-    adj = materialize(
+    adj, n_adj = materialize_counted(
         oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     )
-    n_adj = adj.count()
-    oriented_count = oriented.count()
     adj_row_bytes = 24 + 16 * (oriented_count // max(n_adj, 1))
     adj = broadcast_if_small(adj, n_adj, row_bytes=adj_row_bytes)
     # Per-edge intersection computed ONCE, all three corners credited

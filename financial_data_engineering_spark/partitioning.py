@@ -203,6 +203,25 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize ``df`` AND return its row count from ONE Spark job.
+
+    Every iterative operator needs both the lineage cut and a row count
+    (broadcast decisions, convergence tests, loop sizing), and paying
+    ``materialize(df)`` + ``df.count()`` separately costs two jobs per
+    round. The r14 driver's scaling block showed the graph family is
+    job-overhead-bound at bench scale (FASTER at 8 cores than 32), so
+    per-round fixed jobs are exactly what the bill is made of. A LAZY
+    checkpoint followed by ``count()`` materializes the blocks DURING
+    the counting job, so the pair costs one job; at cluster scale the
+    saving is one scheduler round-trip per round, never a correctness
+    difference (the count is read from the same materialized frame
+    either way).
+    """
+    out = materialize(df, eager=False)
+    return out, out.count()
+
+
 def _parse_bytes(raw: str) -> int:
     """Parse a Spark byte-size conf value ("67108864", "10MB", "64m")."""
     s = str(raw).strip().lower()
@@ -222,6 +241,16 @@ def _parse_bytes(raw: str) -> int:
         return -1
 
 
+#: Per-row overhead of a broadcast hash relation beyond the raw field
+#: bytes: UnsafeRow header + field alignment + the LongToUnsafeRowMap /
+#: BytesToBytesMap entry (key copy, offsets, load-factor slack). A
+#: (long, long) row measures ~50-60 B in a built relation, not 16 — the
+#: r14 advice flagged that sizing by raw bytes could overshoot the
+#: configured threshold several-fold, and unlike AQE's estimate a hint
+#: FORCES the broadcast with no fallback.
+_BROADCAST_ROW_OVERHEAD = 48
+
+
 def broadcast_if_small(
     df: DataFrame, n_rows: int, *, row_bytes: int = 64
 ) -> DataFrame:
@@ -237,12 +266,21 @@ def broadcast_if_small(
     the iterative graph operators were paying one full |E| shuffle per
     round for joins whose |V|-row side was a few hundred KB. The hint
     moves the decision to plan time, from a row count the operator has
-    already paid for. ``row_bytes`` is a deliberate overestimate of the
-    broadcast row footprint so the bound errs toward NOT broadcasting."""
+    already paid for.
+
+    ``row_bytes`` is the RAW field bytes per row (pass the measured or
+    schema-derived value); the hash-relation build overhead is added
+    HERE (``_BROADCAST_ROW_OVERHEAD``) so the bound reflects what the
+    driver and executors actually hold, and errs toward NOT
+    broadcasting."""
     thr = _parse_bytes(
         df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
     )
-    if thr > 0 and 0 <= n_rows and n_rows * row_bytes <= thr:
+    if (
+        thr > 0
+        and 0 <= n_rows
+        and n_rows * (row_bytes + _BROADCAST_ROW_OVERHEAD) <= thr
+    ):
         return F.broadcast(df)
     return df
 

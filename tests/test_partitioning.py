@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from financial_data_engineering_spark.partitioning import (
     make_scratch_dir,
     materialize,
+    materialize_counted,
     remove_scratch_dir,
 )
 
@@ -218,6 +219,24 @@ def test_materialize_does_not_skip_real_lineage(spark):
     plan = filtered._jdf.queryExecution().analyzed().toString()
     assert "Filter" not in plan  # lineage was cut
     assert _rows(filtered) == _rows(base.filter(F.col("id") % 2 == 0))
+
+
+def test_materialize_counted_cuts_lineage_and_counts(spark):
+    """materialize_counted returns (materialized frame, exact count)
+    from one fused action: lineage must be cut exactly as materialize()
+    cuts it, the count must match the data, and the frame must be
+    re-consumable (blocks pinned, not a one-shot iterator)."""
+    df = spark.range(100).filter(F.col("id") % 3 == 0)
+    out, n = materialize_counted(df)
+    assert n == 34
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Filter" not in plan  # lineage was cut
+    assert out.count() == 34  # re-consumable after the fused action
+    assert _rows(out) == _rows(df)
+    # already-materialized input: no re-copy (materialize()'s skip), and
+    # the count is still exact
+    again, n2 = materialize_counted(out)
+    assert n2 == 34
 
 
 def test_broadcast_if_small_threshold(spark):
