@@ -177,6 +177,18 @@ def order_week_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Price-axis bucket for the two-level cumulative sum in
+#: lineitem_price_quantiles: the price DOMAIN is a fixed business range
+#: (TPC-H extended prices span ~900..105k), so a constant width keeps
+#: the bucket table at a few hundred rows at ANY row count — this is
+#: domain partitioning, not a tuned local constant. floor() is monotone,
+#: so bucket order equals price order and the prefix-sum decomposition
+#: is exact. (A function, not a module-level Column: Column construction
+#: needs an active SparkContext.)
+def _price_bucket():
+    return F.floor(F.col("l_extendedprice") / 1024).cast("long")
+
+
 @register(
     "lineitem_price_quantiles",
     oracle="""
@@ -221,25 +233,73 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     from pyspark.sql.window import Window
 
+    from financial_data_engineering_spark.partitioning import spread_by
+
     hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wn = Window.partitionBy("l_returnflag")
-    cum = hist.select(
+    # Two-level cumulative sum (queued since r8): a single
+    # flag-partitioned running sum runs the whole domain-bounded
+    # histogram through 3 tasks (l_returnflag has 3 values — the
+    # fixed-cardinality-key bottleneck this query already dodged once
+    # by going histogram-first). Bucketing the price axis
+    # (floor(price / 1024) — the price DOMAIN is fixed, so the bucket
+    # count is a few hundred at any corpus size) splits the running
+    # sum into (1) per-(flag, bucket) totals cumulated flag-wide over
+    # the few-hundred-row bucket table — trivially small — and (2)
+    # within-bucket running sums windowed by (flag, bucket), which
+    # parallelize across 3 x |buckets| partitions instead of 3.
+    # hi = bucket offset + within-bucket cum is the same prefix sum by
+    # associativity, so lo/hi/n and every pick are unchanged.
+    # materialize() because BOTH downstream branches (bucket totals and
+    # the within-bucket window) consume the histogram — measured: the
+    # un-materialized plan scanned lineitem and re-ran the histogram
+    # aggregate twice (no runtime exchange reuse fired across the join
+    # branches). The spread_by comes AFTER the join, where it IS the
+    # window's exchange at explicit (coalesce-exempt) full width — a
+    # checkpoint under AQE scans back as UnknownPartitioning (verified
+    # in the executed plan), so partitioning established before the
+    # materialize cannot be reused behind it.
+    from financial_data_engineering_spark.partitioning import materialize
+
+    hist = materialize(hist.withColumn("b", _price_bucket()))
+    bt = hist.groupBy("l_returnflag", "b").agg(F.sum("c").alias("bc"))
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bt.select(
         "l_returnflag",
-        "l_extendedprice",
-        "c",
-        F.sum("c")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("hi"),
-        F.sum("c").over(wn).alias("n"),
-    ).select(
-        "l_returnflag",
-        "l_extendedprice",
-        (F.col("hi") - F.col("c")).alias("lo"),
-        "hi",
-        "n",
+        "b",
+        F.coalesce(F.sum("bc").over(wo), F.lit(0).cast("long")).alias("off"),
+        F.sum("bc").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    wb = (
+        Window.partitionBy("l_returnflag", "b")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        spread_by(
+            hist.join(F.broadcast(off), ["l_returnflag", "b"]),
+            "l_returnflag",
+            "b",
+        )
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "c",
+            "n",
+            (F.col("off") + F.sum("c").over(wb)).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.col("hi") - F.col("c")).alias("lo"),
+            "hi",
+            "n",
+        )
     )
 
     def pick(p: float, name: str):

@@ -222,8 +222,15 @@ SHUFFLE_BUDGET = {
     "knn_brute_force_cosine": 2,
     "latest_order_per_customer": 1,
     "lineitem_global_stats": 1,
-    # histogram collapse (map-side combine) + flag cum-window + rollup/sort
-    "lineitem_price_quantiles": 3,
+    # r15 two-level cumulative sum: histogram collapse (appears in both
+    # join branches statically — runtime ReusedExchange computes it
+    # once) + explicit (flag, bucket) spread for the within-bucket
+    # cum-window + bucket-total agg + tiny flag-level offset window +
+    # rollup (partial-agged to <= 3 rows/partition before its exchange)
+    # + sort. Trades a few hundred-row exchanges for running the prefix
+    # sum at 3x|buckets| partitions instead of 3 (the
+    # fixed-cardinality-key bottleneck).
+    "lineitem_price_quantiles": 7,
     "lineitem_priority_asof": 4,
     # map-side stack Generate + grouped rollup + 12-row sort
     "lineitem_measure_unpivot": 2,
