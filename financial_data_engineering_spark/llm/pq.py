@@ -181,6 +181,203 @@ def pq_codebooks(
     return books
 
 
+def _fused_partials(
+    corpus: DataFrame,
+    cents,
+    books,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """One iteration of BOTH trainings fused into a single map-only
+    Arrow pass: coarse-quantizer cluster partials (kind=0 — the
+    _cluster_partials math, llm/similarity.py) and per-subspace PQ code
+    partials (kind=1 — the _pq_partials math) computed from the same
+    batch, so the corpus is scanned and shipped through the Python
+    boundary ONCE per fused iteration instead of once per training.
+    Either side may be None (that training has finished its
+    iterations). Assignment and scaling arithmetic is byte-identical to
+    the standalone kernels, so the summed partials — and therefore the
+    trained centroids/codebooks — cannot differ."""
+    import numpy as np
+
+    from financial_data_engineering_spark.llm.similarity import (
+        _assign_cosine,
+    )
+
+    if cents is not None:
+        cids = np.array([cid for cid, _ in cents], dtype="int64")
+        cmat = np.stack([np.asarray(v, dtype="float64") for _, v in cents])
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm = np.where(cnorm == 0.0, 1.0, cnorm)
+    bmats = (
+        [np.asarray(b, dtype="float64") for b in books]
+        if books is not None
+        else None
+    )
+    schema = T.StructType(
+        [
+            T.StructField("kind", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            s = mat * KMEANS_SCALE
+            scaled = (np.floor(np.abs(s) + 0.5) * np.sign(s)).astype("int64")
+            out: dict[str, list] = {
+                "kind": [], "a": [], "b": [], "cnt": [], "sums": []
+            }
+            if cents is not None:
+                cos = _assign_cosine(np, pdf[vec_col], cmat, cnorm)
+                order = np.lexsort(
+                    (np.broadcast_to(cids, cos.shape), -cos), axis=1
+                )
+                best = cids[order[:, 0]]
+                for c in np.unique(best):
+                    mask = best == c
+                    out["kind"].append(0)
+                    out["a"].append(int(c))
+                    out["b"].append(0)
+                    out["cnt"].append(int(mask.sum()))
+                    out["sums"].append(scaled[mask].sum(axis=0).tolist())
+            if bmats is not None:
+                subs = mat.reshape(len(mat), m, dim // m)
+                codes = _assign_codes(np, subs, bmats)
+                sub_scaled = scaled.reshape(len(mat), m, dim // m)
+                for mi in range(m):
+                    for c in np.unique(codes[:, mi]):
+                        mask = codes[:, mi] == c
+                        out["kind"].append(1)
+                        out["a"].append(mi)
+                        out["b"].append(int(c))
+                        out["cnt"].append(int(mask.sum()))
+                        out["sums"].append(
+                            sub_scaled[mask, mi, :].sum(axis=0).tolist()
+                        )
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def train_coarse_and_books(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    coarse_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+    dim: int = 64,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Train the IVF coarse quantizer AND the PQ codebooks with HALF the
+    control-plane actions: one shared lowest-id init collect (the two
+    standalone trainers each ran their own TakeOrdered job over the same
+    prefix) and one fused partials pass per iteration
+    (:func:`_fused_partials`) instead of one per training. At bench
+    scale the IVF-PQ query is action-latency-bound (profiled r15: 17
+    jobs of 0.2-0.5 s each for a 2000-row corpus), and at 100 TB each
+    saved pass is a full corpus scan. Results are bit-identical to
+    ``kmeans_centroids(...)`` followed by ``pq_codebooks(...)`` — same
+    init rows (the shared collect's prefix), same assignment/update
+    arithmetic, integer partial sums summed in the same driver fold —
+    which the registered query's oracle (replaying both trainings in
+    SQL) gates every round."""
+    sub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max(n_centroids, k))
+        .collect()
+    )
+    if not rows or len(rows) < 1:
+        raise ValueError("train_coarse_and_books: corpus has no vectors")
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(rows[:n_centroids])
+    ]
+    books = [
+        [
+            [float(x) for x in r[vec_col]][mi * sub : (mi + 1) * sub]
+            for r in rows[:k]
+        ]
+        for mi in range(m)
+    ]
+    for it in range(max(coarse_iters, n_iters)):
+        do_coarse = it < coarse_iters
+        do_pq = it < n_iters
+        partials = _fused_partials(
+            corpus,
+            cents if do_coarse else None,
+            books if do_pq else None,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            m=m,
+        ).collect()
+        if do_coarse:
+            by_cluster: dict[int, tuple[int, list[int]]] = {}
+            for r in partials:
+                if r["kind"] != 0:
+                    continue
+                cnt, sums = by_cluster.get(int(r["a"]), (0, [0] * dim))
+                by_cluster[int(r["a"])] = (
+                    cnt + int(r["cnt"]),
+                    [x + int(y) for x, y in zip(sums, r["sums"])],
+                )
+            cents = [
+                (
+                    cid,
+                    [
+                        s / (KMEANS_SCALE * by_cluster[cid][0])
+                        for s in by_cluster[cid][1]
+                    ]
+                    if cid in by_cluster
+                    else old,
+                )
+                for cid, old in cents
+            ]
+        if do_pq:
+            cells: dict[tuple[int, int], tuple[int, list[int]]] = {}
+            for r in partials:
+                if r["kind"] != 1:
+                    continue
+                key = (int(r["a"]), int(r["b"]))
+                cnt, sums = cells.get(key, (0, [0] * sub))
+                cells[key] = (
+                    cnt + int(r["cnt"]),
+                    [x + int(y) for x, y in zip(sums, r["sums"])],
+                )
+            books = [
+                [
+                    [
+                        s / (KMEANS_SCALE * cells[(mi, ci)][0])
+                        for s in cells[(mi, ci)][1]
+                    ]
+                    if (mi, ci) in cells
+                    else old
+                    for ci, old in enumerate(book)
+                ]
+                for mi, book in enumerate(books)
+            ]
+    return cents, books
+
+
 def pq_code_rows(
     corpus: DataFrame,
     books,
@@ -427,16 +624,22 @@ def ivfpq_adc_rerank_topk(
     micro-unit LUT), so the oracle replays the whole composition."""
     from financial_data_engineering_spark.llm.similarity import (
         ivf_assignments,
-        kmeans_centroids,
     )
 
     proj = persist_tracked(corpus.select(id_col, vec_col))
-    cents = kmeans_centroids(
+    # Both trainings in one fused control-plane loop (shared init
+    # collect, one partials pass per iteration) — half the actions of
+    # kmeans_centroids + pq_codebooks run back to back, bit-identical
+    # results (see train_coarse_and_books).
+    cents, books = train_coarse_and_books(
         proj,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_centroids,
-        n_iters=coarse_iters,
+        coarse_iters=coarse_iters,
+        m=m,
+        k=n_codes,
+        n_iters=n_iters,
         dim=dim,
     )
     corpus_lists = ivf_assignments(
@@ -451,15 +654,6 @@ def ivfpq_adc_rerank_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
-    )
-    books = pq_codebooks(
-        proj,
-        id_col=id_col,
-        vec_col=vec_col,
-        m=m,
-        k=n_codes,
-        n_iters=n_iters,
-        dim=dim,
     )
     codes = pq_code_rows(
         proj, books, id_col=id_col, vec_col=vec_col, dim=dim

@@ -846,3 +846,34 @@ def test_connected_components_random_graph_matches_dsu_reference(spark):
         for r in dd.connected_components(edges).collect()
     }
     assert got == expect
+
+
+def test_fused_training_matches_standalone(spark):
+    """train_coarse_and_books (the r15 fused control-plane loop behind
+    ivfpq_adc_rerank_topk) must return BIT-identical centroids and
+    codebooks to kmeans_centroids + pq_codebooks run standalone — the
+    fusion only co-schedules the passes, never changes the arithmetic."""
+    from financial_data_engineering_spark.llm.pq import (
+        pq_codebooks,
+        train_coarse_and_books,
+    )
+
+    emb = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 15), j -> cast("
+                "sin(id * 13 + j * 7) as float))"
+            ).alias("embedding"),
+        )
+    )
+    cents_ref = sim.kmeans_centroids(
+        emb, n_centroids=4, n_iters=2, dim=16
+    )
+    books_ref = pq_codebooks(emb, m=4, k=6, n_iters=2, dim=16)
+    cents, books = train_coarse_and_books(
+        emb, n_centroids=4, coarse_iters=2, m=4, k=6, n_iters=2, dim=16
+    )
+    assert cents == cents_ref
+    assert books == books_ref
